@@ -1,0 +1,42 @@
+"""Global configuration for the knoxdb_tpu engine.
+
+TPU-first geometry choices:
+- PACK_SIZE: rows per pack (column segment tile). The reference allows
+  2^8..2^22 rows per pack (/root/reference/README.md:60); we fix 2^16 which
+  maps to a (512, 128) VPU tile for 32-bit lanes and keeps one u64 column
+  pack at 512 KiB — comfortably double-bufferable in 16 MiB VMEM.
+- All device compute uses uint32 limbs (order-preserving "key form", see
+  utils/limbs.py); jax x64 is enabled only for host<->device conversion and
+  aggregation outputs (XLA emulates 64-bit integer adds on TPU).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+# Enable 64-bit types globally: host conversion paths and aggregation
+# accumulators need u64/i64. Hot kernels still operate on uint32 limbs.
+jax.config.update("jax_enable_x64", True)
+
+# Rows per pack. Must be a multiple of 128 (TPU lane width) * 32 (bitset word).
+PACK_SIZE = int(os.environ.get("KNOX_TPU_PACK_SIZE", 1 << 16))
+assert PACK_SIZE % 4096 == 0, "PACK_SIZE must be a multiple of 4096"
+
+# Words per pack for packed u32 bitsets.
+PACK_WORDS = PACK_SIZE // 32
+
+# Journal size (rows) before a background merge is scheduled.
+JOURNAL_SIZE = int(os.environ.get("KNOX_TPU_JOURNAL_SIZE", 1 << 17))
+
+# Statistics: max string prefix bytes kept in zone maps (reference:
+# internal/pack/stats/index.go:177 STATS_STRING_MAX_LEN = 8).
+STATS_STRING_MAX_LEN = 8
+
+
+def is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
