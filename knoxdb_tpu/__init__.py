@@ -15,4 +15,17 @@ __version__ = "0.1.0"
 
 __all__ = [
     "FieldType", "FilterMode", "IndexType", "OrderType", "JoinType",
+    "knox", "create_database", "open_database",
 ]
+
+
+def __getattr__(name):
+    # lazy SDK surface: knoxdb_tpu.create_database(...) without importing
+    # the engine stack at package import time
+    if name == "knox":
+        from . import knox
+        return knox
+    if name in ("create_database", "open_database"):
+        from . import knox
+        return getattr(knox, name)
+    raise AttributeError(name)

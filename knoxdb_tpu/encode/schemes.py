@@ -52,6 +52,9 @@ class EncodedPack:
     values: np.ndarray | None = None    # u32[L, k] CONST/RAW/RLE/DICT values
     ends: np.ndarray | None = None      # u32[k] RLE exclusive run ends
     k: int = 0                  # padded #values (RLE/DICT)
+    card: int = 0               # true #values before padding (RLE/DICT)
+    dict_keys: np.ndarray | None = None  # u64[card] sorted dict keys (host,
+                                         # for code-space predicate rewrite)
 
     @property
     def nbytes(self) -> int:
@@ -134,13 +137,15 @@ def encode_rle(run_values_limbs: np.ndarray, run_ends: np.ndarray, n: int,
     vals[:, :r] = run_values_limbs
     ends = np.full(k, 0xFFFFFFFF, dtype=np.uint32)
     ends[:r] = run_ends
-    return EncodedPack(Scheme.RLE, n, nlimbs, values=vals, ends=ends, k=k)
+    return EncodedPack(Scheme.RLE, n, nlimbs, values=vals, ends=ends, k=k,
+                       card=r)
 
 
 def encode_dict(codes: np.ndarray, unique_limbs: np.ndarray, n: int,
-                nlimbs: int, n_pad: int) -> EncodedPack:
+                nlimbs: int, n_pad: int, width: int = 0,
+                dict_keys: np.ndarray | None = None) -> EncodedPack:
     card = unique_limbs.shape[1]
-    width = max(1, (card - 1).bit_length())
+    width = width or max(1, (card - 1).bit_length())
     planes = _pack_bitplanes(codes.astype(np.uint64), width, n_pad)
     k = _ceil_pow2(card)
     vals = np.zeros((nlimbs, k), dtype=np.uint32)
@@ -149,7 +154,7 @@ def encode_dict(codes: np.ndarray, unique_limbs: np.ndarray, n: int,
     if card < k:
         vals[:, card:] = unique_limbs[:, -1:]
     return EncodedPack(Scheme.DICT, n, nlimbs, width=width, planes=planes,
-                       values=vals, k=k)
+                       values=vals, k=k, card=card, dict_keys=dict_keys)
 
 
 # ---------------------------------------------------------------- decode ---

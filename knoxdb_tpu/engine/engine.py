@@ -1,0 +1,300 @@
+"""Engine: database lifecycle, catalog, MVCC transactions, tasks, WAL GC.
+
+Mirrors the reference engine core (/root/reference/internal/engine/
+engine.go:62-85, tx.go, catalog.go, lock.go, task.go) on the host side:
+
+- single-writer / multi-reader MVCC: one write token, monotonic XIDs,
+  read snapshots {xown, xmin, xmax, xact} (internal/types/snapshot.go)
+- commit = WAL commit record (sync/nosync) -> per-table CommitTx ->
+  merge scheduling (tx.go:328-445)
+- catalog: object registry + table state persisted in the store
+- TaskService: background worker pool for merges (task.go:103-210)
+- checkpoint watermark = min over table checkpoints drives wal.gc
+  (engine.go:734-867)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from dataclasses import dataclass, field as dc_field
+from pathlib import Path
+
+import numpy as np
+
+from ..schema.schema import Schema
+from ..store.kv import Store, create_store
+from ..types import Snapshot
+from ..wal.wal import Record, RecordType, Wal
+from .table import Table
+
+__all__ = ["Engine", "Tx", "Options"]
+
+
+@dataclass
+class Options:
+    driver: str = "mem"              # mem | file
+    path: str | None = None
+    pack_size: int = 1 << 16
+    journal_size: int = 1 << 17
+    wal_sync: str = "sync"           # sync | nosync
+    background_merge: bool = True
+
+
+class TaskService:
+    """Background worker pool (synchronous fallback when disabled)."""
+
+    def __init__(self, workers: int = 2, enabled: bool = True):
+        self.enabled = enabled
+        self._lock = threading.Lock()
+        self._pending: list = []
+        self._threads: list[threading.Thread] = []
+        self._stop = False
+        self._cv = threading.Condition(self._lock)
+        if enabled:
+            for _ in range(workers):
+                t = threading.Thread(target=self._run, daemon=True)
+                t.start()
+                self._threads.append(t)
+
+    def submit(self, fn) -> None:
+        if not self.enabled:
+            fn()
+            return
+        with self._cv:
+            self._pending.append(fn)
+            self._cv.notify()
+
+    def drain(self) -> None:
+        while True:
+            with self._cv:
+                if not self._pending and not getattr(self, "_active", 0):
+                    return
+            threading.Event().wait(0.01)
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending and not self._stop:
+                    self._cv.wait(0.1)
+                if self._stop:
+                    return
+                fn = self._pending.pop(0)
+                self._active = getattr(self, "_active", 0) + 1
+            try:
+                fn()
+            finally:
+                with self._cv:
+                    self._active -= 1
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+
+
+class LockManager:
+    """Shared/exclusive object locks (reference lock.go, simplified: a
+    global RW lock per object id; deadlock avoidance by ordered acquire)."""
+
+    def __init__(self):
+        self._locks: dict[int, threading.RLock] = {}
+        self._g = threading.Lock()
+
+    def lock(self, oid: int):
+        with self._g:
+            lk = self._locks.setdefault(oid, threading.RLock())
+        return lk
+
+
+class Tx:
+    """MVCC transaction (reference internal/engine/tx.go:56-68)."""
+
+    def __init__(self, engine: "Engine", xid: int, snapshot: Snapshot,
+                 read_only: bool = False):
+        self.engine = engine
+        self.xid = xid
+        self.snapshot = snapshot
+        self.read_only = read_only
+        self.touched: list[Table] = []
+        self.closed = False
+
+    def touch(self, table: Table) -> None:
+        if table not in self.touched:
+            self.touched.append(table)
+
+    def commit(self) -> None:
+        if self.closed:
+            return
+        if not self.read_only and self.touched:
+            rec = Record(RecordType.COMMIT, 0, self.xid)
+            if self.engine.opts.wal_sync == "sync":
+                self.engine.wal.write_and_sync(rec)
+            else:
+                self.engine.wal.write(rec)
+            for t in self.touched:
+                t.commit_tx(self.xid)
+        self.engine._finish_tx(self)
+        self.closed = True
+
+    def abort(self) -> None:
+        if self.closed:
+            return
+        if not self.read_only and self.touched:
+            self.engine.wal.write(Record(RecordType.ABORT, 0, self.xid))
+            for t in self.touched:
+                t.abort_tx(self.xid)
+        self.engine._finish_tx(self)
+        self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.commit()
+        else:
+            self.abort()
+
+
+class Engine:
+    def __init__(self, name: str, opts: Options | None = None):
+        self.name = name
+        self.opts = opts or Options()
+        root = Path(self.opts.path or f"/tmp/knoxdb_tpu/{name}")
+        if self.opts.driver == "file":
+            root.mkdir(parents=True, exist_ok=True)
+            self.store: Store | None = create_store("file", root / "data")
+        else:
+            self.store = create_store("mem")
+        self.wal = Wal(root / "wal")
+        self.tables: dict[str, Table] = {}
+        self._table_ids: dict[int, Table] = {}
+        self.tasks = TaskService(enabled=self.opts.background_merge)
+        self.locks = LockManager()
+        self._xid = 1
+        self._active: set[int] = set()
+        self._write_token = threading.Lock()
+        self._mu = threading.Lock()
+        self._next_oid = 1
+        self._load_catalog()
+
+    # ----------------------------------------------------------- catalog --
+
+    def create_table(self, schema: Schema, *, pack_size: int | None = None,
+                     journal_size: int | None = None) -> Table:
+        if schema.name in self.tables:
+            raise ValueError(f"table {schema.name} exists")
+        oid = self._next_oid
+        self._next_oid += 1
+        t = Table(self, oid, schema,
+                  pack_size=pack_size or self.opts.pack_size,
+                  journal_size=journal_size or self.opts.journal_size)
+        self.tables[schema.name] = t
+        self._table_ids[oid] = t
+        self._save_catalog()
+        return t
+
+    def drop_table(self, name: str) -> None:
+        t = self.tables.pop(name, None)
+        if t is None:
+            raise KeyError(name)
+        self._table_ids.pop(t.id, None)
+        if self.store:
+            self.store.drop_bucket(f"table_{t.id}_segments")
+        self._save_catalog()
+
+    def table(self, name: str) -> Table:
+        return self.tables[name]
+
+    def _save_catalog(self) -> None:
+        if self.store is None:
+            return
+        b = self.store.bucket("catalog")
+        cat = {
+            "next_oid": self._next_oid,
+            "tables": [{
+                "id": t.id, "schema": t.schema.to_dict(),
+                "pack_size": t.pack_size,
+                "state": t.state.to_dict(),
+            } for t in self.tables.values()],
+        }
+        b.put(b"catalog", json.dumps(cat).encode())
+
+    def save_state(self, t: Table) -> None:
+        self._save_catalog()
+        self.try_gc()
+
+    def _load_catalog(self) -> None:
+        if self.store is None:
+            return
+        b = self.store.bucket("catalog")
+        raw = b.get(b"catalog")
+        if not raw:
+            return
+        cat = json.loads(raw)
+        self._next_oid = cat["next_oid"]
+        from .table import TableState
+        for td in cat["tables"]:
+            sch = Schema.from_dict(td["schema"])
+            t = Table(self, td["id"], sch, pack_size=td["pack_size"],
+                      journal_size=self.opts.journal_size)
+            t.state = TableState.from_dict(td["state"])
+            t.load_segments()
+            t.replay_wal()
+            self.tables[sch.name] = t
+            self._table_ids[td["id"]] = t
+            self._xid = max(self._xid, self._max_replayed_xid() + 1)
+
+    def _max_replayed_xid(self) -> int:
+        mx = 0
+        try:
+            for rec in self.wal.records():
+                mx = max(mx, rec.txid)
+        except Exception:
+            pass
+        return mx
+
+    # -------------------------------------------------------------- txns --
+
+    def begin(self, read_only: bool = False) -> Tx:
+        with self._mu:
+            if read_only:
+                snap = Snapshot(xown=0, xmin=0, xmax=self._xid,
+                                xact=frozenset(self._active))
+                return Tx(self, 0, snap, read_only=True)
+            xid = self._xid
+            self._xid += 1
+            self._active.add(xid)
+            snap = Snapshot(xown=xid, xmin=min(self._active, default=xid),
+                            xmax=self._xid,
+                            xact=frozenset(self._active - {xid}))
+            return Tx(self, xid, snap)
+
+    def _finish_tx(self, tx: Tx) -> None:
+        with self._mu:
+            self._active.discard(tx.xid)
+
+    def view(self) -> Tx:
+        return self.begin(read_only=True)
+
+    # ---------------------------------------------------------------- gc --
+
+    def try_gc(self) -> None:
+        """Drop WAL segments below the min table checkpoint watermark."""
+        if not self.tables:
+            return
+        marks = [t.state.checkpoint_lsn for t in self.tables.values()]
+        pending = [t for t in self.tables.values()
+                   if not t.journal.is_empty()]
+        if pending:
+            return
+        self.wal.gc(min(marks))
+
+    def close(self) -> None:
+        self.tasks.drain()
+        self.tasks.stop()
+        self._save_catalog()
+        self.wal.close()
+        if self.store:
+            self.store.close()

@@ -1,0 +1,572 @@
+"""Pack table engine: insert/update/delete via journal, query via fused
+segment scan + overlay merge, background merge into immutable segments.
+
+Mirrors the reference pack table engine's contract
+(/root/reference/internal/pack/table/table.go:58-73, insert.go:55-91,
+query.go:27-144, merge.go:21-101) with the TPU inversions from SURVEY §7:
+
+- immutable device-resident segments are the fast path (exec/scan.py);
+  the journal overlay is host numpy (pack/journal.py)
+- deletes/updates tombstone rids; pre-merge visibility is enforced by an
+  EXCLUDE bitset ANDed into the device mask (the reference's journal
+  exclude-mask, reader.go:349-376); merges apply tombstones physically
+- merge = drain committed journal (+ undersized tail segments) -> sort by
+  pk -> rebuild segment -> swap + WAL checkpoint (crash-safe: the WAL
+  replays the journal until the checkpoint record lands, reference
+  merge.go:92-101 protocol)
+- rows carry $rid (global, monotonic) and $xmin system columns
+  (pkg/schema/meta.go); full-drain merges mean sealed rows are visible to
+  every later snapshot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from ..exec import oracle as ORC
+from ..exec.device import DeviceSegment
+from ..exec.scan import AggSpec, ScanResult, SegmentScanner
+from ..ops import bitset as bs
+from ..pack.journal import Journal
+from ..pack.segment import Segment, build_segment
+from ..query.filter import Filter, Node, and_, leaf
+from ..schema.schema import META_RID, META_XMIN, Schema
+from ..schema.wire import decode_batch, encode_batch
+from ..types import FieldType, FilterMode, Snapshot
+from ..utils import limbs as lb
+from ..wal.wal import Record, RecordType, Wal
+
+__all__ = ["Table", "TableState", "TableMetrics"]
+
+
+@dataclass
+class TableState:
+    """Durable counters (reference internal/engine/state.go)."""
+    next_pk: int = 1
+    next_rid: int = 1
+    n_rows: int = 0
+    epoch: int = 0
+    checkpoint_lsn: int = 0
+
+    def to_dict(self):
+        return self.__dict__.copy()
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(**d)
+
+
+@dataclass
+class TableMetrics:
+    """Atomic-ish counters (reference internal/engine/metrics.go:38-73)."""
+    inserted_tuples: int = 0
+    updated_tuples: int = 0
+    deleted_tuples: int = 0
+    queried_tuples: int = 0
+    num_calls: int = 0
+    journal_tuples: int = 0
+    packs_scanned: int = 0
+    packs_pruned: int = 0
+    merges: int = 0
+    bytes_stored: int = 0
+
+
+@dataclass
+class _SegHandle:
+    seg: Segment
+    host_pk: np.ndarray          # u64 pk per row (engine bookkeeping)
+    host_rid: np.ndarray         # u64 rid per row
+    dseg: DeviceSegment | None = None
+    scanner: SegmentScanner | None = None
+    exclude_cache: tuple | None = None   # (tomb_version, device words)
+
+    def scanner_(self) -> SegmentScanner:
+        if self.scanner is None:
+            self.dseg = DeviceSegment(self.seg)
+            self.scanner = SegmentScanner(self.dseg)
+        return self.scanner
+
+
+class Table:
+    MIN_MERGE_TAIL = 4   # segments smaller than pack_size*this merge together
+
+    def __init__(self, engine, table_id: int, schema: Schema, *,
+                 pack_size: int = 1 << 16, journal_size: int = 1 << 17):
+        self.engine = engine
+        self.id = table_id
+        self.schema = schema
+        self.full_schema = schema.with_meta()
+        self.pack_size = pack_size
+        self.state = TableState()
+        self.metrics = TableMetrics()
+        self.journal = Journal(self.full_schema, journal_size)
+        self.segments: list[_SegHandle] = []
+        self._tomb_version = 0
+
+    # ------------------------------------------------------------- write --
+
+    def insert_rows(self, tx, data: dict, pks: np.ndarray | None = None
+                    ) -> np.ndarray:
+        """Insert a column batch; returns assigned pks. `data` holds the
+        user schema columns; $rid/$xmin are assigned here."""
+        n = len(next(iter(data.values())))
+        pk_field = self.schema.pk
+        if pk_field is None:
+            raise ValueError("table has no pk")
+        if pks is None:
+            user_pk = np.asarray(data.get(pk_field.name, np.zeros(n, np.uint64)),
+                                 np.uint64)
+            if user_pk.any():
+                pks = user_pk
+                self.state.next_pk = max(self.state.next_pk,
+                                         int(user_pk.max()) + 1)
+            else:
+                pks = np.arange(self.state.next_pk,
+                                self.state.next_pk + n, dtype=np.uint64)
+                self.state.next_pk += n
+        rids = np.arange(self.state.next_rid, self.state.next_rid + n,
+                         dtype=np.uint64)
+        self.state.next_rid += n
+
+        full = dict(data)
+        full[pk_field.name] = pks
+        full[META_RID] = rids
+        full[META_XMIN] = np.full(n, tx.xid, np.uint64)
+        full["$xmax"] = np.zeros(n, np.uint64)
+
+        wal_body = encode_batch(self.full_schema, full, n)
+        self.engine.wal.write(Record(RecordType.INSERT, self.id, tx.xid,
+                                     wal_body))
+        self.journal.insert(tx.xid, rids, full)
+        tx.touch(self)
+        self.metrics.inserted_tuples += n
+        self.metrics.journal_tuples = self.journal.nrows
+        self.state.n_rows += n
+        return pks
+
+    def delete_rows(self, tx, tree: Node) -> int:
+        """Tombstone all rows matching the filter tree. Returns count."""
+        rids = self._matching_rids(tx.snapshot, tree)
+        if not len(rids):
+            return 0
+        body = np.asarray(rids, np.uint64).tobytes()
+        self.engine.wal.write(Record(RecordType.DELETE, self.id, tx.xid, body))
+        cnt = self.journal.delete(tx.xid, rids)
+        self._tomb_version += 1
+        tx.touch(self)
+        self.metrics.deleted_tuples += cnt
+        self.state.n_rows -= cnt
+        return cnt
+
+    def update_rows(self, tx, data: dict) -> int:
+        """Update = tombstone old version by pk + insert new version with
+        the same pk (reference journal update semantics)."""
+        pk_name = self.schema.pk.name
+        pks = np.asarray(data[pk_name], np.uint64)
+        tree = leaf(Filter(self.schema.field(pk_name), FilterMode.IN,
+                           [int(p) for p in pks])).optimize()
+        rids = self._matching_rids(tx.snapshot, tree)
+        if len(rids):
+            body = np.asarray(rids, np.uint64).tobytes()
+            self.engine.wal.write(Record(RecordType.DELETE, self.id, tx.xid,
+                                         body))
+            self.journal.delete(tx.xid, rids)
+            self._tomb_version += 1
+        self.insert_rows(tx, data, pks=pks)
+        n = len(pks)
+        self.metrics.updated_tuples += n
+        self.metrics.inserted_tuples -= n
+        self.state.n_rows -= len(rids)
+        return n
+
+    def commit_tx(self, xid: int) -> None:
+        self.journal.commit(xid)
+        if self.journal.nrows >= self.journal.max_size:
+            self.engine.tasks.submit(self.merge)
+
+    def abort_tx(self, xid: int) -> None:
+        self.journal.abort(xid)
+        self._tomb_version += 1
+
+    # -------------------------------------------------------------- read --
+
+    def query(self, snap: Snapshot, tree: Node | None,
+              aggs: list[AggSpec] | None = None,
+              project: list[str] | None = None, limit: int = 0) -> ScanResult:
+        aggs = aggs if aggs is not None else [AggSpec("count")]
+        self.metrics.num_calls += 1
+        # avg combines as (global sum / global count): scan sums instead
+        scan_aggs = list(dict.fromkeys(
+            AggSpec("sum", a.field) if a.op == "avg" else a for a in aggs))
+        res = ScanResult()
+        res.count = 0
+        partial_aggs: list[ScanResult] = []
+
+        excl_by_seg = self._exclude_masks(snap)
+        for h, excl in zip(self.segments, excl_by_seg):
+            sc = h.scanner_()
+            r = sc.scan(tree, scan_aggs, project=project,
+                        limit=limit, exclude_words=excl)
+            partial_aggs.append(r)
+            res.count += r.count
+
+        # journal overlay (host oracle, same keyform semantics)
+        jdata, jrids = self.journal.visible_rows(snap)
+        jmask = None
+        if len(jrids):
+            jmask = ORC.eval_tree(tree, jdata, len(jrids))
+            res.count += int(jmask.sum())
+
+        self._combine(res, aggs, partial_aggs, jdata, jmask)
+        if project:
+            self._merge_rows(res, project, partial_aggs, jdata, jmask, limit)
+        self.metrics.queried_tuples += res.count
+        return res
+
+    def _matching_rids(self, snap: Snapshot, tree: Node | None) -> np.ndarray:
+        """Rids of all visible rows matching the tree (for delete/update)."""
+        out = []
+        excl_by_seg = self._exclude_masks(snap)
+        for h, excl in zip(self.segments, excl_by_seg):
+            r = h.scanner_().scan(tree, [AggSpec("count")],
+                                  project=[META_RID], exclude_words=excl)
+            if len(r.rows.get(META_RID, ())):
+                out.append(np.asarray(r.rows[META_RID], np.uint64))
+        jdata, jrids = self.journal.visible_rows(snap)
+        if len(jrids):
+            jm = ORC.eval_tree(tree, jdata, len(jrids))
+            if jm.any():
+                out.append(jrids[jm])
+        if not out:
+            return np.empty(0, np.uint64)
+        return np.concatenate(out)
+
+    def _exclude_masks(self, snap: Snapshot) -> list:
+        """Per-segment packed exclude bitsets for tombstoned rids."""
+        dead = self.journal.deleted_rids(snap)
+        outs = []
+        for h in self.segments:
+            if not len(dead):
+                outs.append(None)
+                continue
+            pos = np.searchsorted(h.host_rid, dead)
+            pos = pos[pos < len(h.host_rid)]
+            # keep only positions whose rid is actually in the dead set
+            hits = pos[np.isin(h.host_rid[pos], dead)]
+            if not len(hits):
+                outs.append(None)
+                continue
+            P, N = h.seg.npacks, h.seg.pack_size
+            m = np.zeros(P * N, bool)
+            m[hits] = True
+            outs.append(bs.np_pack_mask(m).reshape(P, N // 32))
+        return outs
+
+    # --------------------------------------------------------- combining --
+
+    def _combine(self, res, aggs, partials, jdata, jmask):
+        for spec in aggs:
+            key = (spec.op, spec.field)
+            if spec.op == "count":
+                res.aggs[key] = res.count
+                continue
+            ft = self.full_schema.field(spec.field).type
+            op = "sum" if spec.op == "avg" else spec.op
+            vals = [p.aggs.get((op, spec.field)) for p in partials]
+            jval = None
+            if jmask is not None and jmask.any():
+                col = jdata[spec.field][jmask]
+                jval = self._journal_agg(op, col, ft)
+            combined = _combine_agg(op, vals, jval)
+            if spec.op == "avg":
+                combined = (combined / res.count) if res.count else None
+            res.aggs[key] = combined
+
+    def _journal_agg(self, op, col, ft: FieldType):
+        if ft.is_float:
+            a = np.asarray(list(col), np.float64)
+            return {"sum": a.sum(), "min": a.min(), "max": a.max(),
+                    "avg": a.mean()}[op]
+        ints = [int(v) for v in col]
+        return {"sum": sum(ints), "min": min(ints), "max": max(ints),
+                "avg": sum(ints) / len(ints)}[op]
+
+    def _merge_rows(self, res, project, partials, jdata, jmask, limit):
+        cols = {name: [] for name in project}
+        for p in partials:
+            for name in project:
+                if name in p.rows:
+                    cols[name].append(np.asarray(p.rows[name]))
+        if jmask is not None and jmask.any():
+            for name in project:
+                ft = self.full_schema.field(name).type
+                jc = jdata[name][jmask]
+                if ft.nlimbs <= 2 and not ft.is_bytes_like:
+                    jc = np.asarray(list(jc), lb.numpy_dtype(ft))
+                cols[name].append(jc)
+        for name in project:
+            if cols[name]:
+                parts = cols[name]
+                if any(p.dtype == object for p in parts):
+                    res.rows[name] = np.concatenate(
+                        [np.asarray(p, object) for p in parts])
+                else:
+                    res.rows[name] = np.concatenate(parts)
+            else:
+                res.rows[name] = np.empty(0)
+            if limit:
+                res.rows[name] = res.rows[name][:limit]
+        if limit:
+            res.count = min(res.count, limit)
+
+    # ------------------------------------------------------------- merge --
+
+    def merge(self) -> None:
+        """Drain the committed journal (+ undersized tail segments) into a
+        new sealed segment; crash-safe via WAL checkpoint."""
+        got = self.journal.mergable()
+        if got is None:
+            return
+        jdata, jrids, dead, drained = got
+        dead_set = set(int(r) for r in dead)
+
+        # fold in undersized tail segments (simple compaction policy)
+        keep: list[_SegHandle] = []
+        fold: list[_SegHandle] = []
+        thresh = self.pack_size * self.MIN_MERGE_TAIL
+        for h in self.segments:
+            (fold if h.seg.nrows_total < thresh else keep).append(h)
+        if not len(jrids) and not fold and not dead_set:
+            return
+
+        cols: dict[str, list] = {f.name: [] for f in self.full_schema.fields}
+        pks: list[np.ndarray] = []
+        for h in fold:
+            alive = ~np.isin(h.host_rid, dead) if dead_set else \
+                np.ones(len(h.host_rid), bool)
+            mat = self._materialize_all(h, alive)
+            for name in cols:
+                cols[name].append(mat[name])
+            pks.append(mat[self.schema.pk.name].astype(np.uint64))
+        # segments kept but containing dead rows must also be rewritten
+        still_keep = []
+        for h in keep:
+            if dead_set and np.isin(h.host_rid, dead).any():
+                alive = ~np.isin(h.host_rid, dead)
+                mat = self._materialize_all(h, alive)
+                for name in cols:
+                    cols[name].append(mat[name])
+                pks.append(mat[self.schema.pk.name].astype(np.uint64))
+            else:
+                still_keep.append(h)
+        keep = still_keep
+        if len(jrids):
+            for name in cols:
+                cols[name].append(jdata[name])
+            pks.append(np.asarray(list(jdata[self.schema.pk.name]),
+                                  np.uint64))
+
+        new_handles = []
+        if pks:
+            allpk = np.concatenate(pks)
+            order = np.argsort(allpk, kind="stable")
+            data = {}
+            for f in self.full_schema.fields:
+                parts = cols[f.name]
+                if f.type.nlimbs > 2 or f.type.is_bytes_like:
+                    arr = np.concatenate([np.asarray(p, object)
+                                          for p in parts])
+                else:
+                    arr = np.concatenate(
+                        [np.asarray(list(p), lb.numpy_dtype(f.type))
+                         for p in parts])
+                data[f.name] = arr[order]
+            self.state.epoch += 1
+            seg = build_segment(self.full_schema, data, self.pack_size,
+                                epoch=self.state.epoch)
+            h = _SegHandle(seg,
+                           host_pk=np.asarray(
+                               list(data[self.schema.pk.name]), np.uint64),
+                           host_rid=np.asarray(
+                               list(data[META_RID]), np.uint64))
+            new_handles.append(h)
+
+        # atomic swap + persist + checkpoint
+        self.segments = keep + new_handles
+        self._persist()
+        self.journal.clear()
+        self._tomb_version += 1
+        lsn = self.engine.wal.write_and_sync(
+            Record(RecordType.CHECKPOINT, self.id, 0,
+                   str(self.state.epoch).encode()))
+        self.state.checkpoint_lsn = lsn
+        self.metrics.merges += 1
+        self.metrics.journal_tuples = 0
+        self.engine.save_state(self)
+
+    def _materialize_all(self, h: _SegHandle, alive: np.ndarray) -> dict:
+        """Full row materialization of a segment (merge path, host)."""
+        tree = None
+        sc = h.scanner_()
+        names = [f.name for f in self.full_schema.fields]
+        # exclude = ~alive as packed words
+        P, N = h.seg.npacks, h.seg.pack_size
+        m = np.zeros(P * N, bool)
+        m[:len(alive)][~alive] = True
+        excl = bs.np_pack_mask(m).reshape(P, N // 32)
+        r = sc.scan(tree, [AggSpec("count")], project=names,
+                    exclude_words=excl)
+        return r.rows
+
+    def _persist(self) -> None:
+        if self.engine.store is None:
+            return
+        from ..store import segio
+        b = self.engine.store.bucket(f"table_{self.id}_segments")
+        for k in list(b.keys()):
+            b.delete(k)
+        total = 0
+        for i, h in enumerate(self.segments):
+            blob = segio.dump_segment(h.seg)
+            b.put(f"{h.seg.epoch:08x}_{i:04x}".encode(), blob)
+            total += len(blob)
+        self.metrics.bytes_stored = total
+
+    # ----------------------------------------------------------- recover --
+
+    def load_segments(self) -> None:
+        from ..store import segio
+        if self.engine.store is None:
+            return
+        try:
+            b = self.engine.store.bucket(f"table_{self.id}_segments",
+                                         create=False)
+        except KeyError:
+            return
+        for k, blob in b.items():
+            seg = segio.load_segment(blob)
+            pk_name = self.schema.pk.name
+            col = seg.columns[pk_name]
+            pkv = _decode_u64_column(seg, pk_name)
+            ridv = _decode_u64_column(seg, META_RID)
+            self.segments.append(_SegHandle(seg, pkv, ridv))
+
+    def replay_wal(self) -> None:
+        """Rebuild journal from WAL records after the checkpoint
+        (reference pack/table/wal.go:26)."""
+        from_lsn = self.state.checkpoint_lsn
+        staged: dict[int, list[Record]] = {}
+        outcome: dict[int, RecordType] = {}
+        recs = []
+        for rec in self.engine.wal.records(from_lsn=from_lsn):
+            if rec.entity != self.id and rec.type not in (
+                    RecordType.COMMIT, RecordType.ABORT):
+                continue
+            if rec.type in (RecordType.COMMIT, RecordType.ABORT):
+                outcome[rec.txid] = rec.type
+            elif rec.type in (RecordType.INSERT, RecordType.DELETE):
+                staged.setdefault(rec.txid, []).append(rec)
+        for xid, rs in staged.items():
+            for rec in rs:
+                if rec.type == RecordType.INSERT:
+                    data, n = decode_batch(self.full_schema, rec.data)
+                    rids = np.asarray(list(data[META_RID]), np.uint64)
+                    self.journal.insert(xid, rids, data)
+                    if len(rids):
+                        self.state.next_rid = max(self.state.next_rid,
+                                                  int(rids.max()) + 1)
+                        pkv = np.asarray(
+                            list(data[self.schema.pk.name]), np.uint64)
+                        self.state.next_pk = max(self.state.next_pk,
+                                                 int(pkv.max()) + 1)
+                else:
+                    rids = np.frombuffer(rec.data, np.uint64)
+                    self.journal.delete(xid, rids)
+                    self._tomb_version += 1
+            if outcome.get(xid) == RecordType.COMMIT:
+                self.journal.commit(xid)
+            elif outcome.get(xid) == RecordType.ABORT:
+                self.journal.abort(xid)
+
+
+def _decode_u64_column(seg: Segment, name: str) -> np.ndarray:
+    """Host decode of one narrow column (merge/bookkeeping path)."""
+    from ..encode.schemes import Scheme
+    col = seg.columns[name]
+    out = np.empty(seg.nrows_total, np.uint64)
+    off = 0
+    for p, n in zip(col.packs, seg.nrows):
+        n = int(n)
+        out[off:off + n] = _decode_pack_u64(p, n)
+        off += n
+    return out
+
+
+def _decode_pack_u64(p, n: int) -> np.ndarray:
+    from ..encode.schemes import Scheme
+    if p.scheme == Scheme.CONST:
+        v = 0
+        for l in range(p.values.shape[0]):
+            v = (v << 32) | int(p.values[l, 0])
+        return np.full(n, v, np.uint64)
+    if p.scheme == Scheme.RAW:
+        if p.values.shape[0] == 1:
+            return p.values[0, :n].astype(np.uint64)
+        return ((p.values[0, :n].astype(np.uint64) << np.uint64(32))
+                | p.values[1, :n].astype(np.uint64))
+    if p.scheme in (Scheme.BITPACK, Scheme.DELTA):
+        vals = np.zeros(p.planes.shape[1] * 32, np.uint64)
+        for b in range(p.width):
+            bits = np.unpackbits(p.planes[b].view(np.uint8),
+                                 bitorder="little").astype(np.uint64)
+            vals |= bits << np.uint64(b)
+        vals = vals[:n]
+        if p.scheme == Scheme.DELTA:
+            with np.errstate(over="ignore"):
+                d = (vals >> np.uint64(1)) ^ \
+                    (np.uint64(0) - (vals & np.uint64(1)))
+                keys = np.cumsum(d.view(np.int64)).view(np.uint64) \
+                    + np.uint64(p.min_key)
+            return keys
+        return vals + np.uint64(p.min_key)
+    if p.scheme == Scheme.RLE:
+        ends = p.ends[:max(1, p.card)]
+        rv = p.values[:, :max(1, p.card)]
+        if rv.shape[0] == 1:
+            vals = rv[0].astype(np.uint64)
+        else:
+            vals = (rv[0].astype(np.uint64) << np.uint64(32)) | rv[1]
+        idx = np.searchsorted(ends, np.arange(n), side="right")
+        return vals[idx]
+    if p.scheme == Scheme.DICT:
+        codes = np.zeros(p.planes.shape[1] * 32, np.uint32)
+        for b in range(p.width):
+            bits = np.unpackbits(p.planes[b].view(np.uint8),
+                                 bitorder="little").astype(np.uint32)
+            codes |= bits << np.uint32(b)
+        return p.dict_keys[codes[:n]] if p.dict_keys is not None else \
+            _dict_vals(p)[codes[:n]]
+    raise ValueError(p.scheme)
+
+
+def _dict_vals(p) -> np.ndarray:
+    if p.values.shape[0] == 1:
+        return p.values[0].astype(np.uint64)
+    return (p.values[0].astype(np.uint64) << np.uint64(32)) | p.values[1]
+
+
+def _combine_agg(op, vals, jval):
+    vals = [v for v in vals if v is not None]
+    if jval is not None:
+        vals.append(jval)
+    if not vals:
+        return None if op in ("min", "max") else 0
+    if op == "sum":
+        return sum(vals)
+    if op == "min":
+        return min(vals)
+    if op == "max":
+        return max(vals)
+    raise ValueError(op)

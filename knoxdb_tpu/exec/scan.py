@@ -1,0 +1,404 @@
+"""Segment scan executor: filter tree + aggregates -> one fused device pass.
+
+The TPU form of the reference's per-pack query loop
+(/root/reference/internal/pack/table/reader.go:288-450 + operator/filter/
+match_core.go): where the reference walks packs one at a time through
+matcher dispatch, this executor compiles the WHOLE plan — every filter
+leaf over every (scheme, width) pack group, the AND/OR mask combine, and
+the aggregate partials — into a single jitted function over stacked
+device arrays. Constants are traced (queries differing only in literals
+share the compilation); plan/segment shapes form the cache signature.
+
+Zone-map/bloom pruning (pack/stats.py) contributes per-pack tri-states:
+ALL/NONE packs skip kernel work via mask overrides, and leaves whose packs
+are fully decided skip their kernels entirely (signature-visible).
+
+Aggregates return per-pack split partials; the host combines them with
+exact python-int arithmetic (keyform bias, wide bases, decimal scale), so
+integer results are bit-exact at any width. Float sums use a fixed
+log-depth pairwise order on device (documented determinism contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..encode.schemes import Scheme
+from ..ops import bitset as bs
+from ..ops import bitslice as B
+from ..ops import compact as CP
+from ..pack.stats import TriState, prune_leaf
+from ..query.filter import Filter, Node
+from ..types import FieldType, FilterMode
+from ..utils import limbs as lb
+from . import device as D
+from . import rewrite as RW
+
+__all__ = ["AggSpec", "ScanResult", "SegmentScanner"]
+
+_FULL = jnp.uint32(0xFFFFFFFF)
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    op: str          # count | sum | min | max | avg
+    field: str = ""  # unused for count
+
+
+@dataclass
+class ScanResult:
+    count: int = 0
+    aggs: dict = dc_field(default_factory=dict)    # (op, field) -> value
+    rows: dict = dc_field(default_factory=dict)    # field -> np array
+    row_ids: np.ndarray | None = None              # u64 segment-local rids
+    stats: dict = dc_field(default_factory=dict)   # pruning / timing info
+
+
+def _tree_desc(node: Node, leaf_index: dict) -> tuple:
+    """Static tree shape for the jit signature; assigns leaf indices."""
+    if node.is_leaf:
+        i = len(leaf_index)
+        leaf_index[i] = node.filter
+        return ("leaf", i, node.filter.field.name, int(node.filter.mode))
+    return ("or" if node.or_ else "and",
+            tuple(_tree_desc(c, leaf_index) for c in node.children))
+
+
+class SegmentScanner:
+    """Executes filter+aggregate plans against one DeviceSegment."""
+
+    def __init__(self, dseg: D.DeviceSegment):
+        self.d = dseg
+        self._fns: dict = {}
+
+    # ------------------------------------------------------------ public --
+
+    def prepare(self, tree: Node | None, aggs: list[AggSpec],
+                exclude_words=None):
+        """Compile (or fetch) the fused scan fn and build its arguments.
+
+        exclude_words: optional packed u32[P, W] bitset of rows to EXCLUDE
+        (journal tombstones — reference reader.go:349-376 exclude mask).
+        Returns (jitted_fn, args_tuple, raw_fn)."""
+        d = self.d
+        leaves: dict[int, Filter] = {}
+        tdesc = _tree_desc(tree, leaves) if tree is not None else ("true",)
+
+        # --- host: stats pruning + constant preparation per leaf ---
+        tri: list[TriState] = []
+        consts: list[list[dict]] = []
+        skip_leaf: list[bool] = []
+        for i in range(len(leaves)):
+            f = leaves[i]
+            t = self._leaf_tristate(f)
+            tri.append(t)
+            decided = bool((t.all_ | t.none).all())
+            skip_leaf.append(decided)
+            if decided:
+                consts.append([])
+                continue
+            col = d.seg.columns[f.field.name]
+            dcol = d.column(f.field.name)
+            consts.append([RW.leaf_group_consts(f, col, g)
+                           for g in dcol.groups])
+
+        agg_fields = sorted({a.field for a in aggs if a.field})
+        filter_fields = sorted({f.field.name for f in leaves.values()})
+        used = sorted(set(agg_fields) | set(filter_fields))
+
+        has_excl = exclude_words is not None
+        sig = (d.sig(used), tdesc, tuple(skip_leaf), has_excl,
+               tuple((a.op, a.field) for a in aggs),
+               tuple(RW.leaf_group_static(leaves[i], g)
+                     for i in range(len(leaves)) if not skip_leaf[i]
+                     for g in d.column(leaves[i].field.name).groups))
+
+        pair = self._fns.get(sig)
+        if pair is None:
+            raw = self._build_fn(tdesc, leaves, skip_leaf, aggs, agg_fields,
+                                 has_excl)
+            pair = (jax.jit(raw), raw)
+            self._fns[sig] = pair
+        fn, raw = pair
+
+        arrays = d.arrays_pytree(used)
+        overrides = [(jnp.asarray(t.all_), jnp.asarray(t.none)) for t in tri]
+        excl = (jnp.asarray(exclude_words),) if has_excl else ()
+        return fn, (arrays, consts, overrides, d.valid_words, excl), raw
+
+    def scan(self, tree: Node | None, aggs: list[AggSpec],
+             project: list[str] | None = None, limit: int = 0,
+             exclude_words=None) -> ScanResult:
+        d = self.d
+        fn, args, _ = self.prepare(tree, aggs, exclude_words)
+        mask_words, pack_counts, agg_parts = fn(*args)
+
+        res = ScanResult()
+        counts_np = np.asarray(pack_counts)
+        res.count = int(counts_np.sum())
+        res.stats["packs_scanned"] = d.P
+        res.stats["packs_matched"] = int((counts_np > 0).sum())
+        self._combine_aggs(res, aggs, agg_parts)
+
+        if project:
+            cap = limit if limit else res.count
+            cap = max(1, 1 << (max(0, cap - 1)).bit_length())
+            cap = min(cap, d.P * d.N)
+            self._materialize(res, mask_words, project or [], cap, limit)
+        return res
+
+    # ------------------------------------------------------- compilation --
+
+    def _leaf_tristate(self, f: Filter) -> TriState:
+        st = self.d.seg.stats
+        if f.mode == FilterMode.TRUE:
+            return TriState(np.ones(self.d.P, bool), np.zeros(self.d.P, bool))
+        if f.mode == FilterMode.FALSE:
+            return TriState(np.zeros(self.d.P, bool), np.ones(self.d.P, bool))
+        fs = st.fields.get(f.field.name)
+        if fs is None:
+            return TriState.unknown(self.d.P)
+        lo = f.key
+        hi = f.key_hi
+        keys = f.keys
+        return prune_leaf(fs, f.mode, lo=lo, hi=hi, keys=keys,
+                          key_limbs=f.key_limbs)
+
+    def _build_fn(self, tdesc, leaves, skip_leaf, aggs, agg_fields,
+                  has_excl=False):
+        d = self.d
+        W = d.W
+        # static per-leaf group sigs + scatter indices
+        leaf_groups = {}
+        for i, f in leaves.items():
+            if skip_leaf[i]:
+                continue
+            gs = d.column(f.field.name).groups
+            leaf_groups[i] = [(g.sig(), g.idx, f.field.name) for g in gs]
+        agg_groups = {name: [(gi, g.sig(), g.idx)
+                             for gi, g in enumerate(d.column(name).groups)]
+                      for name in agg_fields}
+        agg_specs = [(a.op, a.field) for a in aggs]
+        float_fields = {name for name in agg_fields
+                        if d.seg.columns[name].field.type.is_float}
+        float_types = {name: d.seg.columns[name].field.type
+                       for name in float_fields}
+
+        def eval_node(desc, arrays, consts, overrides):
+            kind = desc[0]
+            if kind == "true":
+                return jnp.full((d.P, W), _FULL)
+            if kind == "leaf":
+                i, fname, mode = desc[1], desc[2], FilterMode(desc[3])
+                all_, none = overrides[i]
+                if skip_leaf[i]:
+                    return jnp.where(all_[:, None], _FULL, jnp.uint32(0))
+                full = jnp.zeros((d.P, W), jnp.uint32)
+                for gi, (gsig, gidx, _) in enumerate(leaf_groups[i]):
+                    m = D.group_match(gsig, mode, arrays[fname][gi],
+                                      consts[i][gi], W)
+                    full = full.at[gidx].set(m)
+                full = jnp.where(all_[:, None], _FULL, full)
+                return jnp.where(none[:, None], jnp.uint32(0), full)
+            kids = [eval_node(c, arrays, consts, overrides) for c in desc[1]]
+            out = kids[0]
+            for k in kids[1:]:
+                out = (out | k) if kind == "or" else (out & k)
+            return out
+
+        def fn(arrays, consts, overrides, valid, excl=()):
+            mask = eval_node(tdesc, arrays, consts, overrides) & valid
+            if has_excl:
+                mask = mask & ~excl[0]
+            pack_counts = B.popcount_words(mask)
+            parts = []
+            for op, fname in agg_specs:
+                if op == "count" or not fname:
+                    parts.append(None)
+                    continue
+                col_parts = []
+                for gi, gsig, gidx in agg_groups[fname]:
+                    gmask = mask[gidx]
+                    garr = arrays[fname][gi]
+                    if op == "sum" or op == "avg":
+                        if fname in float_fields:
+                            col_parts.append(D.group_masked_sum_float(
+                                gsig, garr, gmask, W, float_types[fname]))
+                        else:
+                            col_parts.append(
+                                D.group_masked_sum(gsig, garr, gmask, W))
+                    elif op in ("min", "max"):
+                        col_parts.append(
+                            D.group_masked_minmax(gsig, garr, gmask, W)
+                            + (B.popcount_words(gmask),))
+                    else:
+                        raise ValueError(f"agg op {op}")
+                parts.append(col_parts)
+            return mask, pack_counts, parts
+
+        return fn
+
+    # ------------------------------------------------------ host combine --
+
+    def _combine_aggs(self, res: ScanResult, aggs, agg_parts):
+        for spec, part in zip(aggs, agg_parts):
+            key = (spec.op, spec.field)
+            if spec.op == "count":
+                res.aggs[key] = res.count
+                continue
+            col = self.d.seg.columns[spec.field]
+            ft = col.field.type
+            groups = self.d.column(spec.field).groups
+            if spec.op in ("sum", "avg"):
+                total, cnt = self._combine_sum(part, groups, ft)
+                if spec.op == "sum":
+                    res.aggs[key] = total
+                else:
+                    res.aggs[key] = (total / cnt) if cnt else None
+            else:
+                res.aggs[key] = self._combine_minmax(part, groups, ft,
+                                                     spec.op == "min")
+
+    def _combine_sum(self, parts, groups, ft: FieldType):
+        if ft.is_float:
+            total = 0.0
+            cnt = 0
+            for (s, c), g in zip(parts, groups):
+                total += float(np.asarray(s).sum())
+                cnt += int(np.asarray(c).sum())
+            return total, cnt
+        total = 0
+        cnt = 0
+        for part, g in zip(parts, groups):
+            if len(part) == 2:            # wide per-limb form: u64[L, Pg]
+                sums = np.asarray(part[0])
+                c = np.asarray(part[1])
+                L = sums.shape[0]
+                for j in range(sums.shape[1]):
+                    s = 0
+                    for l in range(L):
+                        s += int(sums[l, j]) << (32 * (L - 1 - l))
+                    total += s
+                cnt += int(c.sum())
+                continue
+            lo, hi, c = part
+            lo = np.asarray(lo)
+            hi = np.asarray(hi)
+            c = np.asarray(c)
+            for j in range(len(lo)):
+                s = int(lo[j]) + (int(hi[j]) << 32)
+                if g.wide and g.bases is not None:
+                    s += g.bases[j] * int(c[j])
+                total += s
+            cnt += int(c.sum())
+        if ft.is_signed and not ft.is_float:
+            total -= cnt << (ft.bits - 1)
+        return total, cnt
+
+    def _combine_minmax(self, parts, groups, ft: FieldType, want_min: bool):
+        best = None
+        for (mn, mx, c), g in zip(parts, groups):
+            mn = np.asarray(mn)
+            mx = np.asarray(mx)
+            c = np.asarray(c)
+            for j in range(len(c)):
+                if int(c[j]) == 0:
+                    continue
+                if mn.ndim == 2:          # wide limb form u32[L, Pg]
+                    src = mn if want_min else mx
+                    k = 0
+                    for l in range(src.shape[0]):
+                        k = (k << 32) | int(src[l, j])
+                else:
+                    k = int(mn[j]) if want_min else int(mx[j])
+                    if g.wide and g.bases is not None:
+                        k += g.bases[j]
+                if best is None or (k < best if want_min else k > best):
+                    best = k
+        if best is None:
+            return None
+        return _key_to_value(best, ft)
+
+    # ---------------------------------------------------- materialization --
+
+    def _materialize(self, res: ScanResult, mask_words, project, cap, limit):
+        d = self.d
+        sig = ("mat", d.sig(project), cap)
+        fn = self._fns.get(sig)
+        if fn is None:
+            proj_groups = {name: [(g.sig(), g.idx) for g in d.column(name).groups]
+                           for name in project}
+
+            def mat(mask, arrays):
+                flat = bs.unpack_mask(mask).reshape(-1)
+                idx, count = CP.mask_to_indexes(flat, cap)
+                outs = {}
+                for name in project:
+                    L = d.seg.columns[name].nlimbs
+                    dec = jnp.zeros((L, d.P, d.N), jnp.uint32)
+                    for gi, (gsig, gidx) in enumerate(proj_groups[name]):
+                        lim = D.group_decode_limbs(gsig, arrays[name][gi], d.W)
+                        dec = dec.at[:, gidx].set(lim)
+                    outs[name] = CP.take_rows(dec.reshape(L, -1), idx)
+                return idx, count, outs
+
+            fn = jax.jit(mat)
+            self._fns[sig] = fn
+
+        arrays = d.arrays_pytree(project)
+        idx, count, outs = fn(mask_words, arrays)
+        n = int(count) if not limit else min(int(count), limit)
+        n = min(n, cap)
+        idx_np = np.asarray(idx)[:n]
+        res.row_ids = idx_np.astype(np.uint64)
+        for name in project:
+            col = self.d.seg.columns[name]
+            limbs = np.asarray(outs[name])[:, :n]
+            if col.wide:
+                res.rows[name] = self._wide_values(col, limbs, idx_np)
+            else:
+                res.rows[name] = lb.from_keyform(limbs, col.field.type)
+
+    def _wide_values(self, col, limbs: np.ndarray, idx_np: np.ndarray):
+        """Recombine wide rows: device limbs hold either full RAW limbs or
+        (zeros..., hi, lo) packed-relative keys needing per-pack base."""
+        ft = col.field.type
+        N = self.d.N
+        out = np.empty(limbs.shape[1], object)
+        for r in range(limbs.shape[1]):
+            pack = int(idx_np[r]) // N
+        # decide per pack whether the scheme was relative (bitpack/const)
+        for r in range(limbs.shape[1]):
+            pack = int(idx_np[r]) // N
+            p = col.packs[pack]
+            if p.scheme in (Scheme.BITPACK, Scheme.CONST):
+                rel = (int(limbs[-2, r]) << 32) | int(limbs[-1, r])
+                v = col.wide_bases[pack] + rel
+            else:
+                v = 0
+                for l in range(limbs.shape[0]):
+                    v = (v << 32) | int(limbs[l, r])
+            bias = 1 << (ft.bits - 1) if ft.is_signed else 0
+            out[r] = v - bias
+        return out
+
+
+def _key_to_value(key: int, ft: FieldType):
+    """Keyform python int -> native value."""
+    if ft.is_float:
+        return float(lb.keyform_to_scalar(_split_limbs(key, ft.nlimbs), ft))
+    if ft.is_signed:
+        return key - (1 << (ft.bits - 1))
+    return key
+
+
+def _split_limbs(key: int, L: int) -> tuple:
+    out = []
+    for l in range(L - 1, -1, -1):
+        out.append((key >> (32 * l)) & 0xFFFFFFFF)
+    return tuple(out)

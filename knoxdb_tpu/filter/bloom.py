@@ -1,0 +1,83 @@
+"""Per-pack bloom filters for pack pruning.
+
+Same design point as the reference (/root/reference/internal/filter/bloom/
+bloom.go:5-23 and docs/bloom.md): k=4 probes, power-of-two bit count,
+1 byte/entry -> ~2% fpr, 2 bytes/entry -> ~0.2% fpr. Probes are derived by
+double hashing from two 32-bit murmur-style hashes (ops/hash.py) instead
+of the reference's xxh3 — build and probe use the same hash on host and
+device so filters built at encode time prune on either side.
+
+Filters are stored as u32 word arrays; a table segment keeps one filter
+per (pack, filtered column) stacked into a single u32[P, words] array so a
+device probe for one constant over ALL packs is a single gather+compare.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import hash as H
+from ..types import FilterType
+
+__all__ = ["bloom_bits", "build_np", "contains_np", "contains_any_np",
+           "probe_device", "BLOOM_K"]
+
+BLOOM_K = 4
+
+_BYTES_PER_ENTRY = {
+    FilterType.BLOOM_1B: 1, FilterType.BLOOM_2B: 2,
+    FilterType.BLOOM_3B: 3, FilterType.BLOOM_4B: 4,
+}
+
+
+def bloom_bits(n_entries: int, ftype: FilterType) -> int:
+    """Power-of-two bit count for n entries at the configured scale."""
+    b = _BYTES_PER_ENTRY.get(ftype, 2)
+    want = max(64, n_entries * b * 8)
+    return 1 << (want - 1).bit_length()
+
+
+def _probe_positions(h1, h2, nbits: int, xp):
+    mask = xp.uint32(nbits - 1)
+    return [(h1 + xp.uint32(i) * h2) & mask for i in range(BLOOM_K)]
+
+
+def build_np(limbs: np.ndarray, nbits: int) -> np.ndarray:
+    """Host build from keyform limbs u32[L, N] -> packed u32[nbits/32]."""
+    assert nbits & (nbits - 1) == 0
+    h1, h2 = H.hash2_np(limbs)
+    words = np.zeros(nbits // 32, np.uint32)
+    for pos in _probe_positions(h1, h2, nbits, np):
+        np.bitwise_or.at(words, pos >> 5, np.uint32(1) << (pos & np.uint32(31)))
+    return words
+
+
+def contains_np(words: np.ndarray, limbs: np.ndarray) -> np.ndarray:
+    """Host probe: u32[L, K] keys -> bool[K] (maybe-contained)."""
+    nbits = words.shape[-1] * 32
+    h1, h2 = H.hash2_np(limbs)
+    out = np.ones(h1.shape, bool)
+    for pos in _probe_positions(h1, h2, nbits, np):
+        bit = (words[pos >> 5] >> (pos & np.uint32(31))) & np.uint32(1)
+        out &= bit.astype(bool)
+    return out
+
+
+def contains_any_np(words: np.ndarray, limbs: np.ndarray) -> bool:
+    return bool(contains_np(words, limbs).any())
+
+
+def probe_device(filters, limbs):
+    """Device probe over stacked per-pack filters.
+
+    filters: u32[P, words]; limbs: u32[L, K] constants.
+    Returns bool[P, K]: pack p may contain constant k."""
+    nbits = filters.shape[-1] * 32
+    h1, h2 = H.hash2(limbs)
+    out = jnp.ones((filters.shape[0], h1.shape[0]), bool)
+    for pos in _probe_positions(h1, h2, nbits, jnp):
+        w = jnp.take(filters, (pos >> 5).astype(jnp.int32), axis=1)
+        bit = (w >> (pos & jnp.uint32(31))[None, :]) & jnp.uint32(1)
+        out = out & bit.astype(bool)
+    return out

@@ -1,0 +1,343 @@
+"""knox — the public SDK facade.
+
+The TPU analog of the reference SDK (/root/reference/pkg/knox/
+interface.go:87-137, query.go:29-45, table.go:244-296): databases hold
+tables; tables ingest dataclass rows or column batches under implicit
+per-call transactions; queries build AND/OR condition trees with a
+fluent builder and execute as fused device scans.
+
+    import knoxdb_tpu.knox as knox
+
+    @dataclass
+    class Account:
+        id: int = 0
+        balance: int = 0
+
+    db = knox.create_database("demo")
+    acc = db.create_table(Account)
+    acc.insert([Account(balance=100), Account(balance=250)])
+    n = acc.query().where(knox.F("balance") > 120).count()
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterable
+
+import numpy as np
+
+from .engine.engine import Engine, Options, Tx
+from .engine.table import Table
+from .exec.scan import AggSpec, ScanResult
+from .query.filter import Filter, Node, and_, leaf, or_
+from .schema.schema import Builder, Schema, field_meta, schema_of
+from .types import FieldType, FilterMode
+from .utils import limbs as lb
+
+__all__ = ["create_database", "open_database", "Database", "TableHandle",
+           "Query", "F", "cond", "Builder", "field_meta", "schema_of"]
+
+
+def create_database(name: str, **kw) -> "Database":
+    return Database(Engine(name, Options(**kw)))
+
+
+def open_database(name: str, **kw) -> "Database":
+    return Database(Engine(name, Options(**kw)))
+
+
+class Database:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+
+    def create_table(self, schema_or_cls, **kw) -> "TableHandle":
+        if isinstance(schema_or_cls, Schema):
+            schema, cls = schema_or_cls, None
+        else:
+            schema, cls = schema_of(schema_or_cls), schema_or_cls
+        t = self.engine.create_table(schema, **kw)
+        return TableHandle(self, t, cls)
+
+    def table(self, name: str, cls=None) -> "TableHandle":
+        return TableHandle(self, self.engine.table(name), cls)
+
+    def drop_table(self, name: str) -> None:
+        self.engine.drop_table(name)
+
+    def begin(self, read_only: bool = False) -> Tx:
+        return self.engine.begin(read_only)
+
+    def close(self) -> None:
+        self.engine.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class TableHandle:
+    def __init__(self, db: Database, table: Table, cls=None):
+        self.db = db
+        self._t = table
+        self._cls = cls
+
+    @property
+    def schema(self) -> Schema:
+        return self._t.schema
+
+    @property
+    def name(self) -> str:
+        return self._t.schema.name
+
+    def metrics(self):
+        return self._t.metrics
+
+    # ------------------------------------------------------------- write --
+
+    def insert(self, rows, tx: Tx | None = None) -> np.ndarray:
+        """rows: list of dataclass instances / dicts, or a dict of column
+        arrays. Returns assigned pks."""
+        data, n = self._to_columns(rows)
+        return self._write(tx, lambda x: self._t.insert_rows(x, data))
+
+    def update(self, rows, tx: Tx | None = None) -> int:
+        data, n = self._to_columns(rows)
+        return self._write(tx, lambda x: self._t.update_rows(x, data))
+
+    def delete(self, query: "Query", tx: Tx | None = None) -> int:
+        tree = query._tree()
+        return self._write(tx, lambda x: self._t.delete_rows(x, tree))
+
+    def _write(self, tx, fn):
+        if tx is not None:
+            return fn(tx)
+        with self.db.begin() as x:
+            return fn(x)
+
+    def _to_columns(self, rows) -> tuple[dict, int]:
+        if isinstance(rows, dict):
+            n = len(next(iter(rows.values())))
+            return rows, n
+        rows = list(rows)
+        if not rows:
+            return {f.name: [] for f in self.schema.fields}, 0
+        first = rows[0]
+        if dataclasses.is_dataclass(first):
+            cols = {f.name: [getattr(r, f.name) for r in rows]
+                    for f in self.schema.fields}
+        else:
+            cols = {f.name: [r[f.name] for r in rows]
+                    for f in self.schema.fields}
+        # drop zero pks so the engine assigns them
+        return {k: np.asarray(v) if not _is_wide(self.schema, k) else v
+                for k, v in cols.items()}, len(rows)
+
+    def merge(self) -> None:
+        """Force a synchronous journal merge (background merges happen
+        automatically past the journal high-water mark)."""
+        self._t.merge()
+
+    # -------------------------------------------------------------- read --
+
+    def query(self) -> "Query":
+        return Query(self)
+
+    def count(self) -> int:
+        return self.query().count()
+
+    def get(self, pk: int):
+        """Point lookup by primary key."""
+        q = self.query().where(cond(self.schema.pk.name, FilterMode.EQ, pk))
+        rows = q.execute()
+        return rows[0] if rows else None
+
+
+class _FieldExpr:
+    """Operator-overloaded field reference: F('bal') > 100 -> Node."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __eq__(self, v):           # noqa: DunderEq returns Node by design
+        return ("cond", self.name, FilterMode.EQ, v)
+
+    def __ne__(self, v):
+        return ("cond", self.name, FilterMode.NE, v)
+
+    def __gt__(self, v):
+        return ("cond", self.name, FilterMode.GT, v)
+
+    def __ge__(self, v):
+        return ("cond", self.name, FilterMode.GE, v)
+
+    def __lt__(self, v):
+        return ("cond", self.name, FilterMode.LT, v)
+
+    def __le__(self, v):
+        return ("cond", self.name, FilterMode.LE, v)
+
+    def in_(self, vals):
+        return ("cond", self.name, FilterMode.IN, list(vals))
+
+    def not_in(self, vals):
+        return ("cond", self.name, FilterMode.NOT_IN, list(vals))
+
+    def between(self, lo, hi):
+        return ("cond", self.name, FilterMode.RANGE, (lo, hi))
+
+
+def F(name: str) -> _FieldExpr:
+    return _FieldExpr(name)
+
+
+def cond(field: str, mode: FilterMode | str, value) -> tuple:
+    if isinstance(mode, str):
+        from .types import parse_filter_mode
+        mode = parse_filter_mode(mode)
+    return ("cond", field, mode, value)
+
+
+_KW_OPS = {
+    "eq": FilterMode.EQ, "ne": FilterMode.NE, "gt": FilterMode.GT,
+    "ge": FilterMode.GE, "lt": FilterMode.LT, "le": FilterMode.LE,
+    "in": FilterMode.IN, "nin": FilterMode.NOT_IN, "range": FilterMode.RANGE,
+}
+
+
+class Query:
+    """Fluent query builder (reference pkg/knox/query.go)."""
+
+    def __init__(self, table: TableHandle):
+        self._table = table
+        self._conds: list[Node] = []
+        self._limit = 0
+        self._select: list[str] | None = None
+
+    # --------------------------------------------------------- condition --
+
+    def where(self, *conds, **kw) -> "Query":
+        """AND the given conditions. kwargs: field=value (EQ) or
+        field__op=value with op in eq/ne/gt/ge/lt/le/in/nin/range."""
+        for c in conds:
+            self._conds.append(self._node(c))
+        for k, v in kw.items():
+            if "__" in k:
+                fname, op = k.rsplit("__", 1)
+                mode = _KW_OPS[op]
+            else:
+                fname, mode = k, FilterMode.EQ
+            self._conds.append(self._node(("cond", fname, mode, v)))
+        return self
+
+    def or_where(self, *conds) -> "Query":
+        """OR-group of conditions appended as one AND term."""
+        self._conds.append(or_(*[self._node(c) for c in conds]))
+        return self
+
+    def _node(self, c) -> Node:
+        if isinstance(c, Node):
+            return c
+        if isinstance(c, tuple) and c and c[0] == "cond":
+            _, fname, mode, value = c
+            f = self._table.schema.with_meta().field(fname)
+            return leaf(Filter(f, mode, value))
+        raise TypeError(f"bad condition {c!r}")
+
+    def _tree(self) -> Node | None:
+        if not self._conds:
+            return None
+        return and_(*self._conds).optimize()
+
+    # ----------------------------------------------------------- shaping --
+
+    def limit(self, n: int) -> "Query":
+        self._limit = n
+        return self
+
+    def select(self, *names: str) -> "Query":
+        self._select = list(names)
+        return self
+
+    # ----------------------------------------------------------- execute --
+
+    def _run(self, aggs, project=None) -> ScanResult:
+        with self._table.db.begin(read_only=True) as tx:
+            return self._table._t.query(tx.snapshot, self._tree(), aggs,
+                                        project=project, limit=self._limit)
+
+    def count(self) -> int:
+        return self._run([AggSpec("count")]).count
+
+    def sum(self, field: str):
+        return self._scaled(field,
+                            self._run([AggSpec("sum", field)])
+                            .aggs[("sum", field)])
+
+    def min(self, field: str):
+        return self._scaled(field,
+                            self._run([AggSpec("min", field)])
+                            .aggs[("min", field)])
+
+    def max(self, field: str):
+        return self._scaled(field,
+                            self._run([AggSpec("max", field)])
+                            .aggs[("max", field)])
+
+    def avg(self, field: str):
+        return self._scaled(field,
+                            self._run([AggSpec("avg", field)])
+                            .aggs[("avg", field)])
+
+    def aggregate(self, *specs: tuple) -> dict:
+        """specs: ('sum'|'min'|'max'|'avg'|'count', field)."""
+        a = [AggSpec(op, f) if f else AggSpec(op) for op, f in specs]
+        r = self._run(a)
+        return {k: self._scaled(k[1], v) if k[1] else v
+                for k, v in r.aggs.items()}
+
+    def _scaled(self, field: str, v):
+        f = self._table.schema.with_meta().field(field)
+        if v is not None and f.scale:
+            return v / (10 ** f.scale)
+        return v
+
+    def rows(self) -> dict:
+        """Column-batch results (TPU-native shape)."""
+        names = self._select or [f.name for f in self._table.schema.fields]
+        r = self._run([AggSpec("count")], project=names)
+        return r.rows
+
+    def execute(self) -> list:
+        """Typed row results (reference GenericQuery.Execute)."""
+        rows = self.rows()
+        names = list(rows.keys())
+        n = min((len(v) for v in rows.values()), default=0)
+        cls = self._table._cls
+        out = []
+        for i in range(n):
+            kw = {k: _pyval(rows[k][i]) for k in names}
+            if cls is not None and self._select is None:
+                out.append(cls(**kw))
+            else:
+                out.append(kw)
+        return out
+
+    def stream(self, fn) -> int:
+        """Row-callback streaming (reference Query.Stream)."""
+        cnt = 0
+        for row in self.execute():
+            fn(row)
+            cnt += 1
+        return cnt
+
+
+def _is_wide(schema: Schema, name: str) -> bool:
+    return schema.field(name).type.nlimbs > 2
+
+
+def _pyval(v):
+    if isinstance(v, np.generic):
+        return v.item()
+    return v

@@ -1,0 +1,73 @@
+"""Mask -> selection-vector compaction and masked gather.
+
+TPU-native replacement for the reference's bitset.Indexes selection-vector
+builder (/root/reference/internal/bitset/kernel.go:31-43, iterator.go):
+instead of a serial bit iterator, compaction is an exclusive prefix-sum of
+the mask followed by a scatter-with-drop — O(N) elementwise + one scatter,
+all on device, static output capacity (callers size by popcount or pack
+geometry).
+
+Row order is preserved (stable), matching the reference's ascending rid
+semantics.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import bitset as bs
+
+__all__ = ["mask_to_indexes", "take_rows", "compact_rows", "masked_row_ids"]
+
+
+def mask_to_indexes(mask, cap: int, base: int | jnp.ndarray = 0):
+    """bool[N] -> (idx u32[cap], count i64).
+
+    idx[:count] are the (base + row) positions of set bits in ascending
+    order; idx[count:] == SENTINEL (0xFFFFFFFF). cap is static.
+    """
+    mask = mask.reshape(-1)
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1          # inclusive -> idx
+    rows = jnp.arange(n, dtype=jnp.uint32) + jnp.asarray(base, jnp.uint32)
+    dest = jnp.where(mask, pos, cap)                       # drop non-matches
+    out = jnp.full(cap, 0xFFFFFFFF, jnp.uint32)
+    out = out.at[dest].set(rows, mode="drop", unique_indices=True)
+    count = mask.sum(dtype=jnp.int64)
+    return out, count
+
+
+def packed_mask_to_indexes(words, cap: int, base=0):
+    """Packed u32[W] bitset -> selection vector (unpacks on the fly)."""
+    return mask_to_indexes(bs.unpack_mask(words), cap, base)
+
+
+def take_rows(limbs, idx):
+    """Gather rows of a limb column by selection vector.
+
+    limbs: u32[L, N], idx: u32[K] (sentinels allowed; they gather row 0 —
+    callers slice by count). Returns u32[L, K]."""
+    n = limbs.shape[-1]
+    safe = jnp.where(idx == 0xFFFFFFFF, 0, idx).astype(jnp.int32)
+    safe = jnp.minimum(safe, n - 1)
+    return jnp.take(limbs, safe, axis=-1)
+
+
+def compact_rows(limbs, mask, cap: int):
+    """Fused filter-materialize: keep rows of `limbs` where mask is set.
+
+    Returns (u32[L, cap], count). Rows past count are copies of row 0."""
+    idx, count = mask_to_indexes(mask, cap)
+    return take_rows(limbs, idx), count
+
+
+def masked_row_ids(mask, rid_base):
+    """bool[P, N] per-pack masks + u64[P] first-rid-per-pack -> global row
+    ids of matches, flattened pack-major (ascending when packs are rid-
+    ordered). Returned dense with sentinel padding via mask_to_indexes on
+    the flat mask; rid arithmetic stays u64."""
+    P, n = mask.shape
+    flat = mask.reshape(-1)
+    local = jnp.arange(P * n, dtype=jnp.uint64) % jnp.uint64(n)
+    base = jnp.repeat(rid_base, n)
+    return jnp.where(flat, base + local, jnp.uint64(0xFFFFFFFFFFFFFFFF))

@@ -1,0 +1,159 @@
+"""Immutable column segments: the unit of device-resident table storage.
+
+TPU-first re-design of the reference's pack storage
+(/root/reference/internal/pack/package.go:23-34 + internal/block): a
+segment is a horizontal slice of a table as a set of fixed-geometry packs
+(PACK_SIZE rows, padded), each column encoded per pack with the cheapest
+scheme (encode/select.py) and covered by zone-map + bloom stats
+(pack/stats.py). Unlike the reference's heap-object packs, all packs of a
+segment share shapes so the device side (exec/device.py) stacks them into
+scheme-grouped arrays and runs ONE kernel per (scheme, width) group.
+
+Wide types (int128/256, decimal128/256) analyze in the python-int key
+domain; when the per-pack value RANGE fits 64 bits (typical for balances)
+they bitpack like narrow types — predicates are rewritten to the packed
+domain on the host (per-pack constants), so the device never needs >64-bit
+arithmetic for filtering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..encode import select as sel
+from ..encode import schemes as S
+from ..encode.analyze import analyze_keys
+from ..encode.schemes import EncodedPack, Scheme
+from ..schema.schema import Field, Schema
+from ..types import FieldType, FilterType
+from ..utils import limbs as lb
+from .stats import FieldStats, SegmentStats
+
+__all__ = ["EncodedColumn", "Segment", "build_segment"]
+
+
+@dataclass
+class EncodedColumn:
+    field: Field
+    packs: list[EncodedPack]
+    wide: bool                      # keyform wider than 64 bits
+    # wide columns: per-pack python-int bases (min key), None for narrow
+    wide_bases: list[int] | None = None
+
+    @property
+    def nlimbs(self) -> int:
+        return self.field.type.nlimbs
+
+    @property
+    def nbytes(self) -> int:
+        return sum(p.nbytes for p in self.packs)
+
+
+@dataclass
+class Segment:
+    schema: Schema
+    pack_size: int
+    nrows_total: int
+    nrows: np.ndarray                      # i64[P] valid rows per pack
+    columns: dict[str, EncodedColumn]
+    stats: SegmentStats
+    epoch: int = 0
+
+    @property
+    def npacks(self) -> int:
+        return len(self.nrows)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(c.nbytes for c in self.columns.values())
+
+
+def _split(n: int, pack_size: int) -> list[tuple[int, int]]:
+    return [(i, min(i + pack_size, n)) for i in range(0, max(n, 1), pack_size)]
+
+
+def _encode_narrow(field: Field, keys64: np.ndarray, bounds,
+                   pack_size: int) -> tuple[EncodedColumn, list[np.ndarray]]:
+    packs, per_pack_keys = [], []
+    L = field.type.nlimbs
+    for lo, hi in bounds:
+        k = keys64[lo:hi]
+        per_pack_keys.append(k)
+        packs.append(sel.encode_pack(k, L, pack_size))
+    return EncodedColumn(field, packs, wide=False), per_pack_keys
+
+
+def _encode_wide(field: Field, limbs: np.ndarray, bounds,
+                 pack_size: int) -> tuple[EncodedColumn, list[np.ndarray]]:
+    """128/256-bit columns. Per pack: if (max-min) fits 64 bits -> bitpack
+    relative keys; elif low cardinality -> dict of limb rows; else raw."""
+    L = limbs.shape[0]
+    packs, bases, per_pack_keys = [], [], []
+    for lo, hi in bounds:
+        sub = limbs[:, lo:hi]
+        ints = _limbs_to_ints(sub)
+        per_pack_keys.append(ints)
+        mn, mx = int(ints.min()), int(ints.max())
+        rng = mx - mn
+        if rng == 0:
+            packs.append(S.encode_const(sub[:, :1], hi - lo))
+            bases.append(mn)
+        elif rng < (1 << 63):
+            rel = np.array([int(v) - mn for v in ints], dtype=np.uint64)
+            w = sel.round_width(rng.bit_length())
+            packs.append(S.encode_bitpack(rel, L, 0, w, pack_size))
+            bases.append(mn)
+        else:
+            packs.append(S.encode_raw(sub, hi - lo, pack_size))
+            bases.append(0)
+    return EncodedColumn(field, packs, wide=True, wide_bases=bases), per_pack_keys
+
+
+def _limbs_to_ints(limbs: np.ndarray) -> np.ndarray:
+    L, n = limbs.shape
+    out = np.empty(n, object)
+    for i in range(n):
+        x = 0
+        for l in range(L):
+            x = (x << 32) | int(limbs[l, i])
+        out[i] = x
+    return out
+
+
+def build_segment(schema: Schema, data: dict[str, np.ndarray],
+                  pack_size: int, epoch: int = 0) -> Segment:
+    """data: field name -> native-typed numpy array (or python-int list for
+    wide types). All columns must share length. Rows are stored in input
+    order (the table engine sorts by pk before building)."""
+    names = [f.name for f in schema.fields]
+    n = len(data[names[0]])
+    bounds = _split(n, pack_size)
+    P = len(bounds)
+    nrows = np.array([hi - lo for lo, hi in bounds], np.int64)
+
+    columns: dict[str, EncodedColumn] = {}
+    fstats: dict[str, FieldStats] = {}
+    for f in schema.fields:
+        raw = data[f.name]
+        limbs = lb.to_keyform(raw, f.type)
+        wide = f.type.nlimbs > 2
+        if wide:
+            col, keys = _encode_wide(f, limbs, bounds, pack_size)
+        else:
+            if f.type.nlimbs == 2:
+                keys64 = (limbs[0].astype(np.uint64) << np.uint64(32)) | limbs[1]
+            else:
+                keys64 = limbs[0].astype(np.uint64)
+            col, keys = _encode_narrow(f, keys64, bounds, pack_size)
+        columns[f.name] = col
+        limbs_per_pack = None
+        if f.filter != FilterType.NONE:
+            limbs_per_pack = [limbs[:, lo:hi] for lo, hi in bounds]
+        fstats[f.name] = FieldStats.from_packs(
+            keys, wide, limbs_per_pack, f.filter, pack_size)
+
+    rid_base = np.arange(P, dtype=np.uint64) * np.uint64(pack_size)
+    stats = SegmentStats(nrows, rid_base, fstats)
+    return Segment(schema, pack_size, n, nrows, columns, stats, epoch)

@@ -1,0 +1,163 @@
+"""Zone-map statistics + pack pruning.
+
+TPU-first re-design of the reference's statistics tree
+(/root/reference/internal/pack/stats/index.go:201-223, match.go,
+iterator.go): instead of a pointer-based n-ary tree of stats packs walked
+by an iterator, stats live as struct-of-arrays per segment — min_key[P],
+max_key[P] per column (+ optional stacked bloom filters) — and a filter
+leaf is pruned against ALL packs at once with vectorized compares (the
+reference already exposes this shape as MatchRangeVectors,
+internal/operator/filter/match.go:68-73).
+
+Pruning yields a tri-state per pack: NONE (no row can match — skip),
+ALL (every row matches — short-circuit the kernel), MAYBE (evaluate).
+Tri-states combine over the AND/OR tree in query/plan.py.
+
+Keys are the order-preserving keyform image (utils/limbs.py): u64 arrays
+for types up to 64 bits, python-int object arrays for 128/256-bit types.
+Strings prune on their 8-byte prefix key (reference caps stats strings at
+8 bytes too — internal/pack/stats/index.go:177).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..filter import bloom
+from ..types import FieldType, FilterMode, FilterType
+
+__all__ = ["FieldStats", "SegmentStats", "TriState", "prune_leaf"]
+
+
+@dataclass
+class TriState:
+    """Per-pack prune decision vectors."""
+    all_: np.ndarray    # bool[P] every row matches
+    none: np.ndarray    # bool[P] no row matches
+
+    @property
+    def maybe(self) -> np.ndarray:
+        return ~(self.all_ | self.none)
+
+    @staticmethod
+    def unknown(P: int) -> "TriState":
+        return TriState(np.zeros(P, bool), np.zeros(P, bool))
+
+    def and_(self, o: "TriState") -> "TriState":
+        return TriState(self.all_ & o.all_, self.none | o.none)
+
+    def or_(self, o: "TriState") -> "TriState":
+        return TriState(self.all_ | o.all_, self.none & o.none)
+
+    def invert(self) -> "TriState":
+        return TriState(self.none, self.all_)
+
+
+@dataclass
+class FieldStats:
+    """Per-column per-pack zone map (+ optional bloom)."""
+    min_key: np.ndarray          # u64[P] or object[P] python ints (wide)
+    max_key: np.ndarray
+    bloom_words: np.ndarray | None = None   # u32[P, words]
+    filter_type: FilterType = FilterType.NONE
+
+    @classmethod
+    def from_packs(cls, pack_keys: list[np.ndarray], wide: bool,
+                   limbs_per_pack: list[np.ndarray] | None = None,
+                   filter_type: FilterType = FilterType.NONE,
+                   pack_capacity: int = 0) -> "FieldStats":
+        """pack_keys: per-pack u64 key arrays (or object ints when wide)."""
+        P = len(pack_keys)
+        dt = object if wide else np.uint64
+        mn = np.empty(P, dt)
+        mx = np.empty(P, dt)
+        for p, k in enumerate(pack_keys):
+            mn[p] = k.min() if len(k) else (0 if not wide else 0)
+            mx[p] = k.max() if len(k) else (0 if not wide else 0)
+        bw = None
+        if filter_type in (FilterType.BLOOM_1B, FilterType.BLOOM_2B,
+                           FilterType.BLOOM_3B, FilterType.BLOOM_4B):
+            nbits = bloom.bloom_bits(pack_capacity or max(len(k) for k in pack_keys),
+                                     filter_type)
+            bw = np.zeros((P, nbits // 32), np.uint32)
+            for p in range(P):
+                bw[p] = bloom.build_np(limbs_per_pack[p], nbits)
+        return cls(mn, mx, bw, filter_type)
+
+
+@dataclass
+class SegmentStats:
+    nrows: np.ndarray                       # i64[P]
+    rid_base: np.ndarray                    # u64[P] first rid of each pack
+    fields: dict[str, FieldStats] = field(default_factory=dict)
+
+    @property
+    def npacks(self) -> int:
+        return len(self.nrows)
+
+
+def _bloom_none(fs: FieldStats, key_limbs: np.ndarray) -> np.ndarray:
+    """bool[P]: bloom proves none of the probed keys is in pack p."""
+    P = len(fs.min_key)
+    if fs.bloom_words is None:
+        return np.zeros(P, bool)
+    out = np.empty(P, bool)
+    for p in range(P):
+        out[p] = not bloom.contains_np(fs.bloom_words[p], key_limbs).any()
+    return out
+
+
+def prune_leaf(fs: FieldStats, mode: FilterMode, lo=None, hi=None,
+               keys=None, key_limbs=None) -> TriState:
+    """Tri-state prune of one filter leaf against all packs.
+
+    lo/hi/keys are keyform integers (python int / u64); key_limbs is the
+    u32[L, K] limb form of IN/EQ keys for bloom probes."""
+    mn, mx = fs.min_key, fs.max_key
+    P = len(mn)
+
+    if mode == FilterMode.TRUE:
+        return TriState(np.ones(P, bool), np.zeros(P, bool))
+    if mode == FilterMode.FALSE:
+        return TriState(np.zeros(P, bool), np.ones(P, bool))
+
+    if mode in (FilterMode.EQ, FilterMode.NE):
+        c = lo
+        none = (np.less(mx, c) | np.greater(mn, c))
+        if key_limbs is not None:
+            none = none | _bloom_none(fs, key_limbs)
+        all_ = np.equal(mn, c) & np.equal(mx, c)
+        t = TriState(all_, none)
+        return t.invert() if mode == FilterMode.NE else t
+
+    if mode == FilterMode.LT:
+        return TriState(np.less(mx, lo), np.greater_equal(mn, lo))
+    if mode == FilterMode.LE:
+        return TriState(np.less_equal(mx, lo), np.greater(mn, lo))
+    if mode == FilterMode.GT:
+        return TriState(np.greater(mn, lo), np.less_equal(mx, lo))
+    if mode == FilterMode.GE:
+        return TriState(np.greater_equal(mn, lo), np.less(mx, lo))
+
+    if mode == FilterMode.RANGE:
+        all_ = np.less_equal(lo, mn) & np.less_equal(mx, hi)
+        none = np.less(mx, lo) | np.greater(mn, hi)
+        return TriState(all_, none)
+
+    if mode in (FilterMode.IN, FilterMode.NOT_IN):
+        ks = np.asarray(keys)
+        # none: every key outside [min, max] (vectorized over packs x keys)
+        inside = (np.less_equal.outer(mn, ks) & np.greater_equal.outer(mx, ks))
+        none = ~inside.any(axis=1)
+        if key_limbs is not None:
+            none = none | _bloom_none(fs, key_limbs)
+        # all: single-value pack whose value is in the set
+        single = np.equal(mn, mx)
+        all_ = single & inside.any(axis=1) & np.isin(mn, ks)
+        t = TriState(all_, none)
+        return t.invert() if mode == FilterMode.NOT_IN else t
+
+    # REGEXP and friends: cannot prune
+    return TriState.unknown(P)

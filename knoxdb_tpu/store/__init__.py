@@ -1,0 +1,3 @@
+"""KV storage backends + segment serialization (SURVEY.md L6)."""
+
+from . import kv, segio  # noqa: F401

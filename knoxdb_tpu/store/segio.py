@@ -1,0 +1,162 @@
+"""Segment (de)serialization: pack/segment.Segment <-> bytes.
+
+Replaces the reference's block-encode-into-bolt-buckets path
+(/root/reference/internal/block/encode.go:17-45 + pack table writer):
+a sealed segment serializes as one blob per table epoch — a JSON manifest
+plus raw little-endian array payloads (pickle-free; wide python ints
+travel as fixed-width big-endian bytes). Blobs are immutable; the store
+key is (table id, epoch, segment no).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+import numpy as np
+
+from ..encode.schemes import EncodedPack, Scheme
+from ..pack.segment import EncodedColumn, Segment
+from ..pack.stats import FieldStats, SegmentStats
+from ..schema.schema import Schema
+from ..types import FilterType
+
+__all__ = ["dump_segment", "load_segment"]
+
+_MAGIC = b"KXSEG001"
+
+
+def _arr_out(arrays: list, a: np.ndarray | None) -> int:
+    if a is None:
+        return -1
+    arrays.append(np.ascontiguousarray(a))
+    return len(arrays) - 1
+
+
+def _ints_to_bytes(vals, nbytes: int) -> bytes:
+    # keyform keys are non-negative and < 2^(8*nbytes)
+    return b"".join(int(v).to_bytes(nbytes, "big") for v in vals)
+
+
+def _bytes_to_ints(buf: bytes, nbytes: int) -> list[int]:
+    return [int.from_bytes(buf[i * nbytes:(i + 1) * nbytes], "big")
+            for i in range(len(buf) // nbytes)]
+
+
+def dump_segment(seg: Segment) -> bytes:
+    arrays: list[np.ndarray] = []
+    man: dict = {
+        "schema": seg.schema.to_dict(),
+        "pack_size": seg.pack_size,
+        "nrows_total": seg.nrows_total,
+        "epoch": seg.epoch,
+        "nrows": _arr_out(arrays, seg.nrows),
+        "rid_base": _arr_out(arrays, seg.stats.rid_base),
+        "columns": {},
+        "stats": {},
+    }
+    for name, col in seg.columns.items():
+        packs = []
+        for p in col.packs:
+            packs.append({
+                "scheme": int(p.scheme), "n": p.n, "nlimbs": p.nlimbs,
+                "width": p.width, "min_key": str(p.min_key), "k": p.k,
+                "card": p.card,
+                "planes": _arr_out(arrays, p.planes),
+                "values": _arr_out(arrays, p.values),
+                "ends": _arr_out(arrays, p.ends),
+                "dict_keys": _arr_out(arrays, p.dict_keys),
+            })
+        man["columns"][name] = {
+            "wide": col.wide,
+            "bases": [str(b) for b in col.wide_bases] if col.wide_bases else None,
+            "packs": packs,
+        }
+    for name, fs in seg.stats.fields.items():
+        wide = fs.min_key.dtype == object
+        nb = (seg.schema.field(name).type.bits // 8) or 8
+        ent = {"filter_type": int(fs.filter_type), "wide": wide,
+               "bloom": _arr_out(arrays, fs.bloom_words)}
+        if wide:
+            ent["min_b"] = _ints_to_bytes(
+                (int(v) for v in fs.min_key), nb).hex()
+            ent["max_b"] = _ints_to_bytes(
+                (int(v) for v in fs.max_key), nb).hex()
+            ent["nb"] = nb
+        else:
+            ent["min"] = _arr_out(arrays, fs.min_key)
+            ent["max"] = _arr_out(arrays, fs.max_key)
+        man["stats"][name] = ent
+
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    mb = json.dumps(man).encode()
+    out.write(struct.pack("<I", len(mb)))
+    out.write(mb)
+    out.write(struct.pack("<I", len(arrays)))
+    for a in arrays:
+        hdr = json.dumps({"dtype": a.dtype.str, "shape": a.shape}).encode()
+        out.write(struct.pack("<I", len(hdr)))
+        out.write(hdr)
+        body = a.tobytes()
+        out.write(struct.pack("<Q", len(body)))
+        out.write(body)
+    return out.getvalue()
+
+
+def load_segment(buf: bytes) -> Segment:
+    if buf[:8] != _MAGIC:
+        raise ValueError("bad segment magic")
+    off = 8
+    (mlen,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    man = json.loads(buf[off:off + mlen])
+    off += mlen
+    (na,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    arrays: list[np.ndarray] = []
+    for _ in range(na):
+        (hlen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        h = json.loads(buf[off:off + hlen])
+        off += hlen
+        (blen,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        a = np.frombuffer(buf[off:off + blen], dtype=np.dtype(h["dtype"]))
+        arrays.append(a.reshape(h["shape"]).copy())
+        off += blen
+
+    def A(i):
+        return None if i < 0 else arrays[i]
+
+    schema = Schema.from_dict(man["schema"])
+    columns: dict[str, EncodedColumn] = {}
+    for name, cd in man["columns"].items():
+        packs = []
+        for pd in cd["packs"]:
+            packs.append(EncodedPack(
+                Scheme(pd["scheme"]), pd["n"], pd["nlimbs"],
+                width=pd["width"], min_key=int(pd["min_key"]),
+                planes=A(pd["planes"]), values=A(pd["values"]),
+                ends=A(pd["ends"]), k=pd["k"], card=pd["card"],
+                dict_keys=A(pd["dict_keys"])))
+        bases = [int(b) for b in cd["bases"]] if cd["bases"] else None
+        columns[name] = EncodedColumn(schema.field(name), packs,
+                                      wide=cd["wide"], wide_bases=bases)
+
+    fstats: dict[str, FieldStats] = {}
+    for name, sd in man["stats"].items():
+        if sd["wide"]:
+            mins = np.array(_bytes_to_ints(bytes.fromhex(sd["min_b"]),
+                                           sd["nb"]), object)
+            maxs = np.array(_bytes_to_ints(bytes.fromhex(sd["max_b"]),
+                                           sd["nb"]), object)
+        else:
+            mins, maxs = A(sd["min"]), A(sd["max"])
+        fstats[name] = FieldStats(mins, maxs, A(sd["bloom"]),
+                                  FilterType(sd["filter_type"]))
+
+    stats = SegmentStats(A(man["nrows"]), A(man["rid_base"]), fstats)
+    return Segment(schema, man["pack_size"], man["nrows_total"],
+                   A(man["nrows"]), columns, stats, man["epoch"])

@@ -1,0 +1,195 @@
+"""Segmented write-ahead log.
+
+Host-side durability layer mirroring the reference WAL semantics
+(/root/reference/internal/wal/wal.go, record.go:53-60):
+- records = (type, tag, entity, txid, body) with a checksum, appended to
+  fixed-max-size segment files; LSN = global byte offset (record.go:37-39)
+- record types insert/update/delete/commit/abort/checkpoint (record.go:12-22)
+- reader with entity filter + seek; GC drops whole segments below a
+  checkpoint watermark (wal.go:375)
+- damage policies on recovery: fail | skip | truncate (wal.go:33-40)
+
+The TPU engine keeps ALL device-side state reconstructible from (sealed
+segments + WAL): the journal is recovered from the WAL on open, never
+flushed itself (reference makes the same write-amplification choice,
+internal/pack/table/insert.go:26-43).
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator
+
+__all__ = ["RecordType", "Record", "Wal", "WalError", "RecoveryMode"]
+
+_HDR = struct.Struct("<BBIQI I")   # type, tag, entity, txid, body_len, crc
+_SEG_NAME = "wal_{:08x}.seg"
+_DEFAULT_SEG_BYTES = 16 << 20
+
+
+class RecordType(enum.IntEnum):
+    INVALID = 0
+    INSERT = 1
+    UPDATE = 2
+    DELETE = 3
+    COMMIT = 4
+    ABORT = 5
+    CHECKPOINT = 6
+
+
+class RecoveryMode(enum.IntEnum):
+    FAIL = 0
+    SKIP = 1
+    TRUNCATE = 2
+    IGNORE = 3
+
+
+class WalError(Exception):
+    pass
+
+
+@dataclass
+class Record:
+    type: RecordType
+    entity: int = 0            # table/catalog object id
+    txid: int = 0
+    data: bytes = b""
+    tag: int = 0
+    lsn: int = -1              # filled on write/read
+
+    def encode(self) -> bytes:
+        crc = zlib.crc32(self.data)
+        hdr = _HDR.pack(self.type, self.tag, self.entity, self.txid,
+                        len(self.data), crc)
+        return hdr + self.data
+
+
+class Wal:
+    """Append-only segmented log. Single writer; readers independent."""
+
+    def __init__(self, path: str | Path, max_segment: int = _DEFAULT_SEG_BYTES,
+                 sync: str = "sync"):
+        self.dir = Path(path)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.max_segment = max_segment
+        self.sync_mode = sync          # sync | nosync (delay handled by caller)
+        self._segments = self._discover()
+        if not self._segments:
+            self._segments = [0]
+            self._open_segment(0, truncate=True)
+        else:
+            self._open_segment(self._segments[-1])
+
+    # ------------------------------------------------------------- write --
+
+    def write(self, rec: Record) -> int:
+        buf = rec.encode()
+        if self._fh.tell() + len(buf) > self.max_segment:
+            self._rotate()
+        rec.lsn = self._seg_base + self._fh.tell()
+        self._fh.write(buf)
+        return rec.lsn
+
+    def write_and_sync(self, rec: Record) -> int:
+        lsn = self.write(rec)
+        self.sync()
+        return lsn
+
+    def sync(self) -> None:
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+
+    @property
+    def tail_lsn(self) -> int:
+        return self._seg_base + self._fh.tell()
+
+    def close(self) -> None:
+        if getattr(self, "_fh", None):
+            self._fh.flush()
+            self._fh.close()
+            self._fh = None
+
+    # -------------------------------------------------------------- read --
+
+    def records(self, from_lsn: int = 0, entity: int | None = None,
+                mode: RecoveryMode = RecoveryMode.FAIL) -> Iterator[Record]:
+        self._fh.flush()
+        for base in self._segments:
+            seg_path = self.dir / _SEG_NAME.format(base)
+            size = seg_path.stat().st_size
+            if base + size <= from_lsn:
+                continue
+            with open(seg_path, "rb") as fh:
+                off = 0
+                if from_lsn > base:
+                    off = from_lsn - base
+                    fh.seek(off)
+                while True:
+                    pos = fh.tell()
+                    hdr = fh.read(_HDR.size)
+                    if not hdr:
+                        break
+                    if len(hdr) < _HDR.size:
+                        self._damaged(seg_path, pos, mode, "short header")
+                        break
+                    rt, tag, ent, txid, blen, crc = _HDR.unpack(hdr)
+                    body = fh.read(blen)
+                    if len(body) < blen or zlib.crc32(body) != crc or \
+                            rt == 0 or rt > 6:
+                        self._damaged(seg_path, pos, mode, "bad record")
+                        break
+                    if entity is not None and ent != entity:
+                        continue
+                    yield Record(RecordType(rt), ent, txid, body, tag,
+                                 lsn=base + pos)
+
+    def _damaged(self, seg_path: Path, pos: int, mode: RecoveryMode,
+                 why: str) -> None:
+        if mode == RecoveryMode.FAIL:
+            raise WalError(f"{seg_path.name}@{pos}: {why}")
+        if mode == RecoveryMode.TRUNCATE:
+            with open(seg_path, "r+b") as fh:
+                fh.truncate(pos)
+        # SKIP/IGNORE: stop reading this segment silently
+
+    # ---------------------------------------------------------------- gc --
+
+    def gc(self, watermark_lsn: int) -> int:
+        """Drop whole segments entirely below the watermark. Returns the
+        number of segments removed."""
+        removed = 0
+        while len(self._segments) > 1:
+            base, nxt = self._segments[0], self._segments[1]
+            if nxt <= watermark_lsn:
+                (self.dir / _SEG_NAME.format(base)).unlink(missing_ok=True)
+                self._segments.pop(0)
+                removed += 1
+            else:
+                break
+        return removed
+
+    # ------------------------------------------------------------ intern --
+
+    def _discover(self) -> list[int]:
+        segs = []
+        for p in sorted(self.dir.glob("wal_*.seg")):
+            segs.append(int(p.stem.split("_")[1], 16))
+        return segs
+
+    def _open_segment(self, base: int, truncate: bool = False) -> None:
+        path = self.dir / _SEG_NAME.format(base)
+        self._fh = open(path, "wb" if truncate else "ab")
+        self._seg_base = base
+
+    def _rotate(self) -> None:
+        end = self._seg_base + self._fh.tell()
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+        self._fh.close()
+        self._segments.append(end)
+        self._open_segment(end, truncate=True)

@@ -7,7 +7,9 @@ via bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient env sets JAX_PLATFORMS=axon (remote TPU tunnel),
+# which would send every test compile through the remote compiler
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,142 @@
+"""SDK + engine end-to-end: insert/query/update/delete/merge/recovery.
+
+Models the reference workload scenarios
+(/root/reference/internal/tests/scenarios/workload{1..5}_test.go)."""
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+import pytest
+
+import knoxdb_tpu.knox as knox
+from knoxdb_tpu.types import FieldType
+
+
+@dataclass
+class Account:
+    id: int = 0
+    balance: int = 0
+    kind: int = 0
+
+
+@pytest.fixture
+def db(tmp_path):
+    d = knox.create_database("t", driver="file", path=str(tmp_path),
+                             pack_size=256, journal_size=1 << 20,
+                             background_merge=False)
+    yield d
+    d.close()
+
+
+def test_insert_query_roundtrip(db):
+    acc = db.create_table(Account)
+    rows = [Account(balance=i * 10, kind=i % 3) for i in range(1, 501)]
+    pks = acc.insert(rows)
+    assert len(pks) == 500 and pks[0] == 1
+
+    assert acc.count() == 500
+    q = acc.query().where(knox.F("balance") > 2500)
+    want = sum(1 for r in rows if r.balance > 2500)
+    assert q.count() == want
+    assert q.sum("balance") == sum(r.balance for r in rows if r.balance > 2500)
+
+    got = acc.query().where(kind=1).limit(5).execute()
+    assert len(got) == 5
+    assert all(isinstance(g, Account) and g.kind == 1 for g in got)
+
+
+def test_merge_then_query(db):
+    acc = db.create_table(Account)
+    rows = [Account(balance=i, kind=i % 5) for i in range(1, 2001)]
+    acc.insert(rows)
+    acc.merge()
+    assert acc._t.journal.is_empty()
+    assert len(acc._t.segments) == 1
+    assert acc.count() == 2000
+    assert acc.query().where(knox.F("balance").between(100, 200)).count() == 101
+    # mixed: segment + journal rows
+    acc.insert([Account(balance=10**6)])
+    assert acc.query().where(knox.F("balance") >= 10**6).count() == 1
+    assert acc.count() == 2001
+
+
+def test_update_delete_visibility(db):
+    acc = db.create_table(Account)
+    acc.insert([Account(balance=100), Account(balance=200),
+                Account(balance=300)])
+    acc.merge()
+    # update pk 2
+    acc.update([Account(id=2, balance=999)])
+    assert acc.query().where(id=2).execute()[0].balance == 999
+    assert acc.count() == 3
+    # delete pk 1 (still in segments -> exclude mask path)
+    n = acc.delete(acc.query().where(id=1))
+    assert n == 1
+    assert acc.count() == 2
+    assert acc.query().where(id=1).count() == 0
+    # merge applies tombstones physically
+    acc.merge()
+    assert acc.count() == 2
+    assert sorted(r.balance for r in acc.query().execute()) == [300, 999]
+
+
+def test_get_point_lookup(db):
+    acc = db.create_table(Account)
+    acc.insert([Account(balance=5), Account(balance=6)])
+    assert acc.get(2).balance == 6
+    assert acc.get(999) is None
+
+
+def test_tx_abort(db):
+    acc = db.create_table(Account)
+    acc.insert([Account(balance=1)])
+    tx = db.begin()
+    acc.insert([Account(balance=2)], tx=tx)
+    tx.abort()
+    assert acc.count() == 1
+
+
+def test_tx_isolation_snapshot(db):
+    acc = db.create_table(Account)
+    acc.insert([Account(balance=1)])
+    tx = db.begin()           # writer with uncommitted insert
+    acc.insert([Account(balance=2)], tx=tx)
+    # a concurrent reader must not see the uncommitted row
+    assert acc.count() == 1
+    tx.commit()
+    assert acc.count() == 2
+
+
+def test_persistence_recovery(tmp_path):
+    d1 = knox.create_database("t", driver="file", path=str(tmp_path),
+                              pack_size=256, background_merge=False)
+    acc = d1.create_table(Account)
+    acc.insert([Account(balance=i) for i in range(1, 101)])
+    acc.merge()                        # sealed segment persisted
+    acc.insert([Account(balance=777)])  # journal-only row (WAL replay)
+    d1.close()
+
+    d2 = knox.open_database("t", driver="file", path=str(tmp_path),
+                            background_merge=False)
+    acc2 = d2.table("account", Account)
+    assert acc2.count() == 101
+    assert acc2.query().where(knox.F("balance") == 777).count() == 1
+    # counters restored: next insert gets a fresh pk
+    pks = acc2.insert([Account(balance=1234)])
+    assert pks[0] == 102
+    d2.close()
+
+
+def test_wide_decimal_column(db):
+    sch = (knox.Builder("d")
+           .pk("id")
+           .add("amount", FieldType.DECIMAL128, scale=6)
+           .finish())
+    t = db.create_table(sch)
+    vals = [123456789 * 10**6 + i for i in range(50)]
+    t.insert({"id": np.zeros(50, np.uint64), "amount": vals})
+    assert t.count() == 50
+    got = t.query().where(knox.cond("amount", "ge", vals[40])).count()
+    assert got == 10
+    assert t.query().sum("amount") == sum(vals) / 10**6

@@ -1,0 +1,46 @@
+"""Multi-chip pack-parallel scan on the 8-device virtual CPU mesh
+(conftest sets xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from knoxdb_tpu.encode import schemes as S
+from knoxdb_tpu.parallel import shard as PS
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device")
+def test_sharded_range_scan(rng):
+    n_dev = len(jax.devices())
+    mesh = PS.make_mesh(n_dev)
+    pack_size = 1024
+    P = n_dev * 3
+    width = 10
+    vals = rng.integers(0, 1 << width, (P, pack_size), dtype=np.uint64)
+    mins = rng.integers(0, 1000, P, dtype=np.uint64)
+    vals_abs = vals + mins[:, None]
+    planes = np.stack([
+        S.encode_bitpack(vals_abs[p], 1, int(mins[p]), width, pack_size).planes
+        for p in range(P)])
+    valid = np.full((P, pack_size // 32), 0xFFFFFFFF, np.uint32)
+
+    lo, hi = 600, 1600
+    cnt, total = PS.sharded_range_scan(
+        mesh, jnp.asarray(planes), jnp.asarray(mins), jnp.asarray(valid),
+        lo, hi, width)
+    m = (vals_abs >= lo) & (vals_abs <= hi)
+    assert cnt == int(m.sum())
+    assert total == int(vals_abs[m].astype(object).sum())
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    mod.dryrun_multichip(min(8, len(jax.devices())))

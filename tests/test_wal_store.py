@@ -1,0 +1,144 @@
+"""WAL, wire codec, KV store and segment serialization unit tests
+(reference internal/wal tests + pkg/store/tests + pkg/schema codec tests)."""
+
+import numpy as np
+import pytest
+
+from knoxdb_tpu.pack.segment import build_segment
+from knoxdb_tpu.schema.schema import Builder
+from knoxdb_tpu.schema.wire import decode_batch, encode_batch
+from knoxdb_tpu.store import segio
+from knoxdb_tpu.store.kv import FileStore, MemStore
+from knoxdb_tpu.types import FieldType, FilterType
+from knoxdb_tpu.wal.wal import Record, RecordType, RecoveryMode, Wal
+
+
+def test_wal_roundtrip(tmp_path):
+    w = Wal(tmp_path / "wal", max_segment=256)
+    lsns = []
+    for i in range(20):
+        lsns.append(w.write(Record(RecordType.INSERT, entity=1, txid=i,
+                                   data=bytes([i]) * 50)))
+    w.sync()
+    assert lsns == sorted(lsns)
+    recs = list(w.records())
+    assert len(recs) == 20
+    assert [r.txid for r in recs] == list(range(20))
+    assert all(r.data == bytes([r.txid]) * 50 for r in recs)
+    # from_lsn seek
+    recs2 = list(w.records(from_lsn=lsns[10]))
+    assert [r.txid for r in recs2] == list(range(10, 20))
+    # entity filter
+    w.write(Record(RecordType.COMMIT, entity=2, txid=99))
+    assert [r.txid for r in w.records(entity=2)] == [99]
+    w.close()
+
+
+def test_wal_gc(tmp_path):
+    w = Wal(tmp_path / "wal", max_segment=128)
+    last = 0
+    for i in range(50):
+        last = w.write(Record(RecordType.INSERT, entity=1, txid=i,
+                              data=b"x" * 40))
+    w.sync()
+    nseg = len(w._segments)
+    assert nseg > 3
+    removed = w.gc(last)
+    assert removed > 0
+    recs = list(w.records())
+    assert recs[-1].txid == 49
+    w.close()
+
+
+def test_wal_truncate_recovery(tmp_path):
+    w = Wal(tmp_path / "wal", max_segment=1 << 20)
+    for i in range(5):
+        w.write(Record(RecordType.INSERT, entity=1, txid=i, data=b"ok" * 10))
+    w.sync()
+    w.close()
+    # corrupt the tail
+    seg = next((tmp_path / "wal").glob("*.seg"))
+    with open(seg, "ab") as fh:
+        fh.write(b"\x01garbage-partial-record")
+    w2 = Wal(tmp_path / "wal")
+    with pytest.raises(Exception):
+        list(w2.records(mode=RecoveryMode.FAIL))
+    recs = list(w2.records(mode=RecoveryMode.TRUNCATE))
+    assert len(recs) == 5
+    # after truncate the log is clean again
+    assert len(list(w2.records(mode=RecoveryMode.FAIL))) == 5
+    w2.close()
+
+
+def test_wire_roundtrip():
+    sch = (Builder("w").pk("id")
+           .add("v", FieldType.INT64)
+           .add("f", FieldType.FLOAT64)
+           .add("s", FieldType.STRING)
+           .add("b", FieldType.BYTES)
+           .add("big", FieldType.INT256)
+           .finish())
+    n = 7
+    data = {
+        "id": np.arange(n, dtype=np.uint64),
+        "v": np.array([-5, 0, 3, 9, -9, 2**60, -2**60], np.int64),
+        "f": np.array([0.0, -0.0, 1.5, np.inf, -np.inf, 3.14, -1e300]),
+        "s": ["", "a", "héllo", "x" * 100, "q", "w", "e"],
+        "b": [b"", b"\x00\xff", b"abc", b"d", b"e", b"f", b"g"],
+        "big": [0, 1, -1, 10**70, -(10**70), 2**255 - 1 - 2**254, -2**255 // 2],
+    }
+    buf = encode_batch(sch, data, n)
+    out, n2 = decode_batch(sch, buf)
+    assert n2 == n
+    np.testing.assert_array_equal(out["id"], data["id"])
+    np.testing.assert_array_equal(out["v"], data["v"])
+    np.testing.assert_array_equal(out["f"], data["f"])
+    assert list(out["s"]) == data["s"]
+    assert list(out["b"]) == data["b"]
+    assert [int(v) for v in out["big"]] == data["big"]
+
+
+def test_kv_stores(tmp_path):
+    for store in (MemStore(), FileStore(tmp_path / "s")):
+        b = store.bucket("t1")
+        b.put(b"k1", b"v1")
+        b.put(b"k2", b"v2")
+        assert b.get(b"k1") == b"v1"
+        assert list(b.keys()) == [b"k1", b"k2"]
+        b.delete(b"k1")
+        assert b.get(b"k1") is None
+        store.drop_bucket("t1")
+
+
+def test_segment_serialization(rng):
+    sch = (Builder("s").pk("id")
+           .add("v", FieldType.UINT64, filter=FilterType.BLOOM_2B)
+           .add("w", FieldType.INT128)
+           .finish())
+    n = 1000
+    data = {
+        "id": np.arange(1, n + 1, dtype=np.uint64),
+        "v": rng.integers(0, 50, n, dtype=np.uint64),
+        "w": [int(x) * 10**25 for x in rng.integers(-50, 50, n)],
+    }
+    seg = build_segment(sch, data, pack_size=256)
+    blob = segio.dump_segment(seg)
+    seg2 = segio.load_segment(blob)
+    assert seg2.nrows_total == n
+    assert seg2.schema.names() == seg.schema.names()
+    for name, col in seg.columns.items():
+        col2 = seg2.columns[name]
+        assert len(col2.packs) == len(col.packs)
+        for p, p2 in zip(col.packs, col2.packs):
+            assert p.scheme == p2.scheme and p.width == p2.width
+            for a, b in ((p.planes, p2.planes), (p.values, p2.values),
+                         (p.ends, p2.ends)):
+                if a is None:
+                    assert b is None
+                else:
+                    np.testing.assert_array_equal(a, b)
+    fs, fs2 = seg.stats.fields["v"], seg2.stats.fields["v"]
+    np.testing.assert_array_equal(fs.min_key, fs2.min_key)
+    np.testing.assert_array_equal(fs.bloom_words, fs2.bloom_words)
+    ws, ws2 = seg.stats.fields["w"], seg2.stats.fields["w"]
+    assert [int(v) for v in ws.min_key] == [int(v) for v in ws2.min_key]
