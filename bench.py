@@ -4,12 +4,24 @@ BASELINE.json config #1: uint64 range filter + count/sum over compressed
 64K-row packs. The reference's best filter kernel does ~11 G rows/s
 (~88 GB/s AVX2 u64 EQ, BASELINE.md); vs_baseline = our rows/s over that.
 
+Measurement notes (this harness): the axon relay adds a flat ~25-30 ms
+synchronization cost per device call, so single-call timings measure the
+tunnel, not the chip. The bench therefore runs K query variants (distinct
+traced constants each iteration) inside ONE compiled call via a
+dynamic-bound fori loop and reports MARGINAL rows/s:
+    rows/s = rows * (K_hi - K_lo) / (t(K_hi) - t(K_lo))
+Every iteration's aggregate feeds the final result (no dead code), and
+iteration constants are derived non-periodically from the index (no
+hoisting). Correctness of the i=0 query is asserted against a numpy
+oracle before timing.
+
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -20,6 +32,7 @@ REF_ROWS_PER_S = 11e9   # BASELINE.md: u64 EQ AVX2 ~88 GB/s = 11 G rows/s
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from knoxdb_tpu.exec.device import DeviceSegment
     from knoxdb_tpu.exec.scan import AggSpec, SegmentScanner
@@ -29,7 +42,8 @@ def main():
     from knoxdb_tpu.types import FieldType, FilterMode
 
     pack_size = 1 << 16
-    n_packs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n_packs = int(os.environ.get("KNOX_BENCH_PACKS",
+                                 sys.argv[1] if len(sys.argv) > 1 else 256))
     n_rows = pack_size * n_packs
 
     rng = np.random.default_rng(0xBEEF)
@@ -53,39 +67,66 @@ def main():
     ).optimize()
     aggs = [AggSpec("count"), AggSpec("sum", "bal")]
 
-    fn, args, _raw = sc.prepare(tree, aggs)
-
-    def run_once():
-        mask, counts, parts = fn(*args)
-        jax.block_until_ready(counts)
-        return counts
-
-    t0 = time.perf_counter()
-    run_once()
-    t_compile = time.perf_counter() - t0
-
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run_once()
-    dt = (time.perf_counter() - t0) / iters
-
-    # correctness guard (exact vs numpy oracle)
+    # correctness first (exact vs numpy oracle), also warms the plan cache
     res = sc.scan(tree, aggs)
     m = ((data["val"] >= 1000) & (data["val"] <= 50000) & (data["bal"] > 0))
     assert res.count == int(m.sum()), "bench result mismatch"
     assert res.aggs[("sum", "bal")] == int(data["bal"][m].astype(object).sum())
 
-    rows_per_s = n_rows / dt
+    # K-iteration variant: constants perturbed per iteration (golden-ratio
+    # step keeps selectivity ~stable and defeats loop hoisting)
+    _fn, args, raw = sc.prepare(tree, aggs)
+    arrays, consts, overrides, valid, excl = args
+
+    def shift_consts(consts, i):
+        step = (i * jnp.uint64(0x9E3779B1)) % jnp.uint64(4096)
+
+        def bump(x):
+            if x.dtype == jnp.uint64 and x.ndim == 0:
+                return x + step
+            return x
+        return jax.tree_util.tree_map(bump, consts)
+
+    def many(arrays, consts, overrides, valid, excl, k):
+        def body(i, acc):
+            c = shift_consts(consts, i)
+            _mask, counts, parts = raw(arrays, c, overrides, valid, excl)
+            (lo, hi, cnts) = parts[1][0]
+            return (acc[0] + counts.sum(), acc[1] + lo.sum() + hi.sum())
+        return jax.lax.fori_loop(
+            0, k, body, (jnp.int64(0), jnp.uint64(0)))
+
+    g = jax.jit(many)
+
+    def run(k):
+        out = g(arrays, consts, overrides, valid, excl, jnp.int32(k))
+        return int(out[0]), int(out[1])   # host fetch forces completion
+
+    t0 = time.perf_counter()
+    run(1)
+    t_compile = time.perf_counter() - t0
+
+    K_LO, K_HI = 1, 33
+    t_lo = min(_time(run, K_LO) for _ in range(3))
+    t_hi = min(_time(run, K_HI) for _ in range(3))
+    marginal = max((t_hi - t_lo) / (K_HI - K_LO), 1e-9)
+
+    rows_per_s = n_rows / marginal
     print(json.dumps({
         "metric": "scan_filter_agg_rows_per_s",
         "value": rows_per_s,
         "unit": "rows/s",
         "vs_baseline": rows_per_s / REF_ROWS_PER_S,
     }))
-    print(f"# n_rows={n_rows} dt={dt*1e3:.3f}ms compile={t_compile:.1f}s "
-          f"build={t_build:.1f}s platform={jax.devices()[0].platform}",
-          file=sys.stderr)
+    print(f"# n_rows={n_rows} marginal={marginal*1e3:.3f}ms t_lo={t_lo*1e3:.1f}ms "
+          f"t_hi={t_hi*1e3:.1f}ms compile={t_compile:.1f}s build={t_build:.1f}s "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr)
+
+
+def _time(fn, k):
+    t0 = time.perf_counter()
+    fn(k)
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

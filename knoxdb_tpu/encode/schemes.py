@@ -55,6 +55,8 @@ class EncodedPack:
     card: int = 0               # true #values before padding (RLE/DICT)
     dict_keys: np.ndarray | None = None  # u64[card] sorted dict keys (host,
                                          # for code-space predicate rewrite)
+    dict_bytes: list | None = None       # bytes dict for STRING/BYTES packs
+                                         # (host-only; device sees codes)
 
     @property
     def nbytes(self) -> int:
@@ -139,6 +141,36 @@ def encode_rle(run_values_limbs: np.ndarray, run_ends: np.ndarray, n: int,
     ends[:r] = run_ends
     return EncodedPack(Scheme.RLE, n, nlimbs, values=vals, ends=ends, k=k,
                        card=r)
+
+
+def encode_string_dict(values: list, n_pad: int,
+                       width_round=None) -> EncodedPack:
+    """STRING/BYTES pack: sorted byte dictionary (host) + bitplane-packed
+    codes (device). The TPU analog of the reference string containers
+    (internal/encode/container.go string family): every predicate —
+    EQ/LT/RANGE/IN and even REGEXP — rewrites exactly into code space
+    because the dictionary is byte-sorted and host-resident."""
+    vals = [v.encode() if isinstance(v, str) else bytes(v) for v in values]
+    uniq = sorted(set(vals))
+    index = {b: i for i, b in enumerate(uniq)}
+    codes = np.array([index[b] for b in vals], np.uint64)
+    card = len(uniq)
+    width = max(1, (card - 1).bit_length())
+    if width_round:
+        width = width_round(width)
+    planes = _pack_bitplanes(codes, width, n_pad)
+    # prefix keys (8-byte big-endian) for zone maps / ordering hints
+    pref = np.array([_prefix_key(b) for b in uniq], np.uint64)
+    return EncodedPack(Scheme.DICT, len(vals), 2, width=width, planes=planes,
+                       values=np.zeros((2, 1), np.uint32), k=_ceil_pow2(card),
+                       card=card, dict_keys=pref, dict_bytes=uniq)
+
+
+def _prefix_key(b: bytes) -> int:
+    """First 8 bytes big-endian (reference stats cap strings at 8 bytes,
+    internal/pack/stats/index.go:177)."""
+    p = b[:8].ljust(8, b"\x00")
+    return int.from_bytes(p, "big")
 
 
 def encode_dict(codes: np.ndarray, unique_limbs: np.ndarray, n: int,

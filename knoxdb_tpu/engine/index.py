@@ -1,0 +1,138 @@
+"""Secondary indexes: hash / int / composite -> rid sets.
+
+Analog of the reference pack index engine (/root/reference/internal/pack/
+index/index.go:24-26,51-66, query.go): indexes map key -> row ids and
+decorate query plans with rid restrictions (the reference injects
+`$rid IN bitmap` conditions, internal/query/plan.go:312-449).
+
+TPU-first shape: because segments are immutable and rebuilt on merge, an
+index is a per-table sorted (key, rid) pair of host arrays rebuilt from
+segment metadata at merge time — lookups are binary searches; the result
+rid set becomes a positional INCLUDE bitset ANDed into the device scan
+mask (same mechanism as the journal exclude mask).
+
+Kinds (reference index.go:24-26):
+- HASH: EQ/IN only (key = keyform or byte hash)
+- INT:  EQ..RANGE (key = keyform int)
+- COMPOSITE: multi-field prefix EQ (key = tuple-concatenated keyform)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from ..exec import oracle as ORC
+from ..types import FilterMode, IndexType
+
+__all__ = ["PackIndex"]
+
+
+@dataclass
+class PackIndex:
+    name: str
+    kind: IndexType
+    fields: list[str]            # one field (hash/int) or several (composite)
+    keys: np.ndarray = dc_field(default_factory=lambda: np.empty(0, object))
+    rids: np.ndarray = dc_field(default_factory=lambda: np.empty(0, np.uint64))
+
+    def rebuild(self, table) -> None:
+        """Recompute from sealed segments (called after merge)."""
+        key_parts: list[np.ndarray] = []
+        rid_parts: list[np.ndarray] = []
+        for h in table.segments:
+            mat = table._materialize_all(
+                h, np.ones(len(h.host_rid), bool))
+            rids = np.asarray([int(r) for r in mat["$rid"]], np.uint64)
+            keys = self._make_keys(table, mat, len(rids))
+            key_parts.append(keys)
+            rid_parts.append(rids)
+        if not key_parts:
+            self.keys = np.empty(0, object)
+            self.rids = np.empty(0, np.uint64)
+            return
+        keys = np.concatenate(key_parts)
+        rids = np.concatenate(rid_parts)
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        self.rids = rids[order]
+
+    def _make_keys(self, table, mat: dict, n: int) -> np.ndarray:
+        parts = []
+        for fname in self.fields:
+            ft = table.full_schema.field(fname).type
+            if ft.is_bytes_like:
+                parts.append(np.array(
+                    [v.encode() if isinstance(v, str) else bytes(v)
+                     for v in mat[fname]], object))
+            else:
+                parts.append(ORC.column_keys(mat[fname], ft))
+        if len(parts) == 1:
+            return parts[0]
+        out = np.empty(n, object)
+        for i in range(n):
+            out[i] = tuple(p[i] for p in parts)
+        return out
+
+    # ------------------------------------------------------------ lookup --
+
+    def lookup_eq(self, key) -> np.ndarray:
+        # bisect handles tuple keys (composite) that searchsorted cannot
+        import bisect
+        lo = bisect.bisect_left(self.keys, key)
+        hi = bisect.bisect_right(self.keys, key)
+        return self.rids[lo:hi]
+
+    def lookup_in(self, keys) -> np.ndarray:
+        outs = [self.lookup_eq(k) for k in keys]
+        return np.unique(np.concatenate(outs)) if outs else \
+            np.empty(0, np.uint64)
+
+    def lookup_range(self, lo_key, hi_key) -> np.ndarray:
+        if self.kind == IndexType.HASH:
+            raise ValueError("hash index supports EQ/IN only")
+        import bisect
+        lo = bisect.bisect_left(self.keys, lo_key)
+        hi = bisect.bisect_right(self.keys, hi_key)
+        return np.unique(self.rids[lo:hi])
+
+    def can_serve(self, leaf) -> bool:
+        """Does this index serve a filter leaf (reference plan.go index
+        selection)?"""
+        if leaf.field.name != self.fields[0] or len(self.fields) > 1:
+            return False
+        if self.kind == IndexType.HASH:
+            return leaf.mode in (FilterMode.EQ, FilterMode.IN)
+        if self.kind == IndexType.INT:
+            return leaf.mode in (FilterMode.EQ, FilterMode.IN,
+                                 FilterMode.LT, FilterMode.LE,
+                                 FilterMode.GT, FilterMode.GE,
+                                 FilterMode.RANGE)
+        return False
+
+    def query_leaf(self, leaf) -> np.ndarray:
+        """Rids matching one leaf (keys in keyform / bytes domain)."""
+        ft = leaf.field.type
+        if ft.is_bytes_like:
+            if leaf.mode == FilterMode.EQ:
+                return self.lookup_eq(leaf.value_bytes)
+            if leaf.mode == FilterMode.IN:
+                return self.lookup_in(leaf.value_bytes)
+            raise ValueError("byte index leaf")
+        m = leaf.mode
+        if m == FilterMode.EQ:
+            return self.lookup_eq(leaf.key)
+        if m == FilterMode.IN:
+            return self.lookup_in([int(k) for k in leaf.keys])
+        if m == FilterMode.RANGE:
+            return self.lookup_range(leaf.key, leaf.key_hi)
+        if m == FilterMode.LT:
+            return self.lookup_range(0, leaf.key - 1)
+        if m == FilterMode.LE:
+            return self.lookup_range(0, leaf.key)
+        if m == FilterMode.GT:
+            return self.lookup_range(leaf.key + 1, (1 << 64) - 1)
+        if m == FilterMode.GE:
+            return self.lookup_range(leaf.key, (1 << 64) - 1)
+        raise ValueError(f"index leaf {m}")

@@ -104,6 +104,7 @@ class Table:
         self.journal = Journal(self.full_schema, journal_size)
         self.segments: list[_SegHandle] = []
         self._tomb_version = 0
+        self.indexes: list = []
 
     # ------------------------------------------------------------- write --
 
@@ -190,6 +191,53 @@ class Table:
         self.journal.abort(xid)
         self._tomb_version += 1
 
+    # ------------------------------------------------------------ indexes --
+
+    def create_index(self, fields, kind=None, name: str = "") -> "object":
+        """Create a secondary index (reference TableEngine index factory,
+        internal/engine/interface.go:207-208)."""
+        from ..types import IndexType
+        from .index import PackIndex
+        if isinstance(fields, str):
+            fields = [fields]
+        if kind is None:
+            kind = IndexType.INT if len(fields) == 1 else IndexType.COMPOSITE
+        idx = PackIndex(name or "_".join(fields), kind, list(fields))
+        idx.rebuild(self)
+        self.indexes.append(idx)
+        return idx
+
+    def drop_index(self, name: str) -> None:
+        self.indexes = [i for i in self.indexes if i.name != name]
+
+    def _index_pushdown(self, tree: Node | None):
+        """If a top-level AND leaf is index-served, return per-segment
+        INCLUDE bitsets restricting the scan (else None)."""
+        if tree is None or not self.indexes or not self.segments:
+            return None
+        leaves = []
+        if tree.is_leaf:
+            leaves = [tree.filter]
+        elif not tree.or_ and all(c.is_leaf for c in tree.children):
+            leaves = [c.filter for c in tree.children]
+        for f in leaves:
+            for idx in self.indexes:
+                if idx.can_serve(f):
+                    rids = idx.query_leaf(f)
+                    return self._rid_include_masks(rids)
+        return None
+
+    def _rid_include_masks(self, rids: np.ndarray) -> list:
+        outs = []
+        rids = np.asarray(rids, np.uint64)
+        for h in self.segments:
+            hits = np.flatnonzero(np.isin(h.host_rid, rids))
+            P, N = h.seg.npacks, h.seg.pack_size
+            m = np.zeros(P * N, bool)
+            m[hits] = True
+            outs.append(bs.np_pack_mask(m).reshape(P, N // 32))
+        return outs
+
     # -------------------------------------------------------------- read --
 
     def query(self, snap: Snapshot, tree: Node | None,
@@ -205,10 +253,11 @@ class Table:
         partial_aggs: list[ScanResult] = []
 
         excl_by_seg = self._exclude_masks(snap)
-        for h, excl in zip(self.segments, excl_by_seg):
+        incl_by_seg = self._index_pushdown(tree) or [None] * len(self.segments)
+        for h, excl, incl in zip(self.segments, excl_by_seg, incl_by_seg):
             sc = h.scanner_()
             r = sc.scan(tree, scan_aggs, project=project,
-                        limit=limit, exclude_words=excl)
+                        limit=limit, exclude_words=excl, include_words=incl)
             partial_aggs.append(r)
             res.count += r.count
 
@@ -224,6 +273,190 @@ class Table:
             self._merge_rows(res, project, partial_aggs, jdata, jmask, limit)
         self.metrics.queried_tuples += res.count
         return res
+
+    def group_query(self, snap: Snapshot, tree: Node | None,
+                    group_field: str, aggs: list[tuple[str, str]]):
+        """Group-by aggregation across segments + journal.
+
+        aggs: list of (op, field) with op in count/sum/min/max/avg.
+        Returns dict: {"keys": np values[G'], "count": i64[G'],
+        (op, field): values[G']} for non-empty groups, key-ascending."""
+        ft_g = self.full_schema.field(group_field).type
+        agg_fields = sorted({f for _, f in aggs if f})
+
+        # union group-key domain across segments (host metadata only)
+        from ..exec import groupby as GB
+        keysets = []
+        for h in self.segments:
+            h.scanner_()
+            keysets.append(GB.segment_group_keys(h.dseg, group_field))
+        jdata, jrids = self.journal.visible_rows(snap)
+        jmask = None
+        jkeys = None
+        if len(jrids):
+            jmask = ORC.eval_tree(tree, jdata, len(jrids))
+            if ft_g.is_bytes_like:
+                jkeys = np.array(
+                    [v.encode() if isinstance(v, str) else bytes(v)
+                     for v in jdata[group_field]], object)
+                if jmask.any():
+                    keysets.append(np.unique(jkeys[jmask]))
+            else:
+                jkeys = ORC.column_keys(jdata[group_field], ft_g)
+                if jmask.any():
+                    keysets.append(np.unique(
+                        np.array([int(k) for k in jkeys[jmask]], np.uint64)))
+        if not keysets:
+            return {"keys": np.empty(0), "count": np.empty(0, np.int64)}
+        global_keys = np.unique(np.concatenate(keysets))
+        G = len(global_keys)
+
+        counts = np.zeros(G, np.int64)
+        sums = {f: [0] * G for f in agg_fields}
+        mins = {f: [None] * G for f in agg_fields}
+        maxs = {f: [None] * G for f in agg_fields}
+
+        excl_by_seg = self._exclude_masks(snap)
+        for h, excl in zip(self.segments, excl_by_seg):
+            gplan, c, res = h.scanner_().group_scan(
+                tree, group_field, agg_fields, exclude_words=excl,
+                global_keys=global_keys)
+            counts += c
+            for f in agg_fields:
+                s, mn, mx = res[f]
+                for g in range(G):
+                    if c[g] == 0:
+                        continue
+                    sums[f][g] += s[g]
+                    k_mn, k_mx = int(mn[g]), int(mx[g])
+                    if mins[f][g] is None or k_mn < mins[f][g]:
+                        mins[f][g] = k_mn
+                    if maxs[f][g] is None or k_mx > maxs[f][g]:
+                        maxs[f][g] = k_mx
+
+        if jmask is not None and jmask.any():
+            sel = np.flatnonzero(jmask)
+            if ft_g.is_bytes_like:
+                gid_of = {k: i for i, k in enumerate(global_keys)}
+            else:
+                gid_of = {int(k): i for i, k in enumerate(global_keys)}
+            for i in sel:
+                g = gid_of[jkeys[i] if ft_g.is_bytes_like
+                           else int(jkeys[i])]
+                counts[g] += 1
+                for f in agg_fields:
+                    ftf = self.full_schema.field(f).type
+                    k = int(ORC.column_keys(jdata[f][i:i + 1], ftf)[0])
+                    sums[f][g] += k
+                    if mins[f][g] is None or k < mins[f][g]:
+                        mins[f][g] = k
+                    if maxs[f][g] is None or k > maxs[f][g]:
+                        maxs[f][g] = k
+
+        keep = counts > 0
+        from ..exec.groupby import GroupPlan
+        gp = GroupPlan(global_keys[keep], int(keep.sum()), [])
+        out = {"keys": gp.key_values(ft_g), "count": counts[keep]}
+        kept = np.flatnonzero(keep)
+        for op, f in aggs:
+            if op == "count" or not f:
+                continue
+            ftf = self.full_schema.field(f).type
+            if ftf.is_float and op in ("sum", "avg"):
+                raise NotImplementedError(
+                    "float group sums not yet supported; use a decimal type")
+            bias = (1 << (ftf.bits - 1)) if ftf.is_signed else 0
+            if op in ("sum", "avg"):
+                vals = [sums[f][g] - int(counts[g]) * bias for g in kept]
+                if op == "avg":
+                    vals = [v / int(counts[g]) for v, g in zip(vals, kept)]
+                out[(op, f)] = np.array(vals, object)
+            elif op == "min":
+                out[(op, f)] = np.array(
+                    [_from_key(mins[f][g], ftf) for g in kept], object)
+            elif op == "max":
+                out[(op, f)] = np.array(
+                    [_from_key(maxs[f][g], ftf) for g in kept], object)
+        return out
+
+    def sorted_query(self, snap: Snapshot, tree: Node | None,
+                     order_by: str, desc: bool = False, limit: int = 0,
+                     project: list[str] | None = None) -> ScanResult:
+        """ORDER BY (+ optional top-k LIMIT): per-segment device top-k,
+        host k-way merge with journal rows by keyform key."""
+        from ..exec import sort as SRT
+        project = project or [f.name for f in self.schema.fields]
+        ft = self.full_schema.field(order_by).type
+        if ft.is_bytes_like:
+            # byte order: materialize + host sort (prefix-key device sort
+            # cannot break ties beyond 8 bytes)
+            res = self.query(snap, tree, [AggSpec("count")],
+                             project=sorted(set(project) | {order_by}))
+            key = [v.encode() if isinstance(v, str) else bytes(v)
+                   for v in res.rows[order_by]]
+            order = np.argsort(np.array(key, object), kind="stable")
+            if desc:
+                order = order[::-1]
+            if limit:
+                order = order[:limit]
+            for name in list(res.rows):
+                res.rows[name] = res.rows[name][order]
+            res.count = len(order)
+            return res
+        k = limit if limit else self.state.n_rows + self.journal.nrows
+        entries = []   # (key_int, source, row_index)
+
+        excl_by_seg = self._exclude_masks(snap)
+        seg_rows = []
+        for h, excl in zip(self.segments, excl_by_seg):
+            kk = min(k, h.seg.nrows_total) or 1
+            keys, rows, nvalid = SRT.segment_topk(
+                h.scanner_(), tree, order_by, kk, desc=desc,
+                project=project, exclude_words=excl)
+            si = len(seg_rows)
+            seg_rows.append(rows)
+            for i, key in enumerate(keys):
+                entries.append((key, si, i))
+
+        jdata, jrids = self.journal.visible_rows(snap)
+        jmask = None
+        if len(jrids):
+            jmask = ORC.eval_tree(tree, jdata, len(jrids))
+            jkeys = ORC.column_keys(jdata[order_by], ft)
+            for i in np.flatnonzero(jmask):
+                entries.append((int(jkeys[i]), -1, int(i)))
+
+        entries.sort(key=lambda e: e[0], reverse=desc)
+        if limit:
+            entries = entries[:limit]
+
+        res = ScanResult()
+        res.count = len(entries)
+        cols: dict[str, list] = {name: [] for name in project}
+        for key, src, i in entries:
+            for name in project:
+                if src < 0:
+                    cols[name].append(jdata[name][i])
+                else:
+                    lim = seg_rows[src][name][:, i]
+                    cols[name].append(self._limbs_to_value(name, lim))
+        for name in project:
+            ftf = self.full_schema.field(name).type
+            if ftf.nlimbs <= 2 and not ftf.is_bytes_like:
+                res.rows[name] = np.asarray(
+                    [v for v in cols[name]], lb.numpy_dtype(ftf))
+            else:
+                res.rows[name] = np.array(cols[name], object)
+        return res
+
+    def _limbs_to_value(self, name: str, lim: np.ndarray):
+        """One row's u32 limbs -> native value (absolute keyform)."""
+        ft = self.full_schema.field(name).type
+        x = 0
+        for l in range(lim.shape[0]):
+            x = (x << 32) | int(lim[l])
+        from ..exec.scan import _key_to_value
+        return _key_to_value(x, ft)
 
     def _matching_rids(self, snap: Snapshot, tree: Node | None) -> np.ndarray:
         """Rids of all visible rows matching the tree (for delete/update)."""
@@ -251,10 +484,9 @@ class Table:
             if not len(dead):
                 outs.append(None)
                 continue
-            pos = np.searchsorted(h.host_rid, dead)
-            pos = pos[pos < len(h.host_rid)]
-            # keep only positions whose rid is actually in the dead set
-            hits = pos[np.isin(h.host_rid[pos], dead)]
+            # host_rid is PK-ordered, NOT rid-ordered (updated rows carry
+            # fresh rids at their pk position) — membership, not bisection
+            hits = np.flatnonzero(np.isin(h.host_rid, dead))
             if not len(hits):
                 outs.append(None)
                 continue
@@ -404,6 +636,8 @@ class Table:
         self.state.checkpoint_lsn = lsn
         self.metrics.merges += 1
         self.metrics.journal_tuples = 0
+        for idx in self.indexes:
+            idx.rebuild(self)
         self.engine.save_state(self)
 
     def _materialize_all(self, h: _SegHandle, alive: np.ndarray) -> dict:
@@ -555,6 +789,11 @@ def _dict_vals(p) -> np.ndarray:
     if p.values.shape[0] == 1:
         return p.values[0].astype(np.uint64)
     return (p.values[0].astype(np.uint64) << np.uint64(32)) | p.values[1]
+
+
+def _from_key(key: int, ft: FieldType):
+    from ..exec.scan import _key_to_value
+    return _key_to_value(key, ft)
 
 
 def _combine_agg(op, vals, jval):

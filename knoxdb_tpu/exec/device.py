@@ -44,6 +44,7 @@ class DeviceGroup:
     # host-side per-pack metadata aligned with idx:
     bases: list[int] | None = None       # wide bitpack bases (python ints)
     dict_keys: list[np.ndarray] | None = None  # per-pack sorted u64 keys
+    dict_bytes: list[list] | None = None  # per-pack sorted byte dicts (str)
     rle_host: list[EncodedPack] | None = None   # host packs (RLE value access)
 
     @property
@@ -130,6 +131,8 @@ def _upload_column(col: EncodedColumn, pack_size: int) -> DeviceColumn:
                     np.array([p.min_key for p in packs], np.uint64))
         if scheme == Scheme.DICT:
             g.dict_keys = [p.dict_keys for p in packs]
+            if packs[0].dict_bytes is not None:
+                g.dict_bytes = [p.dict_bytes for p in packs]
         if scheme == Scheme.CONST and col.wide:
             g.bases = [col.wide_bases[i] for i in idxs]
         groups.append(g)
@@ -207,6 +210,15 @@ def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
                               cs=consts.get("cs"))
 
     if scheme == Scheme.DICT:
+        if "dict_mask" in consts:
+            # byte-dict IN/NOT_IN/REGEXP: bool verdict per dictionary
+            # entry, gathered by code (the reference's dict matcher shape,
+            # internal/encode/container.go:72-76)
+            from ..encode import schemes as S
+            codes = S.decode_bitplanes_u32(arrays["planes"], width) \
+                .astype(jnp.int32)
+            rows = jnp.take_along_axis(consts["dict_mask"], codes, axis=1)
+            return bs.pack_mask(rows)
         # predicates rewritten to code space on host (exec/rewrite.py);
         # code space is order-preserving, so mode maps statically:
         code_mode = {
@@ -362,6 +374,41 @@ def _lex_minmax(limbs, mask, want_min: bool):
         take_b = C.lt_vec(b, a) if want_min else C.lt_vec(a, b)
         x = jnp.where(take_b[None], b, a)
     return x[..., 0]
+
+
+def add_base_limbs(lim, base):
+    """Multi-limb add with carry: lim u32[L, Pg, N] + base u32[Pg, L]
+    (limb 0 most significant) -> u32[L, Pg, N]. Used to rebase wide
+    bitpack packs to absolute keyform on device (sort path)."""
+    L = lim.shape[0]
+    out = [None] * L
+    carry = jnp.zeros(lim.shape[1:], jnp.uint64)
+    for l in range(L - 1, -1, -1):
+        s = lim[l].astype(jnp.uint64) + base[:, l].astype(jnp.uint64)[:, None] \
+            + carry
+        out[l] = s.astype(jnp.uint32)
+        carry = s >> jnp.uint64(32)
+    return jnp.stack(out)
+
+
+def group_decode_limbs_abs(g_sig: tuple, g, arrays: dict, W: int):
+    """Like group_decode_limbs but wide BITPACK/CONST groups are rebased
+    to ABSOLUTE keyform (order-correct across packs)."""
+    lim = group_decode_limbs(g_sig, arrays, W)
+    scheme, width, k, nlimbs, wide, Pg = Scheme(g_sig[0]), *g_sig[1:]
+    if wide and scheme in (Scheme.BITPACK, Scheme.CONST) and g.bases:
+        base = np.zeros((Pg, nlimbs), np.uint32)
+        for j, b in enumerate(g.bases):
+            x = int(b)
+            for l in range(nlimbs - 1, -1, -1):
+                base[j, l] = x & 0xFFFFFFFF
+                x >>= 32
+        if scheme == Scheme.CONST:
+            # CONST wide stores raw limbs already? No: values hold the
+            # original keyform limbs, bases duplicate them; skip rebase.
+            return lim
+        lim = add_base_limbs(lim, jnp.asarray(base))
+    return lim
 
 
 def _limbs_to_u64(values):

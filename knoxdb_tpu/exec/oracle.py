@@ -37,6 +37,8 @@ def column_keys(col, ft: FieldType) -> np.ndarray:
 
 
 def eval_leaf(f: Filter, col) -> np.ndarray:
+    if f.field.type.is_bytes_like:
+        return _eval_bytes(f, col)
     keys = column_keys(col, f.field.type)
     m = f.mode
     if m == FilterMode.TRUE:
@@ -62,6 +64,37 @@ def eval_leaf(f: Filter, col) -> np.ndarray:
         inm = np.array([int(k) in ks for k in keys], bool)
         return ~inm if m == FilterMode.NOT_IN else inm
     raise ValueError(f"oracle: unsupported mode {m}")
+
+
+def _eval_bytes(f: Filter, col) -> np.ndarray:
+    """STRING/BYTES leaves: full byte comparison (journal overlay)."""
+    vals = [v.encode() if isinstance(v, str) else bytes(v) for v in col]
+    m = f.mode
+    if m == FilterMode.TRUE:
+        return np.ones(len(vals), bool)
+    if m == FilterMode.FALSE:
+        return np.zeros(len(vals), bool)
+    if m == FilterMode.REGEXP:
+        rx = f.value_bytes
+
+        def dec(v):
+            try:
+                return v.decode()
+            except UnicodeDecodeError:
+                return v.decode("latin-1")
+        return np.array([rx.search(dec(v)) is not None for v in vals], bool)
+    if m in (FilterMode.IN, FilterMode.NOT_IN):
+        want = set(f.value_bytes)
+        inm = np.array([v in want for v in vals], bool)
+        return ~inm if m == FilterMode.NOT_IN else inm
+    c = f.value_bytes
+    if m == FilterMode.RANGE:
+        lo, hi = c
+        return np.array([lo <= v <= hi for v in vals], bool)
+    ops = {FilterMode.EQ: lambda v: v == c, FilterMode.NE: lambda v: v != c,
+           FilterMode.LT: lambda v: v < c, FilterMode.LE: lambda v: v <= c,
+           FilterMode.GT: lambda v: v > c, FilterMode.GE: lambda v: v >= c}
+    return np.array([ops[m](v) for v in vals], bool)
 
 
 def eval_tree(node: Node | None, data: dict, n: int) -> np.ndarray:

@@ -45,7 +45,11 @@ def leaf_group_static(leaf: Filter, g: DeviceGroup) -> tuple:
     K = 0
     if leaf.mode in (FilterMode.IN, FilterMode.NOT_IN):
         K = _pow2_pad(len(leaf.keys))
-    return (int(leaf.mode), int(g.scheme), g.width, g.nlimbs, g.wide, K)
+    # byte dicts rewrite IN/REGEXP to a per-pack dict-mask gather
+    mask_path = g.dict_bytes is not None and leaf.mode in (
+        FilterMode.IN, FilterMode.NOT_IN, FilterMode.REGEXP)
+    return (int(leaf.mode), int(g.scheme), g.width, g.nlimbs, g.wide, K,
+            mask_path)
 
 
 def leaf_group_consts(leaf: Filter, col: EncodedColumn, g: DeviceGroup):
@@ -56,6 +60,8 @@ def leaf_group_consts(leaf: Filter, col: EncodedColumn, g: DeviceGroup):
         return {"const_match": jnp.asarray(_const_verdicts(leaf, col, g))}
 
     if g.scheme == Scheme.DICT:
+        if g.dict_bytes is not None:
+            return _dict_consts_bytes(leaf, g)
         return _dict_consts(leaf, g)
 
     if g.scheme in (Scheme.BITPACK, Scheme.DELTA):
@@ -175,6 +181,69 @@ def _wide_bitpack_consts(leaf: Filter, g: DeviceGroup):
         keys = keys + [keys[0]] * (K - len(keys))
         return {"rels": [_wide_rel(k, g.bases, g.width) for k in keys]}
     return {"rel": _wide_rel(leaf.key, g.bases, g.width)}
+
+
+# -------------------------------------------------------------- bytes ---
+
+def _dict_consts_bytes(leaf: Filter, g: DeviceGroup):
+    """STRING/BYTES predicates -> per-pack code space via the byte-sorted
+    host dictionaries. All modes are EXACT (full byte comparison happens
+    on the dictionary, device only compares codes):
+      EQ/NE/LT/LE/GT/GE/RANGE -> bisect bounds (as _dict_consts)
+      IN / NOT_IN / REGEXP    -> per-pack bool dict mask, gathered by code
+    """
+    import bisect
+    m = leaf.mode
+    P = g.npacks
+
+    if m in (FilterMode.IN, FilterMode.NOT_IN, FilterMode.REGEXP):
+        dm = np.zeros((P, g.k), bool)
+        for j, db in enumerate(g.dict_bytes):
+            if m == FilterMode.REGEXP:
+                rx = leaf.value_bytes
+                for c, b in enumerate(db):
+                    try:
+                        s = b.decode()
+                    except UnicodeDecodeError:
+                        s = b.decode("latin-1")
+                    dm[j, c] = rx.search(s) is not None
+            else:
+                want = set(leaf.value_bytes)
+                for c, b in enumerate(db):
+                    dm[j, c] = b in want
+        if m == FilterMode.NOT_IN:
+            dm = ~dm
+        return {"dict_mask": jnp.asarray(dm)}
+
+    lo = np.zeros(P, np.uint64)
+    hi = np.zeros(P, np.uint64)
+    for j, db in enumerate(g.dict_bytes):
+        card = len(db)
+        if m in (FilterMode.EQ, FilterMode.NE):
+            pos = bisect.bisect_left(db, leaf.value_bytes)
+            found = pos < card and db[pos] == leaf.value_bytes
+            lo[j] = pos if found else _MISS
+        elif m == FilterMode.LT:
+            lo[j] = bisect.bisect_left(db, leaf.value_bytes)
+        elif m == FilterMode.LE:
+            lo[j] = bisect.bisect_right(db, leaf.value_bytes)
+        elif m == FilterMode.GT:
+            lo[j] = bisect.bisect_right(db, leaf.value_bytes)
+        elif m == FilterMode.GE:
+            lo[j] = bisect.bisect_left(db, leaf.value_bytes)
+        elif m == FilterMode.RANGE:
+            l = bisect.bisect_left(db, leaf.value_bytes[0])
+            h = bisect.bisect_right(db, leaf.value_bytes[1])
+            if h == 0:
+                lo[j], hi[j] = 1, 0
+            else:
+                lo[j], hi[j] = l, h - 1
+        else:
+            raise ValueError(f"bytes dict rewrite: {m}")
+    out = {"lo": jnp.asarray(lo)}
+    if m == FilterMode.RANGE:
+        out["hi"] = jnp.asarray(hi)
+    return out
 
 
 # --------------------------------------------------------------- dict ---

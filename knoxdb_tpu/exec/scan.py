@@ -79,11 +79,13 @@ class SegmentScanner:
     # ------------------------------------------------------------ public --
 
     def prepare(self, tree: Node | None, aggs: list[AggSpec],
-                exclude_words=None):
+                exclude_words=None, include_words=None):
         """Compile (or fetch) the fused scan fn and build its arguments.
 
         exclude_words: optional packed u32[P, W] bitset of rows to EXCLUDE
         (journal tombstones — reference reader.go:349-376 exclude mask).
+        include_words: optional packed bitset RESTRICTING the scan (index
+        rid pushdown — reference plan.go:312-449 `$rid IN bitmap`).
         Returns (jitted_fn, args_tuple, raw_fn)."""
         d = self.d
         leaves: dict[int, Filter] = {}
@@ -112,7 +114,8 @@ class SegmentScanner:
         used = sorted(set(agg_fields) | set(filter_fields))
 
         has_excl = exclude_words is not None
-        sig = (d.sig(used), tdesc, tuple(skip_leaf), has_excl,
+        has_incl = include_words is not None
+        sig = (d.sig(used), tdesc, tuple(skip_leaf), has_excl, has_incl,
                tuple((a.op, a.field) for a in aggs),
                tuple(RW.leaf_group_static(leaves[i], g)
                      for i in range(len(leaves)) if not skip_leaf[i]
@@ -121,7 +124,7 @@ class SegmentScanner:
         pair = self._fns.get(sig)
         if pair is None:
             raw = self._build_fn(tdesc, leaves, skip_leaf, aggs, agg_fields,
-                                 has_excl)
+                                 has_excl, has_incl)
             pair = (jax.jit(raw), raw)
             self._fns[sig] = pair
         fn, raw = pair
@@ -129,13 +132,15 @@ class SegmentScanner:
         arrays = d.arrays_pytree(used)
         overrides = [(jnp.asarray(t.all_), jnp.asarray(t.none)) for t in tri]
         excl = (jnp.asarray(exclude_words),) if has_excl else ()
+        if has_incl:
+            excl = excl + (jnp.asarray(include_words),)
         return fn, (arrays, consts, overrides, d.valid_words, excl), raw
 
     def scan(self, tree: Node | None, aggs: list[AggSpec],
              project: list[str] | None = None, limit: int = 0,
-             exclude_words=None) -> ScanResult:
+             exclude_words=None, include_words=None) -> ScanResult:
         d = self.d
-        fn, args, _ = self.prepare(tree, aggs, exclude_words)
+        fn, args, _ = self.prepare(tree, aggs, exclude_words, include_words)
         mask_words, pack_counts, agg_parts = fn(*args)
 
         res = ScanResult()
@@ -152,6 +157,69 @@ class SegmentScanner:
             self._materialize(res, mask_words, project or [], cap, limit)
         return res
 
+    # ---------------------------------------------------------- group-by --
+
+    def group_scan(self, tree: Node | None, group_field: str,
+                   agg_fields: list[str], exclude_words=None,
+                   global_keys: np.ndarray | None = None, gplan=None):
+        """Hash-aggregate: per-group (count, exact int sum, min, max) for
+        each agg field. Returns (gplan, counts i64[G],
+        {field: (sum int[G] python, min u64[G], max u64[G])}).
+
+        Group domain comes from host metadata (dicts/zone maps); pass
+        global_keys to align multiple segments on one domain."""
+        from . import groupby as GB
+        d = self.d
+        if not agg_fields:
+            agg_fields = [group_field]   # count-only: aggregate the key
+        if gplan is None:
+            gplan = GB.plan_groups(d, group_field, global_keys)
+        _fn, margs, mask_raw = self.prepare(tree, [], exclude_words)
+
+        used = sorted(set([group_field] + agg_fields))
+        garrays = d.arrays_pytree(used)
+        dcol = d.column(group_field)
+        mode_tags = tuple(m[0] for m in gplan.mode)
+        gsigs = tuple(g.sig() for g in dcol.groups)
+        gidxs = tuple(g.idx for g in dcol.groups)
+        agg_sigs = {f: [(gi, g.sig(), g.idx)
+                        for gi, g in enumerate(d.column(f).groups)]
+                    for f in agg_fields}
+        gconsts = GB.gid_consts(gplan)
+
+        sig = ("group", d.sig(used), group_field, tuple(agg_fields),
+               mode_tags, gplan.G, exclude_words is not None)
+        gfn = self._fns.get(sig)
+        if gfn is None:
+            def gf(margs, garrays, gconsts):
+                mask, _, _ = mask_raw(*margs)
+                gids = GB.row_gids(mode_tags, gsigs, gidxs,
+                                   garrays[group_field], gconsts, d.W)
+                out = {}
+                for f in agg_fields:
+                    dec = jnp.zeros((d.P, d.N), jnp.uint64)
+                    for gi_, gsig_, gidx_ in agg_sigs[f]:
+                        keys = D.group_decode_keys(gsig_, garrays[f][gi_],
+                                                   d.W)
+                        dec = dec.at[gidx_].set(keys)
+                    out[f] = GB.group_aggregate(gids, mask, dec, gplan.G)
+                return out
+
+            gfn = jax.jit(gf)
+            self._fns[sig] = gfn
+
+        out = gfn(margs, garrays, gconsts)
+        results = {}
+        counts = None
+        for f in agg_fields:
+            c, slo, shi, mn, mx = out[f]
+            if counts is None:
+                counts = np.asarray(c)
+            sums = [int(l) + (int(h) << 32)
+                    for l, h in zip(np.asarray(slo), np.asarray(shi))]
+            results[f] = (sums, np.asarray(mn), np.asarray(mx))
+        return gplan, counts, results
+
     # ------------------------------------------------------- compilation --
 
     def _leaf_tristate(self, f: Filter) -> TriState:
@@ -163,14 +231,17 @@ class SegmentScanner:
         fs = st.fields.get(f.field.name)
         if fs is None:
             return TriState.unknown(self.d.P)
-        lo = f.key
-        hi = f.key_hi
-        keys = f.keys
-        return prune_leaf(fs, f.mode, lo=lo, hi=hi, keys=keys,
-                          key_limbs=f.key_limbs)
+        kb = None
+        if f.field.type.is_bytes_like and f.mode in (
+                FilterMode.EQ, FilterMode.IN):
+            vb = f.value_bytes
+            kb = vb if isinstance(vb, list) else [vb]
+        return prune_leaf(fs, f.mode, lo=f.key, hi=f.key_hi, keys=f.keys,
+                          key_limbs=None if kb else f.key_limbs,
+                          key_bytes=kb)
 
     def _build_fn(self, tdesc, leaves, skip_leaf, aggs, agg_fields,
-                  has_excl=False):
+                  has_excl=False, has_incl=False):
         d = self.d
         W = d.W
         # static per-leaf group sigs + scatter indices
@@ -215,6 +286,8 @@ class SegmentScanner:
             mask = eval_node(tdesc, arrays, consts, overrides) & valid
             if has_excl:
                 mask = mask & ~excl[0]
+            if has_incl:
+                mask = mask & excl[1 if has_excl else 0]
             pack_counts = B.popcount_words(mask)
             parts = []
             for op, fname in agg_specs:
@@ -334,11 +407,26 @@ class SegmentScanner:
             proj_groups = {name: [(g.sig(), g.idx) for g in d.column(name).groups]
                            for name in project}
 
+            bytes_cols = {name for name in project
+                          if d.seg.columns[name].field.type.is_bytes_like}
+
             def mat(mask, arrays):
+                from ..encode import schemes as S
                 flat = bs.unpack_mask(mask).reshape(-1)
                 idx, count = CP.mask_to_indexes(flat, cap)
                 outs = {}
                 for name in project:
+                    if name in bytes_cols:
+                        # decode dictionary CODES; host maps via dict_bytes
+                        codes = jnp.zeros((d.P, d.N), jnp.uint32)
+                        for gi, (gsig, gidx) in enumerate(proj_groups[name]):
+                            w = gsig[1]
+                            c = S.decode_bitplanes_u32(
+                                arrays[name][gi]["planes"], w)
+                            codes = codes.at[gidx].set(c)
+                        outs[name] = CP.take_rows(
+                            codes.reshape(1, -1), idx)
+                        continue
                     L = d.seg.columns[name].nlimbs
                     dec = jnp.zeros((L, d.P, d.N), jnp.uint32)
                     for gi, (gsig, gidx) in enumerate(proj_groups[name]):
@@ -359,10 +447,23 @@ class SegmentScanner:
         for name in project:
             col = self.d.seg.columns[name]
             limbs = np.asarray(outs[name])[:, :n]
-            if col.wide:
+            if col.field.type.is_bytes_like:
+                res.rows[name] = self._bytes_values(col, limbs[0], idx_np)
+            elif col.wide:
                 res.rows[name] = self._wide_values(col, limbs, idx_np)
             else:
                 res.rows[name] = lb.from_keyform(limbs, col.field.type)
+
+    def _bytes_values(self, col, codes: np.ndarray, idx_np: np.ndarray):
+        """Code rows -> byte values via per-pack host dictionaries."""
+        N = self.d.N
+        as_str = col.field.type == FieldType.STRING
+        out = np.empty(len(codes), object)
+        for r in range(len(codes)):
+            pack = int(idx_np[r]) // N
+            b = col.packs[pack].dict_bytes[int(codes[r])]
+            out[r] = b.decode() if as_str else b
+        return out
 
     def _wide_values(self, col, limbs: np.ndarray, idx_np: np.ndarray):
         """Recombine wide rows: device limbs hold either full RAW limbs or
@@ -372,14 +473,13 @@ class SegmentScanner:
         out = np.empty(limbs.shape[1], object)
         for r in range(limbs.shape[1]):
             pack = int(idx_np[r]) // N
-        # decide per pack whether the scheme was relative (bitpack/const)
-        for r in range(limbs.shape[1]):
-            pack = int(idx_np[r]) // N
             p = col.packs[pack]
-            if p.scheme in (Scheme.BITPACK, Scheme.CONST):
+            if p.scheme == Scheme.BITPACK:
+                # packed-relative keys in the low two limbs + host base
                 rel = (int(limbs[-2, r]) << 32) | int(limbs[-1, r])
                 v = col.wide_bases[pack] + rel
             else:
+                # RAW / CONST carry full absolute keyform limbs
                 v = 0
                 for l in range(limbs.shape[0]):
                     v = (v << 32) | int(limbs[l, r])

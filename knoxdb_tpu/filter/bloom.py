@@ -68,6 +68,38 @@ def contains_any_np(words: np.ndarray, limbs: np.ndarray) -> bool:
     return bool(contains_np(words, limbs).any())
 
 
+def _bytes_hashes(vals: list) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 32-bit hashes per byte string (host; blake2b)."""
+    import hashlib
+    h1 = np.empty(len(vals), np.uint32)
+    h2 = np.empty(len(vals), np.uint32)
+    for i, b in enumerate(vals):
+        d = hashlib.blake2b(b, digest_size=8).digest()
+        h1[i] = int.from_bytes(d[:4], "little")
+        h2[i] = int.from_bytes(d[4:], "little")
+    return h1, h2
+
+
+def build_bytes_np(vals: list, nbits: int) -> np.ndarray:
+    """Bloom over full byte values (STRING/BYTES pack pruning)."""
+    assert nbits & (nbits - 1) == 0
+    h1, h2 = _bytes_hashes(vals)
+    words = np.zeros(nbits // 32, np.uint32)
+    for pos in _probe_positions(h1, h2, nbits, np):
+        np.bitwise_or.at(words, pos >> 5, np.uint32(1) << (pos & np.uint32(31)))
+    return words
+
+
+def contains_bytes_np(words: np.ndarray, vals: list) -> np.ndarray:
+    nbits = words.shape[-1] * 32
+    h1, h2 = _bytes_hashes(vals)
+    out = np.ones(len(vals), bool)
+    for pos in _probe_positions(h1, h2, nbits, np):
+        bit = (words[pos >> 5] >> (pos & np.uint32(31))) & np.uint32(1)
+        out &= bit.astype(bool)
+    return out
+
+
 def probe_device(filters, limbs):
     """Device probe over stacked per-pack filters.
 

@@ -139,6 +139,14 @@ class TableHandle:
         automatically past the journal high-water mark)."""
         self._t.merge()
 
+    def create_index(self, fields, kind=None, name: str = ""):
+        """Secondary index: 'hash' (EQ/IN), 'int' (EQ..RANGE) or
+        composite (multi-field prefix EQ)."""
+        from .types import IndexType
+        if isinstance(kind, str):
+            kind = IndexType[kind.upper()]
+        return self._t.create_index(fields, kind, name)
+
     # -------------------------------------------------------------- read --
 
     def query(self) -> "Query":
@@ -214,6 +222,7 @@ class Query:
         self._conds: list[Node] = []
         self._limit = 0
         self._select: list[str] | None = None
+        self._order: tuple[str, bool] | None = None
 
     # --------------------------------------------------------- condition --
 
@@ -260,10 +269,19 @@ class Query:
         self._select = list(names)
         return self
 
+    def order_by(self, field: str, desc: bool = False) -> "Query":
+        self._order = (field, desc)
+        return self
+
     # ----------------------------------------------------------- execute --
 
     def _run(self, aggs, project=None) -> ScanResult:
         with self._table.db.begin(read_only=True) as tx:
+            if self._order is not None and project is not None:
+                field, desc = self._order
+                return self._table._t.sorted_query(
+                    tx.snapshot, self._tree(), field, desc=desc,
+                    limit=self._limit, project=project)
             return self._table._t.query(tx.snapshot, self._tree(), aggs,
                                         project=project, limit=self._limit)
 
@@ -303,10 +321,23 @@ class Query:
             return v / (10 ** f.scale)
         return v
 
+    def group_by(self, field: str) -> "GroupQuery":
+        """Hash-aggregate by a key column (EXCEEDS reference parity: the
+        reference lists group-by as TODO, internal/query/plan.go:26-34)."""
+        return GroupQuery(self, field)
+
     def rows(self) -> dict:
-        """Column-batch results (TPU-native shape)."""
+        """Column-batch results (TPU-native shape). Decimal fields are
+        scaled to floats (value / 10^scale)."""
         names = self._select or [f.name for f in self._table.schema.fields]
         r = self._run([AggSpec("count")], project=names)
+        sch = self._table.schema.with_meta()
+        for name in list(r.rows):
+            f = sch.field(name)
+            if f.scale:
+                r.rows[name] = np.array(
+                    [None if v is None else int(v) / 10**f.scale
+                     for v in r.rows[name]], object)
         return r.rows
 
     def execute(self) -> list:
@@ -331,6 +362,78 @@ class Query:
             fn(row)
             cnt += 1
         return cnt
+
+
+def join(left: "Query", right: "Query", on: tuple[str, str],
+         how: "JoinType | str" = None, select: tuple | None = None) -> dict:
+    """Equi-join two filtered queries (reference pkg/knox/join.go:28-47).
+
+    on=(left_field, right_field); how: JoinType or
+    'inner'|'left'|'right'|'full'|'cross'. Returns column dict with
+    right-side columns prefixed 'r_' on name collisions. Outer-side
+    misses yield None."""
+    from .exec import join as J
+    from .exec import oracle as ORC
+    from .types import JoinType
+
+    if how is None:
+        how = JoinType.INNER
+    elif isinstance(how, str):
+        how = JoinType[how.upper()]
+
+    lf, rf = on
+    lsel = left._select or [f.name for f in left._table.schema.fields]
+    rsel = right._select or [f.name for f in right._table.schema.fields]
+    lrows = left.select(*dict.fromkeys(lsel + [lf])).rows()
+    rrows = right.select(*dict.fromkeys(rsel + [rf])).rows()
+
+    # join in the VALUE domain (python ints) so differently-typed key
+    # columns (e.g. INT64 fk vs UINT64 pk) match by numeric value
+    lkeys = np.array([int(v) for v in lrows[lf]], object)
+    rkeys = np.array([int(v) for v in rrows[rf]], object)
+    res = J.join_keys_np(lkeys, rkeys, how)
+
+    out: dict = {}
+    for name in lsel:
+        col = lrows[name]
+        out[name] = np.array(
+            [col[i] if i >= 0 else None for i in res.lidx], object)
+    for name in rsel:
+        col = rrows[name]
+        key = name if name not in out else f"r_{name}"
+        out[key] = np.array(
+            [col[j] if j >= 0 else None for j in res.ridx], object)
+    out["__n"] = res.n
+    return out
+
+
+class GroupQuery:
+    def __init__(self, q: Query, field: str):
+        self._q = q
+        self._field = field
+
+    def aggregate(self, *specs: tuple) -> dict:
+        """specs: (op, field) with op in count/sum/min/max/avg.
+        Returns {"keys": group keys, "count": counts, (op, field): values}
+        with per-field decimal scaling applied."""
+        t = self._q._table
+        with t.db.begin(read_only=True) as tx:
+            out = t._t.group_query(tx.snapshot, self._q._tree(),
+                                   self._field, list(specs))
+        sch = t.schema.with_meta()
+        for key in list(out.keys()):
+            if isinstance(key, tuple):
+                f = sch.field(key[1])
+                if f.scale:
+                    out[key] = np.array(
+                        [v / 10**f.scale for v in out[key]], object)
+        return out
+
+    def count(self) -> dict:
+        return self.aggregate(("count", ""))
+
+    def sum(self, field: str) -> dict:
+        return self.aggregate(("sum", field))
 
 
 def _is_wide(schema: Schema, name: str) -> bool:

@@ -111,6 +111,35 @@ def _encode_wide(field: Field, limbs: np.ndarray, bounds,
     return EncodedColumn(field, packs, wide=True, wide_bases=bases), per_pack_keys
 
 
+def _encode_strings(field: Field, raw, bounds, pack_size: int):
+    """STRING/BYTES columns: per-pack sorted byte dictionary + code planes
+    (see encode/schemes.encode_string_dict). Zone maps hold 8-byte prefix
+    keys (CONSERVATIVE: pruning uses strict compares only — equal prefixes
+    cannot decide); optional bloom over full byte values."""
+    from ..filter import bloom as BL
+    vals = list(raw)
+    packs = []
+    pref_min = []
+    pref_max = []
+    blooms = [] if field.filter != FilterType.NONE else None
+    for lo, hi in bounds:
+        p = S.encode_string_dict(vals[lo:hi], pack_size,
+                                 width_round=sel.round_width)
+        packs.append(p)
+        pref_min.append(int(p.dict_keys[0]) if p.card else 0)
+        pref_max.append(int(p.dict_keys[-1]) if p.card else 0)
+        if blooms is not None:
+            nbits = BL.bloom_bits(pack_size, field.filter)
+            blooms.append(BL.build_bytes_np(p.dict_bytes, nbits))
+    col = EncodedColumn(field, packs, wide=False)
+    fs = FieldStats(np.array(pref_min, np.uint64),
+                    np.array(pref_max, np.uint64),
+                    np.stack(blooms) if blooms else None,
+                    field.filter)
+    fs.is_prefix = True
+    return col, fs
+
+
 def _limbs_to_ints(limbs: np.ndarray) -> np.ndarray:
     L, n = limbs.shape
     out = np.empty(n, object)
@@ -137,6 +166,10 @@ def build_segment(schema: Schema, data: dict[str, np.ndarray],
     fstats: dict[str, FieldStats] = {}
     for f in schema.fields:
         raw = data[f.name]
+        if f.type.is_bytes_like:
+            columns[f.name], fstats[f.name] = _encode_strings(
+                f, raw, bounds, pack_size)
+            continue
         limbs = lb.to_keyform(raw, f.type)
         wide = f.type.nlimbs > 2
         if wide:

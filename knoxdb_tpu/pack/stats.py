@@ -62,6 +62,9 @@ class FieldStats:
     max_key: np.ndarray
     bloom_words: np.ndarray | None = None   # u32[P, words]
     filter_type: FilterType = FilterType.NONE
+    # True for STRING/BYTES prefix keys: equal prefixes cannot decide, so
+    # pruning must use STRICT compares and never emit ALL verdicts
+    is_prefix: bool = False
 
     @classmethod
     def from_packs(cls, pack_keys: list[np.ndarray], wide: bool,
@@ -109,40 +112,64 @@ def _bloom_none(fs: FieldStats, key_limbs: np.ndarray) -> np.ndarray:
     return out
 
 
+def _bloom_none_bytes(fs: FieldStats, vals: list) -> np.ndarray:
+    P = len(fs.min_key)
+    if fs.bloom_words is None:
+        return np.zeros(P, bool)
+    out = np.empty(P, bool)
+    for p in range(P):
+        out[p] = not bloom.contains_bytes_np(fs.bloom_words[p], vals).any()
+    return out
+
+
 def prune_leaf(fs: FieldStats, mode: FilterMode, lo=None, hi=None,
-               keys=None, key_limbs=None) -> TriState:
+               keys=None, key_limbs=None, key_bytes=None) -> TriState:
     """Tri-state prune of one filter leaf against all packs.
 
-    lo/hi/keys are keyform integers (python int / u64); key_limbs is the
-    u32[L, K] limb form of IN/EQ keys for bloom probes."""
+    lo/hi/keys are keyform integers (python int / u64; 8-byte prefixes for
+    strings); key_limbs is the u32[L, K] limb form of IN/EQ keys for bloom
+    probes; key_bytes the byte values for string blooms."""
     mn, mx = fs.min_key, fs.max_key
     P = len(mn)
+    if key_bytes is not None:
+        key_limbs = None     # string blooms hash full bytes
 
     if mode == FilterMode.TRUE:
         return TriState(np.ones(P, bool), np.zeros(P, bool))
     if mode == FilterMode.FALSE:
         return TriState(np.zeros(P, bool), np.ones(P, bool))
 
+    Z = np.zeros(P, bool)
+
     if mode in (FilterMode.EQ, FilterMode.NE):
         c = lo
         none = (np.less(mx, c) | np.greater(mn, c))
         if key_limbs is not None:
             none = none | _bloom_none(fs, key_limbs)
-        all_ = np.equal(mn, c) & np.equal(mx, c)
+        if key_bytes is not None:
+            none = none | _bloom_none_bytes(fs, key_bytes)
+        all_ = Z if fs.is_prefix else (np.equal(mn, c) & np.equal(mx, c))
         t = TriState(all_, none)
         return t.invert() if mode == FilterMode.NE else t
 
     if mode == FilterMode.LT:
-        return TriState(np.less(mx, lo), np.greater_equal(mn, lo))
+        return TriState(Z if fs.is_prefix else np.less(mx, lo),
+                        np.greater(mn, lo) if fs.is_prefix
+                        else np.greater_equal(mn, lo))
     if mode == FilterMode.LE:
-        return TriState(np.less_equal(mx, lo), np.greater(mn, lo))
+        return TriState(Z if fs.is_prefix else np.less_equal(mx, lo),
+                        np.greater(mn, lo))
     if mode == FilterMode.GT:
-        return TriState(np.greater(mn, lo), np.less_equal(mx, lo))
+        return TriState(Z if fs.is_prefix else np.greater(mn, lo),
+                        np.less(mx, lo) if fs.is_prefix
+                        else np.less_equal(mx, lo))
     if mode == FilterMode.GE:
-        return TriState(np.greater_equal(mn, lo), np.less(mx, lo))
+        return TriState(Z if fs.is_prefix else np.greater_equal(mn, lo),
+                        np.less(mx, lo))
 
     if mode == FilterMode.RANGE:
-        all_ = np.less_equal(lo, mn) & np.less_equal(mx, hi)
+        all_ = Z if fs.is_prefix else \
+            (np.less_equal(lo, mn) & np.less_equal(mx, hi))
         none = np.less(mx, lo) | np.greater(mn, hi)
         return TriState(all_, none)
 
@@ -153,9 +180,14 @@ def prune_leaf(fs: FieldStats, mode: FilterMode, lo=None, hi=None,
         none = ~inside.any(axis=1)
         if key_limbs is not None:
             none = none | _bloom_none(fs, key_limbs)
+        if key_bytes is not None:
+            none = none | _bloom_none_bytes(fs, key_bytes)
         # all: single-value pack whose value is in the set
-        single = np.equal(mn, mx)
-        all_ = single & inside.any(axis=1) & np.isin(mn, ks)
+        if fs.is_prefix:
+            all_ = np.zeros(P, bool)
+        else:
+            single = np.equal(mn, mx)
+            all_ = single & inside.any(axis=1) & np.isin(mn, ks)
         t = TriState(all_, none)
         return t.invert() if mode == FilterMode.NOT_IN else t
 

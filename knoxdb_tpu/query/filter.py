@@ -39,11 +39,17 @@ class Filter:
     keys: np.ndarray | None = None     # IN/NOT_IN sorted u64 (narrow) / obj
     key_limbs: np.ndarray | None = None  # u32[L, K] for bloom/IN kernels
 
+    value_bytes: object = None         # bytes / (lo, hi) / sorted list
+
     def bind(self) -> "Filter":
         ft = self.field.type
         m = self.mode
-        if m in (FilterMode.TRUE, FilterMode.FALSE, FilterMode.REGEXP):
+        if m in (FilterMode.TRUE, FilterMode.FALSE):
             return self
+        if ft.is_bytes_like:
+            return self._bind_bytes()
+        if m == FilterMode.REGEXP:
+            raise ValueError("REGEXP only applies to string/bytes fields")
         if m == FilterMode.RANGE:
             lo, hi = self.value
             self.key = _key_int(lo, ft)
@@ -63,6 +69,38 @@ class Filter:
         else:
             self.key = _key_int(self.value, ft)
             self.key_limbs = _keys_to_limbs([self.key], ft)
+        return self
+
+    def _bind_bytes(self) -> "Filter":
+        """STRING/BYTES leaves: normalize to bytes, derive 8-byte prefix
+        keys for zone-map pruning (strict-only, stats.is_prefix)."""
+        from ..encode.schemes import _prefix_key
+        m = self.mode
+
+        def nb(v):
+            return v.encode() if isinstance(v, str) else bytes(v)
+
+        if m == FilterMode.RANGE:
+            lo, hi = self.value
+            self.value_bytes = (nb(lo), nb(hi))
+            self.key = _prefix_key(self.value_bytes[0])
+            self.key_hi = _prefix_key(self.value_bytes[1])
+        elif m in (FilterMode.IN, FilterMode.NOT_IN):
+            vals = sorted(nb(v) for v in self.value)
+            if not vals:
+                self.mode = (FilterMode.FALSE if m == FilterMode.IN
+                             else FilterMode.TRUE)
+                return self
+            self.value_bytes = vals
+            self.keys = np.array([_prefix_key(v) for v in vals], np.uint64)
+        elif m == FilterMode.REGEXP:
+            import re
+            self.value_bytes = re.compile(
+                self.value if isinstance(self.value, str)
+                else self.value.decode())
+        else:
+            self.value_bytes = nb(self.value)
+            self.key = _prefix_key(self.value_bytes)
         return self
 
     @property
@@ -197,6 +235,9 @@ def _merge_ranges(n: Node) -> Node:
 
 def _merge_and_bounds(group: list[Node]) -> list[Node]:
     fld0 = group[0].filter.field
+    if fld0.type.is_bytes_like:
+        # prefix keys are not exact; leave byte-range leaves unmerged
+        return group
     max_key = (1 << fld0.type.bits) - 1
     lo = None   # (key, value, strict)
     hi = None

