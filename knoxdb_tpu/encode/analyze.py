@@ -41,37 +41,42 @@ def _bits_for(x: int) -> int:
 
 
 def analyze_keys(keys: np.ndarray, want_dict: bool = True) -> Context:
-    """keys: u64[N] key-domain values."""
+    """keys: u64[N] key-domain values.
+
+    Fast one-pass stats via the native kernel (utils/native.analyze_u64,
+    C++ analog of the reference AVX2 analyze); run/unique arrays are only
+    materialized when the quick stats say RLE/DICT could win."""
+    from ..utils import native as NT
+
     n = len(keys)
-    mn = int(keys.min())
-    mx = int(keys.max())
+    keys = np.ascontiguousarray(keys, np.uint64)
+    mn, mx, num_runs, delta_width, pack_width, is_sorted = \
+        NT.analyze_u64(keys)
 
-    change = np.flatnonzero(keys[1:] != keys[:-1])
-    num_runs = len(change) + 1
-    run_ends = np.concatenate([change + 1, [n]]).astype(np.uint32)
-    run_values = keys[np.concatenate([[0], change + 1])]
-
-    # delta stats (zigzag width of first differences)
-    if n > 1:
-        d = (keys[1:] - keys[:-1]).view(np.int64)  # mod-2^64 difference
-        zz = ((d << 1) ^ (d >> 63)).view(np.uint64)
-        delta_width = _bits_for(int(zz.max()))
-        is_sorted = bool((d >= 0).all())
-    else:
-        delta_width = 0
-        is_sorted = True
+    run_ends = run_values = None
+    if num_runs < n // 4:
+        change = np.flatnonzero(keys[1:] != keys[:-1])
+        run_ends = np.concatenate([change + 1, [n]]).astype(np.uint32)
+        run_values = keys[np.concatenate([[0], change + 1])]
 
     unique = codes = None
-    if want_dict:
-        unique, codes = np.unique(keys, return_inverse=True)
-        card = len(unique)
-    else:
-        card = min(num_runs, n)
+    card = min(num_runs, n)
+    if mn == mx:
+        card = 1
+    elif want_dict and n:
+        # sampled cardinality probe (reference selector samples too,
+        # internal/encode/int.go) — full unique only when dict plausible
+        samp = keys[::max(1, n // 1024)]
+        scard = len(np.unique(samp))
+        if scard <= max(16, len(samp) // 4):
+            unique, codes = np.unique(keys, return_inverse=True)
+            card = len(unique)
+            codes = codes.astype(np.uint32)
 
     return Context(
         n=n, min_key=mn, max_key=mx, num_runs=num_runs, card=card,
-        delta_width=delta_width, pack_width=_bits_for(mx - mn),
-        unique=unique, codes=codes.astype(np.uint32) if codes is not None else None,
+        delta_width=delta_width, pack_width=pack_width,
+        unique=unique, codes=codes,
         run_ends=run_ends, run_values=run_values, sorted=is_sorted,
     )
 

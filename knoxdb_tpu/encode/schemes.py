@@ -38,6 +38,8 @@ class Scheme(enum.IntEnum):
     DELTA = 3
     RLE = 4
     DICT = 5
+    ALP = 6      # floats as decimal-scaled ints (encode/alp.py); device
+    #              kernels identical to BITPACK in the enc-min domain
 
 
 @dataclass
@@ -53,6 +55,7 @@ class EncodedPack:
     ends: np.ndarray | None = None      # u32[k] RLE exclusive run ends
     k: int = 0                  # padded #values (RLE/DICT)
     card: int = 0               # true #values before padding (RLE/DICT)
+    exp: int = 0                # ALP decimal exponent (v = enc / 10^exp)
     dict_keys: np.ndarray | None = None  # u64[card] sorted dict keys (host,
                                          # for code-space predicate rewrite)
     dict_bytes: list | None = None       # bytes dict for STRING/BYTES packs
@@ -72,7 +75,17 @@ def _ceil_pow2(x: int) -> int:
 
 
 def _pack_bitplanes(vals: np.ndarray, width: int, n_pad: int) -> np.ndarray:
-    """vals: u64[N] (< 2^width) -> u32[width, n_pad//32] bitplanes."""
+    """vals: u64[N] (< 2^width) -> u32[width, n_pad//32] bitplanes.
+
+    Dispatches to the native C++ transpose when available (the reference
+    does this hot loop in AVX2 asm; see native/knox_native.cc)."""
+    from ..utils import native as NT
+    if NT.available():
+        return NT.bitplane_pack(np.asarray(vals, np.uint64), width, n_pad)
+    return _pack_bitplanes_np(vals, width, n_pad)
+
+
+def _pack_bitplanes_np(vals: np.ndarray, width: int, n_pad: int) -> np.ndarray:
     n = len(vals)
     out = np.zeros((max(width, 1), n_pad // 32), dtype=np.uint32)
     if width == 0:
@@ -164,6 +177,24 @@ def encode_string_dict(values: list, n_pad: int,
     return EncodedPack(Scheme.DICT, len(vals), 2, width=width, planes=planes,
                        values=np.zeros((2, 1), np.uint32), k=_ceil_pow2(card),
                        card=card, dict_keys=pref, dict_bytes=uniq)
+
+
+def encode_alp(vals: np.ndarray, n_pad: int, width_round=None
+               ) -> EncodedPack | None:
+    """FLOAT64 pack -> ALP ints bitplane-packed, or None (fallback)."""
+    from . import alp as A
+    got = A.try_alp(np.asarray(vals, np.float64))
+    if got is None:
+        return None
+    enc, e = got
+    mn = int(enc.min()) if len(enc) else 0
+    rel64 = (enc - mn).astype(np.uint64)   # 0 <= rel < 2^52, no overflow
+    width = int(rel64.max()).bit_length() if len(rel64) else 0
+    if width_round:
+        width = width_round(width)
+    planes = _pack_bitplanes(rel64, width, n_pad)
+    return EncodedPack(Scheme.ALP, len(vals), 2, width=width, min_key=mn,
+                       planes=planes, exp=e)
 
 
 def _prefix_key(b: bytes) -> int:

@@ -63,9 +63,9 @@ def estimate_sizes(ctx: Context, nlimbs: int) -> dict[Scheme, int]:
     if ctx.delta_width and ctx.delta_width < 64:
         dw = round_width(ctx.delta_width)
         out[Scheme.DELTA] = n * dw // 8 + 8
-    if ctx.num_runs < n // 4:
+    if ctx.run_ends is not None and ctx.num_runs < n // 4:
         out[Scheme.RLE] = ctx.num_runs * _entry_bytes(nlimbs)
-    if ctx.card < n // 4 and ctx.card >= 2:
+    if ctx.unique is not None and 2 <= ctx.card < n // 4:
         cw = round_width(max(1, (ctx.card - 1).bit_length()))
         out[Scheme.DICT] = n * cw // 8 + ctx.card * nlimbs * 4
     return out

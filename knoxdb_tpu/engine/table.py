@@ -387,14 +387,25 @@ class Table:
         from ..exec import sort as SRT
         project = project or [f.name for f in self.schema.fields]
         ft = self.full_schema.field(order_by).type
-        if ft.is_bytes_like:
-            # byte order: materialize + host sort (prefix-key device sort
-            # cannot break ties beyond 8 bytes)
+        from ..encode.schemes import Scheme as _Sch
+        has_alp = any(
+            p.scheme == _Sch.ALP
+            for h in self.segments
+            for p in h.seg.columns.get(order_by,
+                                       type("x", (), {"packs": []})).packs)
+        if ft.is_bytes_like or has_alp:
+            # byte order needs full-value ties; ALP packs mix enc domains
+            # -> materialize + host keyform sort
             res = self.query(snap, tree, [AggSpec("count")],
                              project=sorted(set(project) | {order_by}))
-            key = [v.encode() if isinstance(v, str) else bytes(v)
-                   for v in res.rows[order_by]]
-            order = np.argsort(np.array(key, object), kind="stable")
+            if ft.is_bytes_like:
+                key = np.array(
+                    [v.encode() if isinstance(v, str) else bytes(v)
+                     for v in res.rows[order_by]], object)
+            else:
+                key = lb.to_keys64(
+                    np.asarray(res.rows[order_by], np.float64), ft)
+            order = np.argsort(key, kind="stable")
             if desc:
                 order = order[::-1]
             if limit:

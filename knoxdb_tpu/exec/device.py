@@ -42,7 +42,8 @@ class DeviceGroup:
     idx: np.ndarray            # i64[Pg] pack indices into the segment
     arrays: dict = field(default_factory=dict)   # name -> jnp array
     # host-side per-pack metadata aligned with idx:
-    bases: list[int] | None = None       # wide bitpack bases (python ints)
+    bases: list[int] | None = None       # wide bitpack / ALP bases
+    exps: list[int] | None = None        # ALP decimal exponents per pack
     dict_keys: list[np.ndarray] | None = None  # per-pack sorted u64 keys
     dict_bytes: list[list] | None = None  # per-pack sorted byte dicts (str)
     rle_host: list[EncodedPack] | None = None   # host packs (RLE value access)
@@ -110,9 +111,13 @@ def _upload_column(col: EncodedColumn, pack_size: int) -> DeviceColumn:
         packs = [col.packs[i] for i in idxs]
         g = DeviceGroup(scheme, width, k, col.nlimbs, col.wide,
                         np.asarray(idxs, np.int64))
-        if scheme in (Scheme.BITPACK, Scheme.DELTA, Scheme.DICT):
+        if scheme in (Scheme.BITPACK, Scheme.DELTA, Scheme.DICT, Scheme.ALP):
             g.arrays["planes"] = jnp.asarray(
                 np.stack([p.planes for p in packs]))
+        if scheme == Scheme.ALP:
+            g.bases = [p.min_key for p in packs]
+            g.exps = [p.exp for p in packs]
+            g.arrays["min_keys"] = jnp.zeros(len(idxs), jnp.uint64)
         if scheme in (Scheme.CONST, Scheme.RAW, Scheme.RLE, Scheme.DICT):
             kmax = max(p.values.shape[1] for p in packs)
             vals = np.stack([_pad_vals(p.values, kmax) for p in packs])
@@ -194,16 +199,23 @@ def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
         return jnp.where(consts["const_match"][:, None], jnp.uint32(0xFFFFFFFF),
                          jnp.uint32(0))
 
-    if scheme == Scheme.BITPACK:
-        if wide:
-            # host-precomputed exact domain relations (python-int bases)
-            if mode == FilterMode.RANGE:
+    if scheme in (Scheme.BITPACK, Scheme.ALP):
+        if wide or scheme == Scheme.ALP:
+            # host-precomputed exact domain relations (python-int bases /
+            # Fraction-derived ALP enc bounds; exec/rewrite.py). ALP mode
+            # adjustments (v < c ⟺ enc <= host-bound) are static:
+            if scheme == Scheme.ALP:
+                kmode = {FilterMode.LT: FilterMode.LE,
+                         FilterMode.GT: FilterMode.GE}.get(mode, mode)
+            else:
+                kmode = mode
+            if kmode == FilterMode.RANGE:
                 return B.range_planes_rel(arrays["planes"], consts["rel_lo"],
                                           consts["rel_hi"], width)
-            if mode in (FilterMode.IN, FilterMode.NOT_IN):
+            if kmode in (FilterMode.IN, FilterMode.NOT_IN):
                 m = B.in_planes_rel(arrays["planes"], consts["rels"], width)
-                return ~m if mode == FilterMode.NOT_IN else m
-            return B.cmp_planes_rel(mode, arrays["planes"], consts["rel"],
+                return ~m if kmode == FilterMode.NOT_IN else m
+            return B.cmp_planes_rel(kmode, arrays["planes"], consts["rel"],
                                     width)
         return B.match_planes(mode, arrays["planes"], arrays["min_keys"],
                               width, lo=consts.get("lo"), hi=consts.get("hi"),
@@ -311,7 +323,7 @@ def group_decode_keys(g_sig: tuple, arrays: dict, W: int):
         return jnp.broadcast_to(v, (Pg, N))
     if scheme == Scheme.RAW:
         return _limbs_to_u64(arrays["values"])
-    if scheme == Scheme.BITPACK:
+    if scheme in (Scheme.BITPACK, Scheme.ALP):
         v = S.decode_bitplanes_u64(arrays["planes"], width)
         return v + arrays["min_keys"][:, None]
     if scheme == Scheme.DELTA:
@@ -347,7 +359,7 @@ def group_decode_limbs(g_sig: tuple, arrays: dict, W: int):
         dv = arrays["values"].transpose(1, 0, 2)
         return jnp.stack([jnp.take_along_axis(dv[l], codes, axis=1)
                           for l in range(nlimbs)])
-    if scheme in (Scheme.BITPACK, Scheme.DELTA):
+    if scheme in (Scheme.BITPACK, Scheme.DELTA, Scheme.ALP):
         keys = group_decode_keys(g_sig, arrays, W)   # u64 (+min already)
         if nlimbs == 1:
             return keys.astype(jnp.uint32)[None]
@@ -426,7 +438,7 @@ def group_masked_sum(g_sig: tuple, arrays: dict, mask_words, W: int):
     counts i64[Pg]) with total = lo + 2^32*hi (packed/value domain per
     scheme; host combines with bases/bias)."""
     scheme, width, k, nlimbs, wide, Pg = Scheme(g_sig[0]), *g_sig[1:]
-    if scheme == Scheme.BITPACK:
+    if scheme in (Scheme.BITPACK, Scheme.ALP):
         counts = B.popcount_words(mask_words)
         lo = jnp.zeros(Pg, jnp.uint64)
         hi = jnp.zeros(Pg, jnp.uint64)
@@ -511,7 +523,7 @@ def group_masked_minmax(g_sig: tuple, arrays: dict, mask_words, W: int):
     if scheme == Scheme.CONST and wide:
         z = jnp.zeros(Pg, jnp.uint64)
         return z, z
-    if scheme == Scheme.BITPACK:
+    if scheme in (Scheme.BITPACK, Scheme.ALP):
         mn = B.masked_min_planes(arrays["planes"], arrays["min_keys"],
                                  mask_words, width)
         mx = B.masked_max_planes(arrays["planes"], arrays["min_keys"],

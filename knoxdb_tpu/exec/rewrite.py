@@ -64,6 +64,9 @@ def leaf_group_consts(leaf: Filter, col: EncodedColumn, g: DeviceGroup):
             return _dict_consts_bytes(leaf, g)
         return _dict_consts(leaf, g)
 
+    if g.scheme == Scheme.ALP:
+        return _alp_consts(leaf, g)
+
     if g.scheme in (Scheme.BITPACK, Scheme.DELTA):
         if g.wide:
             return _wide_bitpack_consts(leaf, g)
@@ -145,6 +148,70 @@ def _const_verdicts(leaf: Filter, col: EncodedColumn, g: DeviceGroup) -> np.ndar
         else:
             raise ValueError(f"const verdict: {m}")
     return out
+
+
+# ---------------------------------------------------------------- alp ---
+
+def _wide_rel_list(cs: list[int], bases: list[int], width: int):
+    """Per-pack constants version of _wide_rel (exact python ints)."""
+    maxp = (1 << width) - 1
+    P = len(bases)
+    c_rel = np.zeros(P, np.uint64)
+    lt_all = np.zeros(P, bool)
+    ge_none = np.zeros(P, bool)
+    in_dom = np.zeros(P, bool)
+    for j, (c, b) in enumerate(zip(cs, bases)):
+        d = c - b
+        if d < 0:
+            ge_none[j] = True
+        elif d > maxp:
+            lt_all[j] = True
+        else:
+            in_dom[j] = True
+            c_rel[j] = d
+    return (jnp.asarray(c_rel), jnp.asarray(lt_all), jnp.asarray(ge_none),
+            jnp.asarray(in_dom))
+
+
+def _alp_consts(leaf: Filter, g: DeviceGroup):
+    """Float predicates -> per-pack ALP enc-domain bounds (double-domain
+    exact; encode/alp.enc_bounds). Kernel modes: LT->LE(bound),
+    GT->GE(bound) folded here; device maps statically."""
+    from ..encode.alp import enc_bounds
+    m = leaf.mode
+    _MISS_BOUND = 1 << 62
+
+    def bounds_for(c: float):
+        return [enc_bounds(float(c), e) for e in g.exps]
+
+    if m == FilterMode.RANGE:
+        lo_b = [ge for _, ge, _ in bounds_for(leaf.value[0])]
+        hi_b = [le for le, _, _ in bounds_for(leaf.value[1])]
+        return {"rel_lo": _wide_rel_list(lo_b, g.bases, g.width),
+                "rel_hi": _wide_rel_list(hi_b, g.bases, g.width)}
+    if m in (FilterMode.IN, FilterMode.NOT_IN):
+        rels = []
+        K = _pow2_pad(len(leaf.value))
+        vals = list(leaf.value) + [leaf.value[0]] * (K - len(leaf.value))
+        for v in vals:
+            cs = [eq if eq is not None else _MISS_BOUND
+                  for _, _, eq in bounds_for(v)]
+            rels.append(_wide_rel_list(cs, g.bases, g.width))
+        return {"rels": rels}
+    bs_ = bounds_for(leaf.value)
+    if m in (FilterMode.EQ, FilterMode.NE):
+        cs = [eq if eq is not None else _MISS_BOUND for _, _, eq in bs_]
+    elif m == FilterMode.LT:      # v < c ⟺ enc <= (largest with dec < c)
+        cs = [le - 1 if eq is not None else le for le, _, eq in bs_]
+    elif m == FilterMode.LE:
+        cs = [le for le, _, _ in bs_]
+    elif m == FilterMode.GT:
+        cs = [ge + 1 if eq is not None else ge for _, ge, eq in bs_]
+    elif m == FilterMode.GE:
+        cs = [ge for _, ge, _ in bs_]
+    else:
+        raise ValueError(f"alp rewrite: {m}")
+    return {"rel": _wide_rel_list(cs, g.bases, g.width)}
 
 
 # --------------------------------------------------------------- wide ---

@@ -298,8 +298,9 @@ class SegmentScanner:
                 for gi, gsig, gidx in agg_groups[fname]:
                     gmask = mask[gidx]
                     garr = arrays[fname][gi]
+                    is_alp = Scheme(gsig[0]) == Scheme.ALP
                     if op == "sum" or op == "avg":
-                        if fname in float_fields:
+                        if fname in float_fields and not is_alp:
                             col_parts.append(D.group_masked_sum_float(
                                 gsig, garr, gmask, W, float_types[fname]))
                         else:
@@ -338,12 +339,31 @@ class SegmentScanner:
                                                      spec.op == "min")
 
     def _combine_sum(self, parts, groups, ft: FieldType):
+        from ..encode.schemes import Scheme as Sch
         if ft.is_float:
-            total = 0.0
+            # ALP packs contribute EXACT rationals (enc sums / 10^e);
+            # keyform packs contribute device float sums
+            from fractions import Fraction
+            frac = Fraction(0)
+            fl = 0.0
+            any_frac = False
             cnt = 0
-            for (s, c), g in zip(parts, groups):
-                total += float(np.asarray(s).sum())
-                cnt += int(np.asarray(c).sum())
+            for part, g in zip(parts, groups):
+                if g.scheme == Sch.ALP:
+                    lo, hi, c = (np.asarray(x) for x in part)
+                    for j in range(len(c)):
+                        enc = int(lo[j]) + (int(hi[j]) << 32) \
+                            + g.bases[j] * int(c[j])
+                        frac += Fraction(enc, 10 ** g.exps[j])
+                    any_frac = True
+                    cnt += int(c.sum())
+                else:
+                    s, c = part
+                    fl += float(np.asarray(s).sum())
+                    cnt += int(np.asarray(c).sum())
+            total = float(frac) + fl if any_frac else fl
+            if any_frac and fl == 0.0:
+                total = float(frac)       # fully exact path
             return total, cnt
         total = 0
         cnt = 0
@@ -374,6 +394,9 @@ class SegmentScanner:
         return total, cnt
 
     def _combine_minmax(self, parts, groups, ft: FieldType, want_min: bool):
+        """Combine per-pack winners in the NATIVE value domain (ALP packs
+        decode exactly to floats; keyform packs convert at the end)."""
+        from ..encode.schemes import Scheme as Sch
         best = None
         for (mn, mx, c), g in zip(parts, groups):
             mn = np.asarray(mn)
@@ -382,20 +405,23 @@ class SegmentScanner:
             for j in range(len(c)):
                 if int(c[j]) == 0:
                     continue
-                if mn.ndim == 2:          # wide limb form u32[L, Pg]
+                if g.scheme == Sch.ALP:
+                    rel = int(mn[j]) if want_min else int(mx[j])
+                    v = (g.bases[j] + rel) / (10 ** g.exps[j])
+                elif mn.ndim == 2:        # wide limb form u32[L, Pg]
                     src = mn if want_min else mx
                     k = 0
                     for l in range(src.shape[0]):
                         k = (k << 32) | int(src[l, j])
+                    v = _key_to_value(k, ft)
                 else:
                     k = int(mn[j]) if want_min else int(mx[j])
                     if g.wide and g.bases is not None:
                         k += g.bases[j]
-                if best is None or (k < best if want_min else k > best):
-                    best = k
-        if best is None:
-            return None
-        return _key_to_value(best, ft)
+                    v = _key_to_value(k, ft)
+                if best is None or (v < best if want_min else v > best):
+                    best = v
+        return best
 
     # ---------------------------------------------------- materialization --
 
@@ -451,6 +477,8 @@ class SegmentScanner:
                 res.rows[name] = self._bytes_values(col, limbs[0], idx_np)
             elif col.wide:
                 res.rows[name] = self._wide_values(col, limbs, idx_np)
+            elif any(p.scheme == Scheme.ALP for p in col.packs):
+                res.rows[name] = self._float_alp_values(col, limbs, idx_np)
             else:
                 res.rows[name] = lb.from_keyform(limbs, col.field.type)
 
@@ -463,6 +491,22 @@ class SegmentScanner:
             pack = int(idx_np[r]) // N
             b = col.packs[pack].dict_bytes[int(codes[r])]
             out[r] = b.decode() if as_str else b
+        return out
+
+    def _float_alp_values(self, col, limbs: np.ndarray, idx_np: np.ndarray):
+        """FLOAT64 rows from mixed ALP / keyform packs (exact decode)."""
+        N = self.d.N
+        out = np.empty(limbs.shape[1], np.float64)
+        for r in range(limbs.shape[1]):
+            pack = int(idx_np[r]) // N
+            p = col.packs[pack]
+            k = (int(limbs[0, r]) << 32) | int(limbs[1, r])
+            if p.scheme == Scheme.ALP:
+                out[r] = (p.min_key + k) / (10 ** p.exp)
+            else:
+                out[r] = float(lb.from_keyform(
+                    np.array([[k >> 32], [k & 0xFFFFFFFF]], np.uint32),
+                    col.field.type)[0])
         return out
 
     def _wide_values(self, col, limbs: np.ndarray, idx_np: np.ndarray):

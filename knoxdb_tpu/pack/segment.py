@@ -75,12 +75,21 @@ def _split(n: int, pack_size: int) -> list[tuple[int, int]]:
 
 
 def _encode_narrow(field: Field, keys64: np.ndarray, bounds,
-                   pack_size: int) -> tuple[EncodedColumn, list[np.ndarray]]:
+                   pack_size: int, raw=None
+                   ) -> tuple[EncodedColumn, list[np.ndarray]]:
     packs, per_pack_keys = [], []
     L = field.type.nlimbs
+    is_f64 = field.type == FieldType.FLOAT64
     for lo, hi in bounds:
         k = keys64[lo:hi]
         per_pack_keys.append(k)
+        if is_f64 and raw is not None:
+            # floats: try exact decimal-int transform first (ALP)
+            p = S.encode_alp(np.asarray(raw[lo:hi], np.float64), pack_size,
+                             width_round=sel.round_width)
+            if p is not None:
+                packs.append(p)
+                continue
         packs.append(sel.encode_pack(k, L, pack_size))
     return EncodedColumn(field, packs, wide=False), per_pack_keys
 
@@ -170,19 +179,17 @@ def build_segment(schema: Schema, data: dict[str, np.ndarray],
             columns[f.name], fstats[f.name] = _encode_strings(
                 f, raw, bounds, pack_size)
             continue
-        limbs = lb.to_keyform(raw, f.type)
         wide = f.type.nlimbs > 2
         if wide:
+            limbs = lb.to_keyform(raw, f.type)
             col, keys = _encode_wide(f, limbs, bounds, pack_size)
         else:
-            if f.type.nlimbs == 2:
-                keys64 = (limbs[0].astype(np.uint64) << np.uint64(32)) | limbs[1]
-            else:
-                keys64 = limbs[0].astype(np.uint64)
-            col, keys = _encode_narrow(f, keys64, bounds, pack_size)
+            keys64 = lb.to_keys64(raw, f.type)
+            col, keys = _encode_narrow(f, keys64, bounds, pack_size, raw=raw)
         columns[f.name] = col
         limbs_per_pack = None
         if f.filter != FilterType.NONE:
+            limbs = lb.to_keyform(raw, f.type)
             limbs_per_pack = [limbs[:, lo:hi] for lo, hi in bounds]
         fstats[f.name] = FieldStats.from_packs(
             keys, wide, limbs_per_pack, f.filter, pack_size)

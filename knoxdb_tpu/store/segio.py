@@ -62,7 +62,7 @@ def dump_segment(seg: Segment) -> bytes:
             ent = {
                 "scheme": int(p.scheme), "n": p.n, "nlimbs": p.nlimbs,
                 "width": p.width, "min_key": str(p.min_key), "k": p.k,
-                "card": p.card,
+                "card": p.card, "exp": p.exp,
                 "planes": _arr_out(arrays, p.planes),
                 "values": _arr_out(arrays, p.values),
                 "ends": _arr_out(arrays, p.ends),
@@ -155,6 +155,7 @@ def load_segment(buf: bytes) -> Segment:
                 width=pd["width"], min_key=int(pd["min_key"]),
                 planes=A(pd["planes"]), values=A(pd["values"]),
                 ends=A(pd["ends"]), k=pd["k"], card=pd["card"],
+                exp=pd.get("exp", 0),
                 dict_keys=A(pd["dict_keys"]), dict_bytes=db))
         bases = [int(b) for b in cd["bases"]] if cd["bases"] else None
         columns[name] = EncodedColumn(schema.field(name), packs,

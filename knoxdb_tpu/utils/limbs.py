@@ -63,13 +63,17 @@ def _key_bits_to_float(key: np.ndarray, sign_mask: int, full: int) -> np.ndarray
 
 
 def to_keyform(values, ft: FieldType) -> np.ndarray:
-    """Convert host values -> uint32 limbs of shape (nlimbs, N)."""
+    """Convert host values -> uint32 limbs of shape (nlimbs, N).
+
+    Single-pass: 64-bit keys split into limbs via a zero-copy u32 view
+    (little-endian reinterpret), so the whole conversion is one or two
+    elementwise passes over the data."""
     L = ft.nlimbs
     if ft.bits > 64:
         return _wide_to_keyform(values, ft)
 
     v = np.asarray(values, dtype=numpy_dtype(ft))
-    if ft in (FieldType.FLOAT64,):
+    if ft is FieldType.FLOAT64:
         bits = v.view(np.uint64)
         key = _float_to_key_bits(bits, 1 << 63, (1 << 64) - 1)
     elif ft is FieldType.FLOAT32:
@@ -79,19 +83,23 @@ def to_keyform(values, ft: FieldType) -> np.ndarray:
         key = v.astype(np.uint32)
     elif ft.is_signed:
         if ft.bits == 64:
-            key = v.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+            key = v.view(np.uint64) if v.dtype == np.int64 else \
+                np.asarray(v, np.int64).view(np.uint64)
+            key = key ^ np.uint64(1 << 63)
         else:
             # widen small signed ints through int64 to avoid view pitfalls
             key = (v.astype(np.int64) + (1 << (ft.bits - 1))).astype(np.uint64)
     else:
-        key = v.astype(np.uint64)
+        key = v if v.dtype == np.uint64 else v.astype(np.uint64)
 
-    key = key.astype(np.uint64)
     if L == 1:
-        return key.astype(np.uint32)[None, :]
-    hi = (key >> np.uint64(32)).astype(np.uint32)
-    lo = (key & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    return np.stack([hi, lo])
+        return np.ascontiguousarray(key.astype(np.uint32))[None, :]
+    key = np.ascontiguousarray(key, np.uint64)
+    pairs = key.view(np.uint32)            # little-endian: lo, hi, lo, hi...
+    out = np.empty((2, len(key)), np.uint32)
+    out[0] = pairs[1::2]                   # hi limb (most significant)
+    out[1] = pairs[0::2]                   # lo limb
+    return out
 
 
 def _wide_to_keyform(values, ft: FieldType) -> np.ndarray:
@@ -107,6 +115,26 @@ def _wide_to_keyform(values, ft: FieldType) -> np.ndarray:
             out[l, i] = x & 0xFFFFFFFF
             x >>= 32
     return out
+
+
+def to_keys64(values, ft: FieldType) -> np.ndarray:
+    """Host values -> u64 keyform keys (types up to 64 bits), one pass."""
+    assert ft.bits <= 64 and not ft.is_bytes_like
+    v = np.asarray(values, dtype=numpy_dtype(ft))
+    if ft is FieldType.FLOAT64:
+        return _float_to_key_bits(v.view(np.uint64), 1 << 63, (1 << 64) - 1)
+    if ft is FieldType.FLOAT32:
+        k32 = _float_to_key_bits(v.view(np.uint32), 1 << 31, (1 << 32) - 1)
+        return k32.astype(np.uint64)
+    if ft is FieldType.BOOLEAN:
+        return v.astype(np.uint64)
+    if ft.is_signed:
+        if ft.bits == 64:
+            key = v.view(np.uint64) if v.dtype == np.int64 else \
+                np.asarray(v, np.int64).view(np.uint64)
+            return key ^ np.uint64(1 << 63)
+        return (v.astype(np.int64) + (1 << (ft.bits - 1))).astype(np.uint64)
+    return v.astype(np.uint64)
 
 
 def from_keyform(limbs: np.ndarray, ft: FieldType):
