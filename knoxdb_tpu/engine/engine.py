@@ -168,6 +168,8 @@ class Engine:
         else:
             self.store = create_store("mem")
         self.wal = Wal(root / "wal")
+        from .enum import EnumRegistry
+        self.enums = EnumRegistry()
         self.tables: dict[str, Table] = {}
         self._table_ids: dict[int, Table] = {}
         self.tasks = TaskService(enabled=self.opts.background_merge)
@@ -213,6 +215,7 @@ class Engine:
         b = self.store.bucket("catalog")
         cat = {
             "next_oid": self._next_oid,
+            "enums": self.enums.to_dict(),
             "tables": [{
                 "id": t.id, "schema": t.schema.to_dict(),
                 "pack_size": t.pack_size,
@@ -234,6 +237,9 @@ class Engine:
             return
         cat = json.loads(raw)
         self._next_oid = cat["next_oid"]
+        if cat.get("enums"):
+            from .enum import EnumRegistry
+            self.enums = EnumRegistry.from_dict(cat["enums"])
         from .table import TableState
         for td in cat["tables"]:
             sch = Schema.from_dict(td["schema"])

@@ -243,6 +243,7 @@ class Table:
     def query(self, snap: Snapshot, tree: Node | None,
               aggs: list[AggSpec] | None = None,
               project: list[str] | None = None, limit: int = 0) -> ScanResult:
+        import time as _time
         aggs = aggs if aggs is not None else [AggSpec("count")]
         self.metrics.num_calls += 1
         # avg combines as (global sum / global count): scan sums instead
@@ -251,15 +252,18 @@ class Table:
         res = ScanResult()
         res.count = 0
         partial_aggs: list[ScanResult] = []
+        t0 = _time.perf_counter()
 
         excl_by_seg = self._exclude_masks(snap)
         incl_by_seg = self._index_pushdown(tree) or [None] * len(self.segments)
+        t_index = _time.perf_counter()
         for h, excl, incl in zip(self.segments, excl_by_seg, incl_by_seg):
             sc = h.scanner_()
             r = sc.scan(tree, scan_aggs, project=project,
                         limit=limit, exclude_words=excl, include_words=incl)
             partial_aggs.append(r)
             res.count += r.count
+        t_scan = _time.perf_counter()
 
         # journal overlay (host oracle, same keyform semantics)
         jdata, jrids = self.journal.visible_rows(snap)
@@ -267,11 +271,21 @@ class Table:
         if len(jrids):
             jmask = ORC.eval_tree(tree, jdata, len(jrids))
             res.count += int(jmask.sum())
+        t_journal = _time.perf_counter()
 
         self._combine(res, aggs, partial_aggs, jdata, jmask)
         if project:
             self._merge_rows(res, project, partial_aggs, jdata, jmask, limit)
         self.metrics.queried_tuples += res.count
+        # per-query phase stats (reference internal/query/stats.go)
+        res.stats["index_time"] = t_index - t0
+        res.stats["scan_time"] = t_scan - t_index
+        res.stats["journal_time"] = t_journal - t_scan
+        res.stats["total_time"] = _time.perf_counter() - t0
+        res.stats["packs_scanned"] = sum(
+            p.stats.get("packs_scanned", 0) for p in partial_aggs)
+        res.stats["packs_matched"] = sum(
+            p.stats.get("packs_matched", 0) for p in partial_aggs)
         return res
 
     def group_query(self, snap: Snapshot, tree: Node | None,

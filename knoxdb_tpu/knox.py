@@ -50,6 +50,14 @@ class Database:
     def __init__(self, engine: Engine):
         self.engine = engine
 
+    def create_enum(self, name: str, values: list[str] | None = None):
+        """Named string enum (reference internal/engine/enum.go); fields
+        declare membership with field_meta(enum='name')."""
+        return self.engine.enums.create(name, values)
+
+    def extend_enum(self, name: str, values: list[str]) -> None:
+        self.engine.enums.extend(name, values)
+
     def create_table(self, schema_or_cls, **kw) -> "TableHandle":
         if isinstance(schema_or_cls, Schema):
             schema, cls = schema_or_cls, None
@@ -130,9 +138,21 @@ class TableHandle:
         else:
             cols = {f.name: [r[f.name] for r in rows]
                     for f in self.schema.fields}
-        # drop zero pks so the engine assigns them
-        return {k: np.asarray(v) if not _is_wide(self.schema, k) else v
-                for k, v in cols.items()}, len(rows)
+        return self._translate_enums(
+            {k: np.asarray(v) if not _is_wide(self.schema, k) else v
+             for k, v in cols.items()}), len(rows)
+
+    def _translate_enums(self, cols: dict) -> dict:
+        for f in self.schema.fields:
+            if f.is_enum and f.name in cols:
+                e = self.db.engine.enums.get(f.enum_name)
+                vals = cols[f.name]
+                if len(vals) and isinstance(
+                        vals[0] if not isinstance(vals, np.ndarray)
+                        else vals.flat[0], str):
+                    cols[f.name] = np.array([e.code(str(v)) for v in vals],
+                                            np.uint16)
+        return cols
 
     def merge(self) -> None:
         """Force a synchronous journal merge (background merges happen
@@ -251,6 +271,13 @@ class Query:
         if isinstance(c, tuple) and c and c[0] == "cond":
             _, fname, mode, value = c
             f = self._table.schema.with_meta().field(fname)
+            if f.is_enum:
+                e = self._table.db.engine.enums.get(f.enum_name)
+                if isinstance(value, str):
+                    value = e.code(value)
+                elif isinstance(value, (list, tuple)) and value and \
+                        isinstance(value[0], str):
+                    value = [e.code(v) for v in value]
             return leaf(Filter(f, mode, value))
         raise TypeError(f"bad condition {c!r}")
 
@@ -308,6 +335,25 @@ class Query:
                             self._run([AggSpec("avg", field)])
                             .aggs[("avg", field)])
 
+    def count_distinct(self, field: str, exact: bool = True):
+        """Distinct values of a column under the filter. exact=False uses
+        a LogLogBeta sketch (~0.8% relative error; reference
+        internal/filter/llb)."""
+        rows = self.select(field).rows()
+        vals = rows[field]
+        if exact:
+            return len(set(_pyval(v) for v in vals))
+        from .exec import oracle as ORC
+        from .filter.llb import LLB
+        ft = self._table.schema.with_meta().field(field).type
+        if ft.is_bytes_like:
+            return len(set(vals))
+        sk = LLB()
+        keys = ORC.column_keys(vals, ft)
+        sk.add_keys64(np.array([int(k) & ((1 << 64) - 1) for k in keys],
+                               np.uint64))
+        return int(round(sk.cardinality()))
+
     def aggregate(self, *specs: tuple) -> dict:
         """specs: ('sum'|'min'|'max'|'avg'|'count', field)."""
         a = [AggSpec(op, f) if f else AggSpec(op) for op, f in specs]
@@ -338,6 +384,10 @@ class Query:
                 r.rows[name] = np.array(
                     [None if v is None else int(v) / 10**f.scale
                      for v in r.rows[name]], object)
+            elif f.is_enum:
+                e = self._table.db.engine.enums.get(f.enum_name)
+                r.rows[name] = np.array(
+                    [e.value(int(v)) for v in r.rows[name]], object)
         return r.rows
 
     def execute(self) -> list:

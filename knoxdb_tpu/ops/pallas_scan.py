@@ -1,0 +1,153 @@
+"""Pallas TPU kernel: fused bit-sliced range filter + masked plane counts.
+
+The hand-scheduled form of the scan hot path (ops/bitslice.py): one grid
+step per pack streams that pack's bitplanes HBM->VMEM once and produces
+BOTH the packed match bitset and the per-plane masked popcounts (the
+inputs to an exact sum) — a single HBM pass for filter+aggregate, where
+the XLA version reads the planes twice (match sweep + popcount sweep).
+
+Outputs per pack: mask u32[W], plane_counts i32[width] (set bits of
+plane&mask; host/XLA combines sum = Σ 2^p · c_p + min_key · count
+exactly), count i32.
+
+Per-pack range constants arrive as precomputed per-plane select masks
+(u32 0 / ~0) plus degenerate-pack flag words, built by `range_consts()`
+from u64 min_keys OUTSIDE the kernel (u64 never enters Pallas).
+Correctness oracle: fused_range_sum_ref / ops.bitslice.range_planes
+(tests/test_pallas_scan.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["range_consts", "fused_range_sum", "fused_range_sum_ref"]
+
+_FULL = jnp.uint32(0xFFFFFFFF)
+_FULL_NP = np.uint32(0xFFFFFFFF)     # kernel-safe constant (not traced)
+
+# flag word columns (u32 0 / ~0 per pack)
+_F_LO_LT_ALL = 0    # lo above pack domain  -> every row >= ... see bitslice
+_F_LO_GE_NONE = 1   # lo below pack domain
+_F_HI_IN = 2        # hi representable in pack domain (eq contributes)
+_F_HI_GE_NONE = 3   # hi below pack domain  -> le_hi = none
+_F_HI_LT_ALL = 4    # hi above pack domain  -> le_hi = all
+_NFLAGS = 8         # padded to 8 for layout friendliness
+
+
+def range_consts(min_keys, lo, hi, width: int):
+    """Build per-pack kernel constants for lo <= x <= hi (value domain).
+
+    Returns (lo_bits u32[P, w], hi_bits u32[P, w], flags u32[P, 8])."""
+    from . import bitslice as B
+    lo_rel, lo_lt_all, lo_ge_none, _lo_in = B._rel_const(lo, min_keys, width)
+    hi_rel, hi_lt_all, hi_ge_none, hi_in = B._rel_const(hi, min_keys, width)
+    P = min_keys.shape[0]
+
+    def bits(c_rel):
+        if width == 0:
+            return jnp.zeros((P, 1), jnp.uint32)
+        cols = [jnp.where(((c_rel >> jnp.uint64(p)) & jnp.uint64(1)) != 0,
+                          _FULL, jnp.uint32(0)) for p in range(width)]
+        return jnp.stack(cols, axis=1)
+
+    def f(b):
+        return jnp.where(b, _FULL, jnp.uint32(0))
+
+    flags = jnp.zeros((P, _NFLAGS), jnp.uint32)
+    flags = flags.at[:, _F_LO_LT_ALL].set(f(lo_lt_all))
+    flags = flags.at[:, _F_LO_GE_NONE].set(f(lo_ge_none))
+    flags = flags.at[:, _F_HI_IN].set(f(hi_in))
+    flags = flags.at[:, _F_HI_GE_NONE].set(f(hi_ge_none))
+    flags = flags.at[:, _F_HI_LT_ALL].set(f(hi_lt_all))
+    return bits(lo_rel), bits(hi_rel), flags
+
+
+def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
+            mask_ref, pcnt_ref, cnt_ref, *, width: int):
+    W = planes_ref.shape[-1]
+    lt_lo = jnp.zeros((1, W), jnp.uint32)
+    eq_lo = jnp.full((1, W), _FULL_NP, jnp.uint32)
+    lt_hi = jnp.zeros((1, W), jnp.uint32)
+    eq_hi = jnp.full((1, W), _FULL_NP, jnp.uint32)
+    planes = []
+    for p in range(width - 1, -1, -1):
+        x = planes_ref[0, p, :][None, :]
+        planes.append((p, x))
+        cl = lo_bits_ref[0, p]
+        ch = hi_bits_ref[0, p]
+        lt_lo = lt_lo | (eq_lo & ~x & cl)
+        eq_lo = eq_lo & ~(x ^ cl)
+        lt_hi = lt_hi | (eq_hi & ~x & ch)
+        eq_hi = eq_hi & ~(x ^ ch)
+
+    lo_lt_all = flags_ref[0, _F_LO_LT_ALL]
+    lo_ge_none = flags_ref[0, _F_LO_GE_NONE]
+    hi_in = flags_ref[0, _F_HI_IN]
+    hi_ge_none = flags_ref[0, _F_HI_GE_NONE]
+    hi_lt_all = flags_ref[0, _F_HI_LT_ALL]
+
+    lt_lo = lt_lo | lo_lt_all
+    ge_lo = ~(lt_lo & ~lo_ge_none)
+    le_hi = lt_hi | (eq_hi & hi_in)
+    le_hi = le_hi | hi_lt_all
+    le_hi = le_hi & ~hi_ge_none
+    mask = ge_lo & le_hi & valid_ref[0, :][None, :]
+    mask_ref[0, :] = mask[0]
+
+    cnt_ref[0, 0] = jnp.sum(
+        jax.lax.population_count(mask).astype(jnp.int32))
+    for p, x in planes:
+        pcnt_ref[0, p] = jnp.sum(
+            jax.lax.population_count(x & mask).astype(jnp.int32))
+
+
+def fused_range_sum(planes, lo_bits, hi_bits, flags, valid, width: int,
+                    interpret: bool = False):
+    """planes u32[P, w, W]; consts from range_consts; valid u32[P, W].
+    Returns (mask u32[P, W], plane_counts i32[P, w], counts i32[P])."""
+    P, w, W = planes.shape
+    out = pl.pallas_call(
+        partial(_kernel, width=width),
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, max(w, 1)), lambda i: (i, 0)),
+            pl.BlockSpec((1, max(w, 1)), lambda i: (i, 0)),
+            pl.BlockSpec((1, _NFLAGS), lambda i: (i, 0)),
+            pl.BlockSpec((1, w, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, W), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W), lambda i: (i, 0)),
+            pl.BlockSpec((1, max(w, 1)), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, W), jnp.uint32),
+            jax.ShapeDtypeStruct((P, max(w, 1)), jnp.int32),
+            jax.ShapeDtypeStruct((P, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lo_bits, hi_bits, flags, planes, valid)
+    mask, pcnt, cnt = out
+    return mask, pcnt, cnt[:, 0]
+
+
+def fused_range_sum_ref(planes, min_keys, valid, lo, hi, width: int):
+    """XLA reference implementation (same outputs) for oracle testing."""
+    from . import bitslice as B
+    mask = B.range_planes(planes, min_keys, lo, hi, width) & valid
+    cnt = jax.lax.population_count(mask).astype(jnp.int32).sum(axis=-1)
+    if width:
+        pcnt = jnp.stack([
+            jax.lax.population_count(planes[:, p, :] & mask)
+            .astype(jnp.int32).sum(axis=-1)
+            for p in range(width)], axis=1)
+    else:
+        pcnt = jnp.zeros((planes.shape[0], 1), jnp.int32)
+    return mask, pcnt, cnt

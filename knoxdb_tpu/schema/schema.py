@@ -192,6 +192,9 @@ def schema_of(cls_or_obj, name: str | None = None) -> Schema:
             hint = hints.get(df.name, df.type)
             ft = _resolve_type(hint, df.name)
         enum_name = meta.pop("enum", "")
+        if enum_name and ft == FieldType.STRING:
+            ft = FieldType.UINT16    # enum columns store dictionary codes
+        meta["is_pk"] = meta.pop("pk", False)
         fields.append(Field(df.name, ft, is_enum=bool(enum_name),
                             enum_name=enum_name, **meta))
     # convention: a field named "id" is the pk unless one is tagged

@@ -1,0 +1,60 @@
+"""Pallas fused scan kernel vs XLA/bitslice oracle (interpret mode on
+CPU; the TPU compile path is exercised by the bench/verify drives)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from knoxdb_tpu.encode import schemes as S
+from knoxdb_tpu.ops import pallas_scan as PS
+
+
+@pytest.mark.parametrize("width,P", [(8, 4), (16, 2), (1, 3)])
+def test_fused_range_sum_matches_oracle(rng, width, P):
+    N = 1024
+    vals = rng.integers(0, 1 << width, (P, N), dtype=np.uint64)
+    mins = rng.integers(0, 500, P, dtype=np.uint64)
+    vals_abs = vals + mins[:, None]
+    planes = np.stack([
+        S.encode_bitpack(vals_abs[p], 1, int(mins[p]), width, N).planes
+        for p in range(P)])
+    valid = np.full((P, N // 32), 0xFFFFFFFF, np.uint32)
+    valid[-1, -2:] = 0x0000FFFF      # partial pack edge
+
+    for lo, hi in [(400, 900), (0, 10**6), (10**6, 2 * 10**6), (550, 550)]:
+        lo64, hi64 = jnp.uint64(lo), jnp.uint64(hi)
+        lob, hib, flags = PS.range_consts(jnp.asarray(mins), lo64, hi64,
+                                          width)
+        mask, pcnt, cnt = PS.fused_range_sum(
+            jnp.asarray(planes), lob, hib, flags, jnp.asarray(valid),
+            width, interpret=True)
+        rmask, rpcnt, rcnt = PS.fused_range_sum_ref(
+            jnp.asarray(planes), jnp.asarray(mins), jnp.asarray(valid),
+            lo64, hi64, width)
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(rmask),
+                                      err_msg=f"[{lo},{hi}] mask")
+        np.testing.assert_array_equal(np.asarray(pcnt), np.asarray(rpcnt))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(rcnt))
+
+
+def test_exact_sum_reconstruction(rng):
+    width, P, N = 12, 3, 2048
+    vals = rng.integers(0, 1 << width, (P, N), dtype=np.uint64)
+    mins = np.array([10, 10**6, 0], np.uint64)
+    vals_abs = vals + mins[:, None]
+    planes = np.stack([
+        S.encode_bitpack(vals_abs[p], 1, int(mins[p]), width, N).planes
+        for p in range(P)])
+    valid = np.full((P, N // 32), 0xFFFFFFFF, np.uint32)
+    lo, hi = jnp.uint64(500), jnp.uint64(10**6 + 3000)
+    lob, hib, flags = PS.range_consts(jnp.asarray(mins), lo, hi, width)
+    mask, pcnt, cnt = PS.fused_range_sum(
+        jnp.asarray(planes), lob, hib, flags, jnp.asarray(valid),
+        width, interpret=True)
+    pcnt, cnt = np.asarray(pcnt), np.asarray(cnt)
+    for p in range(P):
+        m = (vals_abs[p] >= 500) & (vals_abs[p] <= 10**6 + 3000)
+        want = int(vals_abs[p][m].sum(dtype=object))
+        got = sum(int(pcnt[p, b]) << b for b in range(width)) \
+            + int(mins[p]) * int(cnt[p])
+        assert got == want and cnt[p] == m.sum()
