@@ -264,6 +264,11 @@ class Engine:
     # -------------------------------------------------------------- txns --
 
     def begin(self, read_only: bool = False) -> Tx:
+        """Single-writer / multi-reader (reference engine.go:75 write
+        token channel): a write tx blocks here until the current writer
+        commits or aborts; readers never block."""
+        if not read_only:
+            self._write_token.acquire()
         with self._mu:
             if read_only:
                 snap = Snapshot(xown=0, xmin=0, xmax=self._xid,
@@ -280,6 +285,8 @@ class Engine:
     def _finish_tx(self, tx: Tx) -> None:
         with self._mu:
             self._active.discard(tx.xid)
+        if not tx.read_only:
+            self._write_token.release()
 
     def view(self) -> Tx:
         return self.begin(read_only=True)

@@ -1,0 +1,78 @@
+"""Concurrent writers/readers: single-writer token + snapshot isolation
+(reference workload2-style scenario, internal/tests/scenarios)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import knoxdb_tpu.knox as knox
+from dataclasses import dataclass
+
+
+@dataclass
+class R:
+    id: int = 0
+    worker: int = 0
+    v: int = 0
+
+
+def test_concurrent_writers(tmp_path):
+    db = knox.create_database("c", driver="file", path=str(tmp_path),
+                              pack_size=256, background_merge=False)
+    t = db.create_table(R)
+    NW, PER = 6, 40
+    errs = []
+
+    def writer(w):
+        try:
+            for i in range(PER):
+                t.insert([R(worker=w, v=i)])
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(NW)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.count() == NW * PER
+    # every row exactly once, pks unique
+    rows = t.query().select("id", "worker").rows()
+    assert len(set(int(i) for i in rows["id"])) == NW * PER
+    for w in range(NW):
+        assert t.query().where(worker=w).count() == PER
+    # durability: reopen and recheck
+    db.close()
+    db2 = knox.open_database("c", driver="file", path=str(tmp_path),
+                             background_merge=False)
+    assert db2.table("r").count() == NW * PER
+    db2.close()
+
+
+def test_readers_during_write(tmp_path):
+    db = knox.create_database("c2", driver="file", path=str(tmp_path),
+                              pack_size=256, background_merge=False)
+    t = db.create_table(R)
+    t.insert([R(worker=0, v=1)])
+    stop = threading.Event()
+    errs = []
+
+    def reader():
+        try:
+            while not stop.is_set():
+                c = t.count()
+                assert c >= 1
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    th = threading.Thread(target=reader)
+    th.start()
+    for i in range(30):
+        t.insert([R(worker=1, v=i)])
+    stop.set()
+    th.join()
+    assert not errs
+    assert t.count() == 31
+    db.close()

@@ -9,7 +9,7 @@ from knoxdb_tpu.encode import schemes as S
 from knoxdb_tpu.ops import pallas_scan as PS
 
 
-@pytest.mark.parametrize("width,P", [(8, 4), (16, 2), (1, 3)])
+@pytest.mark.parametrize("width,P", [(8, 8), (16, 8), (1, 16)])
 def test_fused_range_sum_matches_oracle(rng, width, P):
     N = 1024
     vals = rng.integers(0, 1 << width, (P, N), dtype=np.uint64)
@@ -38,9 +38,9 @@ def test_fused_range_sum_matches_oracle(rng, width, P):
 
 
 def test_exact_sum_reconstruction(rng):
-    width, P, N = 12, 3, 2048
+    width, P, N = 12, 8, 2048
     vals = rng.integers(0, 1 << width, (P, N), dtype=np.uint64)
-    mins = np.array([10, 10**6, 0], np.uint64)
+    mins = np.array([10, 10**6, 0, 5, 7, 9, 11, 13], np.uint64)
     vals_abs = vals + mins[:, None]
     planes = np.stack([
         S.encode_bitpack(vals_abs[p], 1, int(mins[p]), width, N).planes
