@@ -128,8 +128,12 @@ class Tx:
             return
         if not self.read_only and self.touched:
             rec = Record(RecordType.COMMIT, 0, self.xid)
-            if self.engine.opts.wal_sync == "sync":
+            mode = self.engine.opts.wal_sync
+            if mode == "sync":
                 self.engine.wal.write_and_sync(rec)
+            elif mode == "delay":
+                # group commit: block on the shared background fsync
+                self.engine.wal.write_delayed(rec).wait(timeout=5.0)
             else:
                 self.engine.wal.write(rec)
             for t in self.touched:
@@ -167,7 +171,8 @@ class Engine:
             self.store: Store | None = create_store("file", root / "data")
         else:
             self.store = create_store("mem")
-        self.wal = Wal(root / "wal")
+        self.wal = Wal(root / "wal", sync=self.opts.wal_sync
+                       if self.opts.wal_sync == "delay" else "sync")
         from .enum import EnumRegistry
         self.enums = EnumRegistry()
         self.tables: dict[str, Table] = {}

@@ -69,21 +69,81 @@ class Record:
         return hdr + self.data
 
 
+class SyncFuture:
+    """Resolves when the WAL has fsynced past a target LSN (reference
+    pkg/util/future.go used by the delayed-sync commit path)."""
+
+    def __init__(self, wal: "Wal", lsn: int):
+        self._wal = wal
+        self._lsn = lsn
+
+    def done(self) -> bool:
+        return self._wal.synced_lsn >= self._lsn
+
+    def wait(self, timeout: float | None = None) -> bool:
+        import time as _t
+        deadline = None if timeout is None else _t.monotonic() + timeout
+        while not self.done():
+            self._wal._flush_event.wait(0.005)
+            self._wal._flush_event.clear()
+            if deadline is not None and _t.monotonic() > deadline:
+                return self.done()
+        return True
+
+
 class Wal:
-    """Append-only segmented log. Single writer; readers independent."""
+    """Append-only segmented log. Single writer; readers independent.
+
+    sync modes (reference wal.go delayed-sync thread, tx.go:345-371
+    commit modes): 'sync' fsyncs on write_and_sync; 'delay' batches
+    fsyncs on a background thread (group commit — write() returns a
+    SyncFuture via write_delayed); 'nosync' leaves flushing to the OS."""
 
     def __init__(self, path: str | Path, max_segment: int = _DEFAULT_SEG_BYTES,
-                 sync: str = "sync"):
+                 sync: str = "sync", flush_interval: float = 0.01):
+        import threading
         self.dir = Path(path)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.max_segment = max_segment
-        self.sync_mode = sync          # sync | nosync (delay handled by caller)
+        self.sync_mode = sync
+        self.synced_lsn = 0
+        self._flush_event = threading.Event()
+        self._wlock = threading.Lock()
+        self._stop_flusher = False
         self._segments = self._discover()
         if not self._segments:
             self._segments = [0]
             self._open_segment(0, truncate=True)
         else:
             self._open_segment(self._segments[-1])
+        self._flusher = None
+        if sync == "delay":
+            self._flusher = threading.Thread(
+                target=self._flush_loop, args=(flush_interval,), daemon=True)
+            self._flusher.start()
+
+    def _flush_loop(self, interval: float) -> None:
+        import time as _t
+        while not self._stop_flusher:
+            _t.sleep(interval)
+            try:
+                with self._wlock:
+                    if self._fh is None:
+                        return
+                    target = self.tail_lsn
+                    self._fh.flush()
+                    os.fsync(self._fh.fileno())
+                self.synced_lsn = target
+                self._flush_event.set()
+            except Exception:
+                pass
+
+    def write_delayed(self, rec: Record) -> "SyncFuture":
+        """Append and return a future resolving at the next group fsync."""
+        with self._wlock:
+            lsn = self.write(rec)
+            end = self.tail_lsn
+        return SyncFuture(self, end)
 
     # ------------------------------------------------------------- write --
 
@@ -101,14 +161,21 @@ class Wal:
         return lsn
 
     def sync(self) -> None:
-        self._fh.flush()
-        os.fsync(self._fh.fileno())
+        with self._wlock:
+            target = self.tail_lsn
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+        self.synced_lsn = max(self.synced_lsn, target)
+        self._flush_event.set()
 
     @property
     def tail_lsn(self) -> int:
         return self._seg_base + self._fh.tell()
 
     def close(self) -> None:
+        self._stop_flusher = True
+        if self._flusher is not None:
+            self._flusher.join(timeout=1.0)
         if getattr(self, "_fh", None):
             self._fh.flush()
             self._fh.close()

@@ -140,3 +140,16 @@ def test_wide_decimal_column(db):
     got = t.query().where(knox.cond("amount", "ge", vals[40])).count()
     assert got == 10
     assert t.query().sum("amount") == sum(vals) / 10**6
+
+
+def test_delay_sync_mode(tmp_path):
+    d = knox.create_database("dl", driver="file", path=str(tmp_path / "dl"),
+                             wal_sync="delay", background_merge=False)
+    acc = d.create_table(Account)
+    acc.insert([Account(balance=i) for i in range(50)])
+    assert acc.count() == 50
+    d.close()
+    d2 = knox.open_database("dl", driver="file", path=str(tmp_path / "dl"),
+                            background_merge=False)
+    assert d2.table("account").count() == 50
+    d2.close()

@@ -142,3 +142,16 @@ def test_segment_serialization(rng):
     np.testing.assert_array_equal(fs.bloom_words, fs2.bloom_words)
     ws, ws2 = seg.stats.fields["w"], seg2.stats.fields["w"]
     assert [int(v) for v in ws.min_key] == [int(v) for v in ws2.min_key]
+
+
+def test_wal_delayed_sync(tmp_path):
+    from knoxdb_tpu.wal.wal import Record, RecordType, Wal
+    w = Wal(tmp_path / "wal", sync="delay", flush_interval=0.005)
+    futs = [w.write_delayed(Record(RecordType.INSERT, entity=1, txid=i,
+                                   data=b"d" * 20))
+            for i in range(10)]
+    for f in futs:
+        assert f.wait(timeout=2.0), "delayed fsync did not land"
+    assert w.synced_lsn >= futs[-1]._lsn
+    assert len(list(w.records())) == 10
+    w.close()
