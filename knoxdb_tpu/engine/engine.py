@@ -37,8 +37,50 @@ class Options:
     path: str | None = None
     pack_size: int = 1 << 16
     journal_size: int = 1 << 17
-    wal_sync: str = "sync"           # sync | nosync
+    wal_sync: str = "sync"           # sync | delay | nosync
     background_merge: bool = True
+    device_cache_bytes: int = 8 << 30   # HBM residency budget for segments
+
+
+class CacheManager:
+    """Device-residency budget for uploaded segments (reference
+    engine.go:87-94 block/buffer CacheManager + pkg/cache/rclru 2Q):
+    segments upload lazily; above the byte budget the least-recently-
+    scanned handle drops its device image (host arrays stay — re-upload
+    on next use)."""
+
+    def __init__(self, budget_bytes: int = 8 << 30):
+        self.budget = budget_bytes
+        self._clock = 0
+        self._live: dict[int, tuple] = {}   # id -> (handle, bytes, last_use)
+        self.evictions = 0
+        self.hits = 0
+        self.misses = 0
+
+    def note_use(self, handle) -> None:
+        self._clock += 1
+        key = id(handle)
+        if key in self._live:
+            h, b, _ = self._live[key]
+            self._live[key] = (h, b, self._clock)
+            self.hits += 1
+            return
+        self.misses += 1
+        nbytes = handle.seg.nbytes
+        self._live[key] = (handle, nbytes, self._clock)
+        total = sum(b for _, b, _ in self._live.values())
+        while total > self.budget and len(self._live) > 1:
+            victim_key = min(self._live, key=lambda k: self._live[k][2])
+            if victim_key == key:
+                break
+            h, b, _ = self._live.pop(victim_key)
+            h.dseg = None
+            h.scanner = None
+            self.evictions += 1
+            total -= b
+
+    def drop(self, handle) -> None:
+        self._live.pop(id(handle), None)
 
 
 class TaskService:
@@ -179,6 +221,7 @@ class Engine:
         self._table_ids: dict[int, Table] = {}
         self.tasks = TaskService(enabled=self.opts.background_merge)
         self.locks = LockManager()
+        self.cache = CacheManager(self.opts.device_cache_bytes)
         self._xid = 1
         self._active: set[int] = set()
         self._write_token = threading.Lock()

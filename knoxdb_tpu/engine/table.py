@@ -82,10 +82,14 @@ class _SegHandle:
     scanner: SegmentScanner | None = None
     exclude_cache: tuple | None = None   # (tomb_version, device words)
 
+    table: object = None
+
     def scanner_(self) -> SegmentScanner:
         if self.scanner is None:
             self.dseg = DeviceSegment(self.seg)
             self.scanner = SegmentScanner(self.dseg)
+        if self.table is not None:
+            self.table.engine.cache.note_use(self)
         return self.scanner
 
 
@@ -647,7 +651,8 @@ class Table:
                            host_pk=np.asarray(
                                list(data[self.schema.pk.name]), np.uint64),
                            host_rid=np.asarray(
-                               list(data[META_RID]), np.uint64))
+                               list(data[META_RID]), np.uint64),
+                           table=self)
             new_handles.append(h)
 
         # atomic swap + persist + checkpoint
@@ -710,7 +715,7 @@ class Table:
             col = seg.columns[pk_name]
             pkv = _decode_u64_column(seg, pk_name)
             ridv = _decode_u64_column(seg, META_RID)
-            self.segments.append(_SegHandle(seg, pkv, ridv))
+            self.segments.append(_SegHandle(seg, pkv, ridv, table=self))
 
     def replay_wal(self) -> None:
         """Rebuild journal from WAL records after the checkpoint

@@ -153,3 +153,25 @@ def test_delay_sync_mode(tmp_path):
                             background_merge=False)
     assert d2.table("account").count() == 50
     d2.close()
+
+
+def test_device_cache_eviction(tmp_path):
+    d = knox.create_database("cv", driver="mem", pack_size=256,
+                             background_merge=False,
+                             device_cache_bytes=1)
+    acc = d.create_table(Account)
+    acc._t.MIN_MERGE_TAIL = 0     # keep tail segments distinct
+    # several small segments by merging between inserts
+    for r in range(4):
+        acc.insert([Account(balance=r * 1000 + i) for i in range(300)])
+        acc.merge()
+    assert len(acc._t.segments) >= 2
+    assert acc.count() == 1200
+    # queries touch every segment; tiny budget forces evictions
+    for _ in range(3):
+        assert acc.query().where(knox.F("balance") >= 0).count() == 1200
+    cm = d.engine.cache
+    assert cm.evictions > 0
+    # evicted segments still answer correctly (re-upload)
+    assert acc.query().where(knox.F("balance") < 1000).count() == 300
+    d.close()
