@@ -232,18 +232,44 @@ class Engine:
     # ----------------------------------------------------------- catalog --
 
     def create_table(self, schema: Schema, *, pack_size: int | None = None,
-                     journal_size: int | None = None) -> Table:
+                     journal_size: int | None = None,
+                     history: bool = False) -> Table:
         if schema.name in self.tables:
             raise ValueError(f"table {schema.name} exists")
         oid = self._next_oid
         self._next_oid += 1
         t = Table(self, oid, schema,
                   pack_size=pack_size or self.opts.pack_size,
-                  journal_size=journal_size or self.opts.journal_size)
+                  journal_size=journal_size or self.opts.journal_size,
+                  history=history)
         self.tables[schema.name] = t
         self._table_ids[oid] = t
         self._save_catalog()
         return t
+
+    def history_table_for(self, t: Table) -> Table:
+        """Shadow table receiving dying row versions (reference 'history'
+        table kind, internal/pack/table/table.go:27-30): user fields (pk
+        demoted to a plain column) + $src_rid/$src_xmin/$del_xid."""
+        if t.history_table is not None:
+            return t.history_table
+        import dataclasses as _dc
+        from ..schema.schema import Builder as _B, Field as _F
+        from ..types import FieldType as _FT
+        name = f"{t.schema.name}_history"
+        if name in self.tables:
+            t.history_table = self.tables[name]
+            return t.history_table
+        fields = [_F("hid", _FT.UINT64, is_pk=True)]
+        for f in t.schema.fields:
+            fields.append(_dc.replace(f, id=0, is_pk=False,
+                                      index=f.index.__class__(0)))
+        for extra in ("$src_rid", "$src_xmin", "$del_xid"):
+            fields.append(_F(extra, _FT.UINT64))
+        h = self.create_table(Schema(name, fields),
+                              pack_size=t.pack_size)
+        t.history_table = h
+        return h
 
     def drop_table(self, name: str) -> None:
         t = self.tables.pop(name, None)
@@ -268,6 +294,7 @@ class Engine:
                 "id": t.id, "schema": t.schema.to_dict(),
                 "pack_size": t.pack_size,
                 "state": t.state.to_dict(),
+                "history": t.history_enabled,
             } for t in self.tables.values()],
         }
         b.put(b"catalog", json.dumps(cat).encode())
@@ -292,7 +319,8 @@ class Engine:
         for td in cat["tables"]:
             sch = Schema.from_dict(td["schema"])
             t = Table(self, td["id"], sch, pack_size=td["pack_size"],
-                      journal_size=self.opts.journal_size)
+                      journal_size=self.opts.journal_size,
+                      history=td.get("history", False))
             t.state = TableState.from_dict(td["state"])
             t.load_segments()
             t.replay_wal()

@@ -97,7 +97,8 @@ class Table:
     MIN_MERGE_TAIL = 4   # segments smaller than pack_size*this merge together
 
     def __init__(self, engine, table_id: int, schema: Schema, *,
-                 pack_size: int = 1 << 16, journal_size: int = 1 << 17):
+                 pack_size: int = 1 << 16, journal_size: int = 1 << 17,
+                 history: bool = False):
         self.engine = engine
         self.id = table_id
         self.schema = schema
@@ -109,6 +110,11 @@ class Table:
         self.segments: list[_SegHandle] = []
         self._tomb_version = 0
         self.indexes: list = []
+        # history mode (reference registers table kinds 'pack' AND
+        # 'history', internal/pack/table/table.go:27-30): updated/deleted
+        # row versions append to a shadow table with $xmax = deleting xid
+        self.history_enabled = history
+        self.history_table: "Table | None" = None
 
     # ------------------------------------------------------------- write --
 
@@ -156,6 +162,7 @@ class Table:
         rids = self._matching_rids(tx.snapshot, tree)
         if not len(rids):
             return 0
+        self._archive_versions(tx, rids)
         body = np.asarray(rids, np.uint64).tobytes()
         self.engine.wal.write(Record(RecordType.DELETE, self.id, tx.xid, body))
         cnt = self.journal.delete(tx.xid, rids)
@@ -174,6 +181,7 @@ class Table:
                            [int(p) for p in pks])).optimize()
         rids = self._matching_rids(tx.snapshot, tree)
         if len(rids):
+            self._archive_versions(tx, rids)
             body = np.asarray(rids, np.uint64).tobytes()
             self.engine.wal.write(Record(RecordType.DELETE, self.id, tx.xid,
                                          body))
@@ -185,6 +193,49 @@ class Table:
         self.metrics.inserted_tuples -= n
         self.state.n_rows -= len(rids)
         return n
+
+    def _archive_versions(self, tx, rids: np.ndarray) -> None:
+        """History mode: copy the dying row versions into the shadow
+        table with $xmax = the deleting xid (queryable time travel)."""
+        if not self.history_enabled or not len(rids):
+            return
+        rows = self._rows_by_rids(tx.snapshot, rids)
+        if rows is None:
+            return
+        h = self.engine.history_table_for(self)
+        n = len(next(iter(rows.values())))
+        data = {f.name: rows[f.name] for f in self.schema.fields}
+        data["$src_rid"] = np.asarray(list(rows[META_RID]), np.uint64)
+        data["$src_xmin"] = np.asarray(list(rows[META_XMIN]), np.uint64)
+        data["$del_xid"] = np.full(n, tx.xid, np.uint64)
+        # pk uniqueness doesn't hold in history: use engine-assigned pks
+        data[h.schema.pk.name] = np.zeros(n, np.uint64)
+        h.insert_rows(tx, data)
+
+    def _rows_by_rids(self, snap: Snapshot, rids: np.ndarray) -> dict | None:
+        """Materialize full rows for a rid set (segments + journal)."""
+        names = [f.name for f in self.full_schema.fields]
+        cols: dict[str, list] = {n: [] for n in names}
+        got = 0
+        incl = self._rid_include_masks(rids) if self.segments else []
+        excl = self._exclude_masks(snap)
+        for h, inc, exc in zip(self.segments, incl, excl):
+            r = h.scanner_().scan(None, [AggSpec("count")], project=names,
+                                  exclude_words=exc, include_words=inc)
+            if r.rows.get(META_RID) is not None and len(r.rows[META_RID]):
+                for n_ in names:
+                    cols[n_].extend(list(r.rows[n_]))
+                got += len(r.rows[META_RID])
+        jdata, jrids = self.journal.visible_rows(snap)
+        if len(jrids):
+            jm = np.isin(jrids, np.asarray(rids, np.uint64))
+            for i in np.flatnonzero(jm):
+                for n_ in names:
+                    cols[n_].append(jdata[n_][i])
+                got += 1
+        if not got:
+            return None
+        return {n_: np.array(v, object) for n_, v in cols.items()}
 
     def commit_tx(self, xid: int) -> None:
         self.journal.commit(xid)

@@ -172,6 +172,13 @@ class TableHandle:
     def query(self) -> "Query":
         return Query(self)
 
+    def history(self) -> "TableHandle":
+        """Handle on the shadow history table (tables created with
+        history=True; reference 'history' table kind). Rows carry the
+        original columns plus $src_rid/$src_xmin/$del_xid."""
+        h = self.db.engine.history_table_for(self._t)
+        return TableHandle(self.db, h)
+
     def count(self) -> int:
         return self.query().count()
 
