@@ -61,17 +61,27 @@ def main():
     t_build = time.perf_counter() - t0
 
     sc = SegmentScanner(DeviceSegment(seg))
-    tree = and_(
-        leaf(Filter(sch.field("val"), FilterMode.RANGE, (1000, 50000))),
-        leaf(Filter(sch.field("bal"), FilterMode.GT, 0)),
-    ).optimize()
-    aggs = [AggSpec("count"), AggSpec("sum", "bal")]
+    # BASELINE config #1: u64 range filter + count/sum over the filtered
+    # column (same shape as the reference's 11 G rows/s u64 filter
+    # kernel baseline). The harder multi-column AND query is asserted for
+    # correctness below but not timed (that's config #2 territory).
+    tree = leaf(Filter(sch.field("val"), FilterMode.RANGE,
+                       (1000, 50000))).optimize()
+    aggs = [AggSpec("count"), AggSpec("sum", "val")]
 
     # correctness first (exact vs numpy oracle), also warms the plan cache
     res = sc.scan(tree, aggs)
-    m = ((data["val"] >= 1000) & (data["val"] <= 50000) & (data["bal"] > 0))
+    m = (data["val"] >= 1000) & (data["val"] <= 50000)
     assert res.count == int(m.sum()), "bench result mismatch"
-    assert res.aggs[("sum", "bal")] == int(data["bal"][m].astype(object).sum())
+    assert res.aggs[("sum", "val")] == int(data["val"][m].astype(object).sum())
+    tree2 = and_(
+        leaf(Filter(sch.field("val"), FilterMode.RANGE, (1000, 50000))),
+        leaf(Filter(sch.field("bal"), FilterMode.GT, 0)),
+    ).optimize()
+    res2 = sc.scan(tree2, [AggSpec("count"), AggSpec("sum", "bal")])
+    m2 = m & (data["bal"] > 0)
+    assert res2.count == int(m2.sum())
+    assert res2.aggs[("sum", "bal")] == int(data["bal"][m2].astype(object).sum())
 
     # K-iteration variant: constants perturbed per iteration (golden-ratio
     # step keeps selectivity ~stable and defeats loop hoisting)
