@@ -110,8 +110,14 @@ def plan_groups(dseg: D.DeviceSegment, fname: str,
             gids = np.searchsorted(global_keys, vals).astype(np.uint32)
             modes.append(("const", gids))
         else:
-            # contiguous-range or searchsorted on decoded keys
-            modes.append(("search", global_keys.astype(np.uint64)))
+            dense = (not is_bytes and G > 0
+                     and int(global_keys[-1]) - int(global_keys[0]) + 1 == G)
+            if dense:
+                # gid = key - min: pure elementwise (searchsorted on
+                # [P*N] rows is gather-bound, ~100x slower on TPU)
+                modes.append(("range", int(global_keys[0])))
+            else:
+                modes.append(("search", global_keys.astype(np.uint64)))
     return GroupPlan(global_keys, G, modes)
 
 
@@ -168,6 +174,8 @@ def gid_consts(gplan: GroupPlan):
             out.append(jnp.asarray(m[1]).astype(jnp.int32))
         elif m[0] == "bucket":
             out.append((jnp.uint64(m[1]), jnp.uint64(m[2])))
+        elif m[0] == "range":
+            out.append(jnp.uint64(m[1]))
         else:
             out.append(jnp.asarray(m[1]))
     return out
@@ -196,6 +204,12 @@ def row_gids(mode_tags: tuple, gsigs: tuple, gidxs: tuple,
             below = keys < t0
             gid = ((keys - t0) // iv).astype(jnp.int32)
             gid = jnp.where(below, jnp.int32(-1), gid)
+        elif tag == "range":
+            gmin = gconsts[gi]
+            keys = D.group_decode_keys(gsig, arrs, W)
+            diff = keys - gmin
+            inb = (keys >= gmin) & (diff < jnp.uint64(1 << 31))
+            gid = jnp.where(inb, diff.astype(jnp.int32), jnp.int32(-1))
         else:
             keys = D.group_decode_keys(gsig, arrs, W)
             gid = jnp.searchsorted(gconsts[gi], keys).astype(jnp.int32)
@@ -208,28 +222,66 @@ def row_gids(mode_tags: tuple, gsigs: tuple, gidxs: tuple,
 
 
 def group_aggregate(gids, mask_words, value_keys, G: int):
-    """Per-group exact aggregation.
+    """Per-group exact aggregation: SORT-BASED segmented reduction.
 
     gids: i32[P, N]; mask_words: u32[P, W]; value_keys: u64[P, N] keyform.
     Returns (counts i64[G], sum_lo u64[G], sum_hi u64[G], min u64[G],
-    max u64[G]) — sums split so host recombination is exact."""
+    max u64[G]) — sums split so host recombination is exact.
+
+    Design note: jax.ops.segment_sum lowers to scatter-adds that run
+    ~1000x below bandwidth on TPU. Instead each pack sorts rows by
+    (gid, value) — stable two-pass argsort — then group partials fall out
+    of cumsum differences at searchsorted boundaries, and min/max are the
+    boundary elements. Everything is sorts/cumsums/gathers: the shapes
+    XLA:TPU handles at speed."""
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)    # out-of-domain rows -> bin G
-    flat_gid = jnp.where(ok, gids, G).reshape(-1)
-    mask = ok
-    ones = jnp.ones_like(flat_gid, jnp.int64)
-    counts = jax.ops.segment_sum(ones, flat_gid, num_segments=G + 1)[:G]
+    gid = jnp.where(ok, gids, G)            # i32[P, N]
 
-    keys = value_keys.reshape(-1)
-    lo = (keys & jnp.uint64(0xFFFFFFFF))
-    hi = (keys >> jnp.uint64(32))
-    sum_lo = jax.ops.segment_sum(lo, flat_gid, num_segments=G + 1)[:G]
-    sum_hi = jax.ops.segment_sum(hi, flat_gid, num_segments=G + 1)[:G]
+    # ONE variadic sort carries the value limbs as co-sorted operands —
+    # XLA's SortOp moves payload with the keys, avoiding [P, N] gathers
+    # (take_along_axis at this shape runs ~30x slower than the sort).
+    # Keys (gid, hi, lo) are all 32-bit: rows ordered by (gid, value).
+    hi32 = (value_keys >> jnp.uint64(32)).astype(jnp.uint32)
+    lo32 = value_keys.astype(jnp.uint32)
+    gs, hi_s, lo_s = jax.lax.sort((gid, hi32, lo32), dimension=1, num_keys=3)
+    inb = gs < G                             # in-domain (ok) rows
+    vs = ((hi_s.astype(jnp.uint64) << jnp.uint64(32))
+          | lo_s.astype(jnp.uint64))
+    vs = jnp.where(inb, vs, jnp.uint64(0))   # bin-G rows contribute 0
+    oks = inb
 
-    mn = jax.ops.segment_min(
-        jnp.where(mask.reshape(-1), keys, jnp.uint64(0xFFFFFFFFFFFFFFFF)),
-        flat_gid, num_segments=G + 1)[:G]
-    mx = jax.ops.segment_max(
-        jnp.where(mask.reshape(-1), keys, jnp.uint64(0)),
-        flat_gid, num_segments=G + 1)[:G]
+    # inclusive cumsums (split limbs stay < 2^48: exact)
+    clo = jnp.cumsum(vs & jnp.uint64(0xFFFFFFFF), axis=1)
+    chi = jnp.cumsum(vs >> jnp.uint64(32), axis=1)
+    ccnt = jnp.cumsum(oks.astype(jnp.int64), axis=1)
+    z64 = jnp.zeros((gs.shape[0], 1), jnp.uint64)
+    zi = jnp.zeros((gs.shape[0], 1), jnp.int64)
+    clo = jnp.concatenate([z64, clo], axis=1)
+    chi = jnp.concatenate([z64, chi], axis=1)
+    ccnt = jnp.concatenate([zi, ccnt], axis=1)
+
+    # per-pack group boundaries: lb[p, g] = #rows with gid < g
+    targets = jnp.arange(G + 1, dtype=jnp.int32)
+    lb = jax.vmap(lambda row: jnp.searchsorted(row, targets))(gs)  # [P, G+1]
+
+    def seg(c):
+        hi_b = jnp.take_along_axis(c, lb[:, 1:], axis=1)
+        lo_b = jnp.take_along_axis(c, lb[:, :-1], axis=1)
+        return (hi_b - lo_b)
+
+    counts = seg(ccnt).sum(axis=0)                    # i64[G]
+    sum_lo = seg(clo).sum(axis=0, dtype=jnp.uint64)   # u64[G]
+    sum_hi = seg(chi).sum(axis=0, dtype=jnp.uint64)
+
+    # min/max: first/last element of each group's sorted run
+    has = seg(ccnt) > 0                               # [P, G]
+    first_i = jnp.minimum(lb[:, :-1], gs.shape[1] - 1)
+    last_i = jnp.clip(lb[:, 1:] - 1, 0, gs.shape[1] - 1)
+    mn_p = jnp.where(has, jnp.take_along_axis(vs, first_i, axis=1),
+                     jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    mx_p = jnp.where(has, jnp.take_along_axis(vs, last_i, axis=1),
+                     jnp.uint64(0))
+    mn = mn_p.min(axis=0)
+    mx = mx_p.max(axis=0)
     return counts, sum_lo, sum_hi, mn, mx
