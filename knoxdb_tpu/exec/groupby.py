@@ -215,6 +215,8 @@ def row_gids(mode_tags: tuple, gsigs: tuple, gidxs: tuple,
             gid = jnp.searchsorted(gconsts[gi], keys).astype(jnp.int32)
         outs.append(gid)
     total_P = sum(o.shape[0] for o in outs)
+    if len(outs) == 1:
+        return outs[0]          # single full-coverage group: no scatter
     full = jnp.zeros((total_P, W * 32), jnp.int32)
     for gid, idx in zip(outs, gidxs):
         full = full.at[idx].set(gid)

@@ -197,11 +197,17 @@ class SegmentScanner:
                                    garrays[group_field], gconsts, d.W)
                 out = {}
                 for f in agg_fields:
-                    dec = jnp.zeros((d.P, d.N), jnp.uint64)
-                    for gi_, gsig_, gidx_ in agg_sigs[f]:
-                        keys = D.group_decode_keys(gsig_, garrays[f][gi_],
-                                                   d.W)
-                        dec = dec.at[gidx_].set(keys)
+                    if len(agg_sigs[f]) == 1 and \
+                            agg_sigs[f][0][1][-1] == d.P:
+                        gi_, gsig_, _ = agg_sigs[f][0]
+                        dec = D.group_decode_keys(gsig_, garrays[f][gi_],
+                                                  d.W)
+                    else:
+                        dec = jnp.zeros((d.P, d.N), jnp.uint64)
+                        for gi_, gsig_, gidx_ in agg_sigs[f]:
+                            keys = D.group_decode_keys(
+                                gsig_, garrays[f][gi_], d.W)
+                            dec = dec.at[gidx_].set(keys)
                     out[f] = GB.group_aggregate(gids, mask, dec, gplan.G)
                 return out
 
@@ -269,11 +275,18 @@ class SegmentScanner:
                 all_, none = overrides[i]
                 if skip_leaf[i]:
                     return jnp.where(all_[:, None], _FULL, jnp.uint32(0))
-                full = jnp.zeros((d.P, W), jnp.uint32)
-                for gi, (gsig, gidx, _) in enumerate(leaf_groups[i]):
-                    m = D.group_match(gsig, mode, arrays[fname][gi],
-                                      consts[i][gi], W)
-                    full = full.at[gidx].set(m)
+                if len(leaf_groups[i]) == 1 and \
+                        leaf_groups[i][0][0][-1] == d.P:
+                    # single full-coverage group: no scatter needed
+                    gsig, gidx, _ = leaf_groups[i][0]
+                    full = D.group_match(gsig, mode, arrays[fname][0],
+                                         consts[i][0], W)
+                else:
+                    full = jnp.zeros((d.P, W), jnp.uint32)
+                    for gi, (gsig, gidx, _) in enumerate(leaf_groups[i]):
+                        m = D.group_match(gsig, mode, arrays[fname][gi],
+                                          consts[i][gi], W)
+                        full = full.at[gidx].set(m)
                 full = jnp.where(all_[:, None], _FULL, full)
                 return jnp.where(none[:, None], jnp.uint32(0), full)
             kids = [eval_node(c, arrays, consts, overrides) for c in desc[1]]

@@ -25,15 +25,26 @@ def mask_to_indexes(mask, cap: int, base: int | jnp.ndarray = 0):
 
     idx[:count] are the (base + row) positions of set bits in ascending
     order; idx[count:] == SENTINEL (0xFFFFFFFF). cap is static.
-    """
+
+    TPU note: implemented with lax.top_k over negated row ids — scatter
+    (`.at[dest].set`) runs ~1000x below bandwidth on TPU, while top_k is
+    a partial sort at full throughput (see CLAUDE.md perf rules)."""
+    import jax
     mask = mask.reshape(-1)
     n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1          # inclusive -> idx
-    rows = jnp.arange(n, dtype=jnp.uint32) + jnp.asarray(base, jnp.uint32)
-    dest = jnp.where(mask, pos, cap)                       # drop non-matches
-    out = jnp.full(cap, 0xFFFFFFFF, jnp.uint32)
-    out = out.at[dest].set(rows, mode="drop", unique_indices=True)
     count = mask.sum(dtype=jnp.int64)
+    k = min(cap, n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    neg = jnp.where(mask, -rows, jnp.int32(-(1 << 30)))
+    top, _ = jax.lax.top_k(neg, k)          # descending -> rows ascending
+    idx = (-top)
+    valid = idx < jnp.int32(1 << 30)
+    out = jnp.where(valid,
+                    idx.astype(jnp.uint32) + jnp.asarray(base, jnp.uint32),
+                    jnp.uint32(0xFFFFFFFF))
+    if k < cap:
+        out = jnp.concatenate(
+            [out, jnp.full(cap - k, 0xFFFFFFFF, jnp.uint32)])
     return out, count
 
 
