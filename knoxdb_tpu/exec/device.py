@@ -182,6 +182,44 @@ def rle_row_runs(ends, N: int):
     return jnp.cumsum(oneh, axis=1) - 1
 
 
+def rle_expand_mask(ends, run_mask, N: int):
+    """u32[Pg, k] exclusive run ends + bool[Pg, k] run verdicts ->
+    bool[Pg, N] row mask, via boundary-delta cumsum (no row gathers)."""
+    Pg, k = ends.shape
+    starts = jnp.concatenate(
+        [jnp.zeros((Pg, 1), jnp.uint32), ends[:, :-1]], axis=1)
+    off = (jnp.arange(Pg, dtype=jnp.uint32) * jnp.uint32(N))[:, None]
+    big = jnp.uint32(Pg * N)            # out-of-bounds -> dropped
+    real = ends <= jnp.uint32(N)        # padded runs have ends=0xFFFFFFFF
+    s_idx = jnp.where(real & (starts < jnp.uint32(N)), starts + off, big)
+    e_idx = jnp.where(real & (ends < jnp.uint32(N)), ends + off, big)
+    m = run_mask.astype(jnp.int32)
+    delta = jnp.zeros(Pg * N, jnp.int32)
+    delta = delta.at[s_idx.reshape(-1)].add(m.reshape(-1), mode="drop")
+    delta = delta.at[e_idx.reshape(-1)].add(-m.reshape(-1), mode="drop")
+    return jnp.cumsum(delta.reshape(Pg, N), axis=1) > 0
+
+
+def rle_expand_values(ends, run_values_u64, N: int):
+    """Decode RLE to u64 rows via value-difference deltas + cumsum.
+
+    run_values_u64: u64[Pg, k] (padded tail repeats any value — padded
+    runs start at/after N and drop out of the scatter)."""
+    Pg, k = ends.shape
+    starts = jnp.concatenate(
+        [jnp.zeros((Pg, 1), jnp.uint32), ends[:, :-1]], axis=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((Pg, 1), jnp.uint64), run_values_u64[:, :-1]], axis=1)
+    diffs = run_values_u64 - prev                  # mod 2^64
+    off = (jnp.arange(Pg, dtype=jnp.uint32) * jnp.uint32(N))[:, None]
+    big = jnp.uint32(Pg * N)
+    real = ends <= jnp.uint32(N)
+    s_idx = jnp.where(real & (starts < jnp.uint32(N)), starts + off, big)
+    acc = jnp.zeros(Pg * N, jnp.uint64)
+    acc = acc.at[s_idx.reshape(-1)].add(diffs.reshape(-1), mode="drop")
+    return jnp.cumsum(acc.reshape(Pg, N), axis=1)
+
+
 # --------------------------------------------------------------- matching ---
 
 def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
@@ -254,11 +292,12 @@ def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
         return bs.pack_mask(mask)
 
     if scheme == Scheme.RLE:
-        # fused: evaluate on run VALUES, expand by run index
+        # fused: evaluate on run VALUES, expand by boundary deltas —
+        # +1 at matched run starts, -1 at matched run ends, prefix-sum >0
+        # (k-sized scatters + one cumsum; [P, N] gathers are ~30x slower)
         rv = arrays["values"].transpose(1, 0, 2)     # u32[L, Pg, k]
         run_mask = _cmp_limbs(mode, rv, consts)      # bool[Pg, k]
-        ridx = rle_row_runs(arrays["ends"], N)
-        rows = jnp.take_along_axis(run_mask, ridx, axis=1)
+        rows = rle_expand_mask(arrays["ends"], run_mask, N)
         return bs.pack_mask(rows)
 
     if scheme == Scheme.RAW:
@@ -329,9 +368,8 @@ def group_decode_keys(g_sig: tuple, arrays: dict, W: int):
     if scheme == Scheme.DELTA:
         return _delta_keys_impl(arrays, width)
     if scheme == Scheme.RLE:
-        ridx = rle_row_runs(arrays["ends"], N)
         rv = _limbs_to_u64(arrays["values"])         # u64[Pg, k]
-        return jnp.take_along_axis(rv, ridx, axis=1)
+        return rle_expand_values(arrays["ends"], rv, N)
     if scheme == Scheme.DICT:
         codes = S.decode_bitplanes_u32(arrays["planes"], width).astype(jnp.int32)
         dv = _limbs_to_u64(arrays["values"])
