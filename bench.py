@@ -116,7 +116,9 @@ def main():
     run(1)
     t_compile = time.perf_counter() - t0
 
-    K_LO, K_HI = 1, 33
+    # enough iterations that the marginal signal dwarfs the +-2 ms relay
+    # noise (the fused kernel runs tens of microseconds per sweep)
+    K_LO, K_HI = 1, 513
     t_lo = min(_time(run, K_LO) for _ in range(3))
     t_hi = min(_time(run, K_HI) for _ in range(3))
     marginal = max((t_hi - t_lo) / (K_HI - K_LO), 1e-9)
