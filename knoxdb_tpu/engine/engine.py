@@ -40,6 +40,10 @@ class Options:
     wal_sync: str = "sync"           # sync | delay | nosync
     background_merge: bool = True
     device_cache_bytes: int = 8 << 30   # HBM residency budget for segments
+    # multi-chip query execution: a jax.sharding.Mesh (runtime-only, not
+    # persisted); segments build shard-uniform and scans run SPMD through
+    # parallel/engine_spmd.ShardedScanner
+    mesh: object = None
 
 
 class CacheManager:
@@ -53,34 +57,39 @@ class CacheManager:
         self.budget = budget_bytes
         self._clock = 0
         self._live: dict[int, tuple] = {}   # id -> (handle, bytes, last_use)
+        self._mu = threading.Lock()         # readers + merge workers race
         self.evictions = 0
         self.hits = 0
         self.misses = 0
 
     def note_use(self, handle) -> None:
-        self._clock += 1
-        key = id(handle)
-        if key in self._live:
-            h, b, _ = self._live[key]
-            self._live[key] = (h, b, self._clock)
-            self.hits += 1
-            return
-        self.misses += 1
-        nbytes = handle.seg.nbytes
-        self._live[key] = (handle, nbytes, self._clock)
-        total = sum(b for _, b, _ in self._live.values())
-        while total > self.budget and len(self._live) > 1:
-            victim_key = min(self._live, key=lambda k: self._live[k][2])
-            if victim_key == key:
-                break
-            h, b, _ = self._live.pop(victim_key)
-            h.dseg = None
-            h.scanner = None
-            self.evictions += 1
-            total -= b
+        with self._mu:
+            self._clock += 1
+            key = id(handle)
+            if key in self._live:
+                h, b, _ = self._live[key]
+                self._live[key] = (h, b, self._clock)
+                self.hits += 1
+                return
+            self.misses += 1
+            nbytes = handle.seg.nbytes
+            self._live[key] = (handle, nbytes, self._clock)
+            total = sum(b for _, b, _ in self._live.values())
+            while total > self.budget and len(self._live) > 1:
+                victim_key = min(self._live, key=lambda k: self._live[k][2])
+                if victim_key == key:
+                    break
+                h, b, _ = self._live.pop(victim_key)
+                # a thread mid-scan keeps its scanner alive via its own
+                # reference; dropping here only forces a later re-upload
+                h.dseg = None
+                h.scanner = None
+                self.evictions += 1
+                total -= b
 
     def drop(self, handle) -> None:
-        self._live.pop(id(handle), None)
+        with self._mu:
+            self._live.pop(id(handle), None)
 
 
 class TaskService:
@@ -222,6 +231,7 @@ class Engine:
         self.tasks = TaskService(enabled=self.opts.background_merge)
         self.locks = LockManager()
         self.cache = CacheManager(self.opts.device_cache_bytes)
+        self.mesh = self.opts.mesh
         self._xid = 1
         self._active: set[int] = set()
         self._write_token = threading.Lock()
@@ -295,6 +305,11 @@ class Engine:
                 "pack_size": t.pack_size,
                 "state": t.state.to_dict(),
                 "history": t.history_enabled,
+                # segment-blob manifest: saved atomically WITH the
+                # checkpoint LSN so crash recovery always sees a matched
+                # (segments, replay-start) pair
+                "segkeys": t._seg_keys,
+                "next_blob": t._next_blob,
             } for t in self.tables.values()],
         }
         b.put(b"catalog", json.dumps(cat).encode())
@@ -322,6 +337,8 @@ class Engine:
                       journal_size=self.opts.journal_size,
                       history=td.get("history", False))
             t.state = TableState.from_dict(td["state"])
+            t._seg_keys = td.get("segkeys", [])
+            t._next_blob = td.get("next_blob", 0)
             t.load_segments()
             t.replay_wal()
             self.tables[sch.name] = t
@@ -329,12 +346,10 @@ class Engine:
             self._xid = max(self._xid, self._max_replayed_xid() + 1)
 
     def _max_replayed_xid(self) -> int:
+        from ..wal.wal import RecoveryMode
         mx = 0
-        try:
-            for rec in self.wal.records():
-                mx = max(mx, rec.txid)
-        except Exception:
-            pass
+        for rec in self.wal.records(mode=RecoveryMode.SKIP):
+            mx = max(mx, rec.txid)
         return mx
 
     # -------------------------------------------------------------- txns --

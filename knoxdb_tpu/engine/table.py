@@ -21,6 +21,7 @@ query.go:27-144, merge.go:21-101) with the TPU inversions from SURVEY §7:
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field as dc_field
 
 import numpy as np
@@ -81,16 +82,33 @@ class _SegHandle:
     dseg: DeviceSegment | None = None
     scanner: SegmentScanner | None = None
     exclude_cache: tuple | None = None   # (tomb_version, device words)
+    blob_key: str | None = None          # persisted blob key (None = dirty)
+    blob_bytes: int = 0
 
     table: object = None
 
     def scanner_(self) -> SegmentScanner:
-        if self.scanner is None:
-            self.dseg = DeviceSegment(self.seg)
-            self.scanner = SegmentScanner(self.dseg)
+        # read/build through locals: a concurrent cache eviction may null
+        # self.dseg/self.scanner at any point; the returned scanner stays
+        # valid because the caller holds the only reference it needs
+        sc = self.scanner
+        if sc is None:
+            ds = DeviceSegment(self.seg)
+            mesh = getattr(self.table.engine, "mesh", None) \
+                if self.table is not None else None
+            sc = None
+            if mesh is not None:
+                from ..parallel.engine_spmd import (ShardedScanner,
+                                                    is_uniform_segment)
+                if is_uniform_segment(ds, mesh.shape[mesh.axis_names[0]]):
+                    sc = ShardedScanner(ds, mesh, axis=mesh.axis_names[0])
+            if sc is None:
+                sc = SegmentScanner(ds)
+            self.dseg = ds
+            self.scanner = sc
         if self.table is not None:
             self.table.engine.cache.note_use(self)
-        return self.scanner
+        return sc
 
 
 class Table:
@@ -99,6 +117,11 @@ class Table:
     def __init__(self, engine, table_id: int, schema: Schema, *,
                  pack_size: int = 1 << 16, journal_size: int = 1 << 17,
                  history: bool = False):
+        if pack_size < 32 or pack_size & (pack_size - 1):
+            # device kernels assume 32 | N and power-of-two halving
+            # reductions (exec/device._lex_minmax); reject early
+            raise ValueError(f"pack_size must be a power of two >= 32, "
+                             f"got {pack_size}")
         self.engine = engine
         self.id = table_id
         self.schema = schema
@@ -115,6 +138,26 @@ class Table:
         # row versions append to a shadow table with $xmax = deleting xid
         self.history_enabled = history
         self.history_table: "Table | None" = None
+        # _mu guards journal mutation + the segments-list/journal swap so
+        # readers capture a consistent (segments, journal) view; _merge_mu
+        # serializes whole merges (TaskService runs 2 workers).
+        self._mu = threading.RLock()
+        self._merge_mu = threading.Lock()
+        self._seg_keys: list[str] = []       # persisted blob manifest
+        self._next_blob = 0
+
+    def _read_view(self, snap: Snapshot):
+        """Atomically capture (segments, journal rows, tombstoned rids).
+
+        The merge swap (segments := new, journal.drop_drained) holds the
+        same lock, so a reader can never pair drained journal rows with
+        the new segment that contains them (double count) or miss rows
+        mid-swap (reference reader epoch pinning, reader.go:288-450)."""
+        with self._mu:
+            segments = list(self.segments)
+            jdata, jrids = self.journal.visible_rows(snap)
+            dead = self.journal.deleted_rids(snap)
+        return segments, jdata, jrids, dead
 
     # ------------------------------------------------------------- write --
 
@@ -150,7 +193,8 @@ class Table:
         wal_body = encode_batch(self.full_schema, full, n)
         self.engine.wal.write(Record(RecordType.INSERT, self.id, tx.xid,
                                      wal_body))
-        self.journal.insert(tx.xid, rids, full)
+        with self._mu:
+            self.journal.insert(tx.xid, rids, full)
         tx.touch(self)
         self.metrics.inserted_tuples += n
         self.metrics.journal_tuples = self.journal.nrows
@@ -165,8 +209,9 @@ class Table:
         self._archive_versions(tx, rids)
         body = np.asarray(rids, np.uint64).tobytes()
         self.engine.wal.write(Record(RecordType.DELETE, self.id, tx.xid, body))
-        cnt = self.journal.delete(tx.xid, rids)
-        self._tomb_version += 1
+        with self._mu:
+            cnt = self.journal.delete(tx.xid, rids)
+            self._tomb_version += 1
         tx.touch(self)
         self.metrics.deleted_tuples += cnt
         self.state.n_rows -= cnt
@@ -185,8 +230,9 @@ class Table:
             body = np.asarray(rids, np.uint64).tobytes()
             self.engine.wal.write(Record(RecordType.DELETE, self.id, tx.xid,
                                          body))
-            self.journal.delete(tx.xid, rids)
-            self._tomb_version += 1
+            with self._mu:
+                self.journal.delete(tx.xid, rids)
+                self._tomb_version += 1
         self.insert_rows(tx, data, pks=pks)
         n = len(pks)
         self.metrics.updated_tuples += n
@@ -217,16 +263,16 @@ class Table:
         names = [f.name for f in self.full_schema.fields]
         cols: dict[str, list] = {n: [] for n in names}
         got = 0
-        incl = self._rid_include_masks(rids) if self.segments else []
-        excl = self._exclude_masks(snap)
-        for h, inc, exc in zip(self.segments, incl, excl):
+        segments, jdata, jrids, dead = self._read_view(snap)
+        incl = self._rid_include_masks(rids, segments)
+        excl = self._exclude_masks_of(segments, dead)
+        for h, inc, exc in zip(segments, incl, excl):
             r = h.scanner_().scan(None, [AggSpec("count")], project=names,
                                   exclude_words=exc, include_words=inc)
             if r.rows.get(META_RID) is not None and len(r.rows[META_RID]):
                 for n_ in names:
                     cols[n_].extend(list(r.rows[n_]))
                 got += len(r.rows[META_RID])
-        jdata, jrids = self.journal.visible_rows(snap)
         if len(jrids):
             jm = np.isin(jrids, np.asarray(rids, np.uint64))
             for i in np.flatnonzero(jm):
@@ -238,13 +284,16 @@ class Table:
         return {n_: np.array(v, object) for n_, v in cols.items()}
 
     def commit_tx(self, xid: int) -> None:
-        self.journal.commit(xid)
-        if self.journal.nrows >= self.journal.max_size:
+        with self._mu:
+            self.journal.commit(xid)
+            full = self.journal.nrows >= self.journal.max_size
+        if full:
             self.engine.tasks.submit(self.merge)
 
     def abort_tx(self, xid: int) -> None:
-        self.journal.abort(xid)
-        self._tomb_version += 1
+        with self._mu:
+            self.journal.abort(xid)
+            self._tomb_version += 1
 
     # ------------------------------------------------------------ indexes --
 
@@ -265,10 +314,10 @@ class Table:
     def drop_index(self, name: str) -> None:
         self.indexes = [i for i in self.indexes if i.name != name]
 
-    def _index_pushdown(self, tree: Node | None):
+    def _index_pushdown(self, tree: Node | None, segments: list):
         """If a top-level AND leaf is index-served, return per-segment
         INCLUDE bitsets restricting the scan (else None)."""
-        if tree is None or not self.indexes or not self.segments:
+        if tree is None or not self.indexes or not segments:
             return None
         leaves = []
         if tree.is_leaf:
@@ -279,13 +328,13 @@ class Table:
             for idx in self.indexes:
                 if idx.can_serve(f):
                     rids = idx.query_leaf(f)
-                    return self._rid_include_masks(rids)
+                    return self._rid_include_masks(rids, segments)
         return None
 
-    def _rid_include_masks(self, rids: np.ndarray) -> list:
+    def _rid_include_masks(self, rids: np.ndarray, segments: list) -> list:
         outs = []
         rids = np.asarray(rids, np.uint64)
-        for h in self.segments:
+        for h in segments:
             hits = np.flatnonzero(np.isin(h.host_rid, rids))
             P, N = h.seg.npacks, h.seg.pack_size
             m = np.zeros(P * N, bool)
@@ -309,10 +358,12 @@ class Table:
         partial_aggs: list[ScanResult] = []
         t0 = _time.perf_counter()
 
-        excl_by_seg = self._exclude_masks(snap)
-        incl_by_seg = self._index_pushdown(tree) or [None] * len(self.segments)
+        segments, jdata, jrids, dead = self._read_view(snap)
+        excl_by_seg = self._exclude_masks_of(segments, dead)
+        incl_by_seg = self._index_pushdown(tree, segments) \
+            or [None] * len(segments)
         t_index = _time.perf_counter()
-        for h, excl, incl in zip(self.segments, excl_by_seg, incl_by_seg):
+        for h, excl, incl in zip(segments, excl_by_seg, incl_by_seg):
             sc = h.scanner_()
             r = sc.scan(tree, scan_aggs, project=project,
                         limit=limit, exclude_words=excl, include_words=incl)
@@ -321,7 +372,6 @@ class Table:
         t_scan = _time.perf_counter()
 
         # journal overlay (host oracle, same keyform semantics)
-        jdata, jrids = self.journal.visible_rows(snap)
         jmask = None
         if len(jrids):
             jmask = ORC.eval_tree(tree, jdata, len(jrids))
@@ -355,11 +405,11 @@ class Table:
 
         # union group-key domain across segments (host metadata only)
         from ..exec import groupby as GB
+        segments, jdata, jrids, dead = self._read_view(snap)
         keysets = []
-        for h in self.segments:
-            h.scanner_()
-            keysets.append(GB.segment_group_keys(h.dseg, group_field))
-        jdata, jrids = self.journal.visible_rows(snap)
+        for h in segments:
+            keysets.append(GB.segment_group_keys(h.scanner_().d,
+                                                 group_field))
         jmask = None
         jkeys = None
         if len(jrids):
@@ -385,8 +435,8 @@ class Table:
         mins = {f: [None] * G for f in agg_fields}
         maxs = {f: [None] * G for f in agg_fields}
 
-        excl_by_seg = self._exclude_masks(snap)
-        for h, excl in zip(self.segments, excl_by_seg):
+        excl_by_seg = self._exclude_masks_of(segments, dead)
+        for h, excl in zip(segments, excl_by_seg):
             gplan, c, res = h.scanner_().group_scan(
                 tree, group_field, agg_fields, exclude_words=excl,
                 global_keys=global_keys)
@@ -404,23 +454,27 @@ class Table:
                         maxs[f][g] = k_mx
 
         if jmask is not None and jmask.any():
+            from ..series import _group_reduce_exact
             sel = np.flatnonzero(jmask)
-            if ft_g.is_bytes_like:
-                gid_of = {k: i for i, k in enumerate(global_keys)}
+            if ft_g.is_bytes_like or global_keys.dtype == object:
+                gid_of = {k if ft_g.is_bytes_like else int(k): i
+                          for i, k in enumerate(global_keys)}
+                gsel = np.array([gid_of[k if ft_g.is_bytes_like else int(k)]
+                                 for k in jkeys[sel]], np.int64)
             else:
-                gid_of = {int(k): i for i, k in enumerate(global_keys)}
-            for i in sel:
-                g = gid_of[jkeys[i] if ft_g.is_bytes_like
-                           else int(jkeys[i])]
-                counts[g] += 1
-                for f in agg_fields:
-                    ftf = self.full_schema.field(f).type
-                    k = int(ORC.column_keys(jdata[f][i:i + 1], ftf)[0])
-                    sums[f][g] += k
-                    if mins[f][g] is None or k < mins[f][g]:
-                        mins[f][g] = k
-                    if maxs[f][g] is None or k > maxs[f][g]:
-                        maxs[f][g] = k
+                gsel = np.searchsorted(
+                    global_keys, jkeys[sel].astype(np.uint64))
+            np.add.at(counts, gsel, 1)
+            for f in agg_fields:
+                ftf = self.full_schema.field(f).type
+                keys = ORC.column_keys(jdata[f][sel], ftf)
+                gsum, gmin, gmax, hit = _group_reduce_exact(gsel, keys, G)
+                for g in np.flatnonzero(hit):
+                    sums[f][g] += gsum[g]
+                    if mins[f][g] is None or gmin[g] < mins[f][g]:
+                        mins[f][g] = gmin[g]
+                    if maxs[f][g] is None or gmax[g] > maxs[f][g]:
+                        maxs[f][g] = gmax[g]
 
         keep = counts > 0
         from ..exec.groupby import GroupPlan
@@ -457,9 +511,10 @@ class Table:
         project = project or [f.name for f in self.schema.fields]
         ft = self.full_schema.field(order_by).type
         from ..encode.schemes import Scheme as _Sch
+        segments, jdata, jrids, dead = self._read_view(snap)
         has_alp = any(
             p.scheme == _Sch.ALP
-            for h in self.segments
+            for h in segments
             for p in h.seg.columns.get(order_by,
                                        type("x", (), {"packs": []})).packs)
         if ft.is_bytes_like or has_alp:
@@ -486,9 +541,9 @@ class Table:
         k = limit if limit else self.state.n_rows + self.journal.nrows
         entries = []   # (key_int, source, row_index)
 
-        excl_by_seg = self._exclude_masks(snap)
+        excl_by_seg = self._exclude_masks_of(segments, dead)
         seg_rows = []
-        for h, excl in zip(self.segments, excl_by_seg):
+        for h, excl in zip(segments, excl_by_seg):
             kk = min(k, h.seg.nrows_total) or 1
             keys, rows, nvalid = SRT.segment_topk(
                 h.scanner_(), tree, order_by, kk, desc=desc,
@@ -498,7 +553,6 @@ class Table:
             for i, key in enumerate(keys):
                 entries.append((key, si, i))
 
-        jdata, jrids = self.journal.visible_rows(snap)
         jmask = None
         if len(jrids):
             jmask = ORC.eval_tree(tree, jdata, len(jrids))
@@ -541,13 +595,13 @@ class Table:
     def _matching_rids(self, snap: Snapshot, tree: Node | None) -> np.ndarray:
         """Rids of all visible rows matching the tree (for delete/update)."""
         out = []
-        excl_by_seg = self._exclude_masks(snap)
-        for h, excl in zip(self.segments, excl_by_seg):
+        segments, jdata, jrids, dead = self._read_view(snap)
+        excl_by_seg = self._exclude_masks_of(segments, dead)
+        for h, excl in zip(segments, excl_by_seg):
             r = h.scanner_().scan(tree, [AggSpec("count")],
                                   project=[META_RID], exclude_words=excl)
             if len(r.rows.get(META_RID, ())):
                 out.append(np.asarray(r.rows[META_RID], np.uint64))
-        jdata, jrids = self.journal.visible_rows(snap)
         if len(jrids):
             jm = ORC.eval_tree(tree, jdata, len(jrids))
             if jm.any():
@@ -556,11 +610,11 @@ class Table:
             return np.empty(0, np.uint64)
         return np.concatenate(out)
 
-    def _exclude_masks(self, snap: Snapshot) -> list:
-        """Per-segment packed exclude bitsets for tombstoned rids."""
-        dead = self.journal.deleted_rids(snap)
+    def _exclude_masks_of(self, segments: list, dead: np.ndarray) -> list:
+        """Per-segment packed exclude bitsets for tombstoned rids.
+        Pure function of a captured (segments, dead-rids) view."""
         outs = []
-        for h in self.segments:
+        for h in segments:
             if not len(dead):
                 outs.append(None)
                 continue
@@ -637,20 +691,49 @@ class Table:
 
     def merge(self) -> None:
         """Drain the committed journal (+ undersized tail segments) into a
-        new sealed segment; crash-safe via WAL checkpoint."""
-        got = self.journal.mergable()
-        if got is None:
-            return
-        jdata, jrids, dead, drained = got
+        new sealed segment; crash-safe via WAL checkpoint.
+
+        Protocol (reference merge.go:21-101 ordering, adapted):
+          1. under the table lock: snapshot mergable journal content and
+             rotate, so concurrent post-snapshot inserts land in a fresh
+             tip and are never dropped by the drain
+          2. build the new segment (slow, outside the lock; segments are
+             immutable and only merges — serialized by _merge_mu — mutate
+             the segment list)
+          3. under the table lock: atomically swap segments + drop exactly
+             the drained journal content
+          4. persist new blobs under fresh keys, then durably save the
+             (manifest, checkpoint LSN) pair in ONE atomic catalog put,
+             and only then GC stale blobs — a crash at any point leaves
+             either the full old state (+ WAL replay) or the full new one
+        """
+        with self._merge_mu:
+            self._merge_serialized()
+
+    def _merge_serialized(self) -> None:
+        with self._mu:
+            got = self.journal.mergable()
+            if got is None:
+                return
+            jdata, jrids, dead, drained = got
+            self.journal.rotate()
+            drained_tail = list(self.journal.tail)
+            drained_tomb = dict(self.journal.tomb)
+            drained_xids = (set(self.journal._committed)
+                            | set(self.journal._aborted))
+            segments = list(self.segments)
         dead_set = set(int(r) for r in dead)
 
         # fold in undersized tail segments (simple compaction policy)
         keep: list[_SegHandle] = []
         fold: list[_SegHandle] = []
         thresh = self.pack_size * self.MIN_MERGE_TAIL
-        for h in self.segments:
+        for h in segments:
             (fold if h.seg.nrows_total < thresh else keep).append(h)
         if not len(jrids) and not fold and not dead_set:
+            with self._mu:
+                self.journal.drop_drained(drained_tail, drained_tomb,
+                                          drained_xids)
             return
 
         cols: dict[str, list] = {f.name: [] for f in self.full_schema.fields}
@@ -696,8 +779,11 @@ class Table:
                          for p in parts])
                 data[f.name] = arr[order]
             self.state.epoch += 1
+            mesh = getattr(self.engine, "mesh", None)
+            ndev = mesh.shape[mesh.axis_names[0]] if mesh is not None \
+                else None
             seg = build_segment(self.full_schema, data, self.pack_size,
-                                epoch=self.state.epoch)
+                                epoch=self.state.epoch, uniform=ndev)
             h = _SegHandle(seg,
                            host_pk=np.asarray(
                                list(data[self.schema.pk.name]), np.uint64),
@@ -706,20 +792,26 @@ class Table:
                            table=self)
             new_handles.append(h)
 
-        # atomic swap + persist + checkpoint
-        self.segments = keep + new_handles
+        # atomic swap: readers holding _read_view never see a half state
+        with self._mu:
+            self.segments = keep + new_handles
+            self.journal.drop_drained(drained_tail, drained_tomb,
+                                      drained_xids)
+            self._tomb_version += 1
+            self.metrics.journal_tuples = self.journal.nrows
+        # durability: new blobs first (staged, unreferenced), then the
+        # checkpoint record, then ONE atomic catalog put that flips both
+        # the segment manifest and checkpoint_lsn; stale blobs last
         self._persist()
-        self.journal.clear()
-        self._tomb_version += 1
         lsn = self.engine.wal.write_and_sync(
             Record(RecordType.CHECKPOINT, self.id, 0,
                    str(self.state.epoch).encode()))
         self.state.checkpoint_lsn = lsn
         self.metrics.merges += 1
-        self.metrics.journal_tuples = 0
         for idx in self.indexes:
             idx.rebuild(self)
         self.engine.save_state(self)
+        self._gc_blobs()
 
     def _materialize_all(self, h: _SegHandle, alive: np.ndarray) -> dict:
         """Full row materialization of a segment (merge path, host)."""
@@ -736,18 +828,40 @@ class Table:
         return r.rows
 
     def _persist(self) -> None:
+        """Write NEW segment blobs under fresh staged keys; never touches
+        blobs referenced by the currently-durable manifest (deleted only
+        by _gc_blobs after the new manifest is durable)."""
         if self.engine.store is None:
+            self.metrics.bytes_stored = sum(
+                h.seg.nbytes for h in self.segments)
             return
         from ..store import segio
         b = self.engine.store.bucket(f"table_{self.id}_segments")
-        for k in list(b.keys()):
-            b.delete(k)
         total = 0
-        for i, h in enumerate(self.segments):
-            blob = segio.dump_segment(h.seg)
-            b.put(f"{h.seg.epoch:08x}_{i:04x}".encode(), blob)
-            total += len(blob)
+        live: list[str] = []
+        for h in self.segments:
+            if h.blob_key is None:
+                key = f"{h.seg.epoch:08x}_{self._next_blob:06x}"
+                self._next_blob += 1
+                blob = segio.dump_segment(h.seg)
+                b.put(key.encode(), blob)
+                h.blob_key = key
+                h.blob_bytes = len(blob)
+            live.append(h.blob_key)
+            total += h.blob_bytes
+        self._seg_keys = live
         self.metrics.bytes_stored = total
+
+    def _gc_blobs(self) -> None:
+        """Delete blobs not referenced by the durable manifest (runs only
+        AFTER engine.save_state made the new manifest durable)."""
+        if self.engine.store is None:
+            return
+        b = self.engine.store.bucket(f"table_{self.id}_segments")
+        live = set(self._seg_keys)
+        for k in list(b.keys()):
+            if k.decode() not in live:
+                b.delete(k)
 
     # ----------------------------------------------------------- recover --
 
@@ -760,22 +874,37 @@ class Table:
                                          create=False)
         except KeyError:
             return
-        for k, blob in b.items():
+        if self._seg_keys:
+            # manifest-driven load: staged blobs from an interrupted merge
+            # are ignored (and GC'd on the next merge)
+            keys = [k.encode() for k in self._seg_keys]
+        else:
+            keys = list(b.keys())
+            self._seg_keys = [k.decode() for k in keys]
+        for k in keys:
+            blob = b.get(k)
+            if blob is None:
+                raise IOError(f"segment blob {k!r} missing for table "
+                              f"{self.schema.name}")
             seg = segio.load_segment(blob)
             pk_name = self.schema.pk.name
-            col = seg.columns[pk_name]
             pkv = _decode_u64_column(seg, pk_name)
             ridv = _decode_u64_column(seg, META_RID)
-            self.segments.append(_SegHandle(seg, pkv, ridv, table=self))
+            self.segments.append(_SegHandle(seg, pkv, ridv, table=self,
+                                            blob_key=k.decode(),
+                                            blob_bytes=len(blob)))
 
     def replay_wal(self) -> None:
         """Rebuild journal from WAL records after the checkpoint
-        (reference pack/table/wal.go:26)."""
+        (reference pack/table/wal.go:26). Recovery reads with TRUNCATE:
+        a torn tail record — the normal artifact of a crash mid-append —
+        is cut off instead of failing the open (reference wal.go:33-40)."""
+        from ..wal.wal import RecoveryMode
         from_lsn = self.state.checkpoint_lsn
         staged: dict[int, list[Record]] = {}
         outcome: dict[int, RecordType] = {}
-        recs = []
-        for rec in self.engine.wal.records(from_lsn=from_lsn):
+        for rec in self.engine.wal.records(from_lsn=from_lsn,
+                                           mode=RecoveryMode.TRUNCATE):
             if rec.entity != self.id and rec.type not in (
                     RecordType.COMMIT, RecordType.ABORT):
                 continue

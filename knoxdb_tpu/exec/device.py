@@ -278,7 +278,9 @@ def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
             FilterMode.RANGE: FilterMode.RANGE,
             FilterMode.IN: FilterMode.IN, FilterMode.NOT_IN: FilterMode.IN,
         }[mode]
-        zero = jnp.zeros(Pg, jnp.uint64)
+        # shapes derive from traced arrays, not the static sig: under
+        # shard_map (parallel/engine_spmd.py) arrays are device-local
+        zero = jnp.zeros(arrays["planes"].shape[0], jnp.uint64)
         m = B.match_planes(code_mode, arrays["planes"], zero, width,
                            lo=consts.get("lo"), hi=consts.get("hi"),
                            cs=consts.get("cs"))
@@ -359,7 +361,7 @@ def group_decode_keys(g_sig: tuple, arrays: dict, W: int):
     from ..encode import schemes as S
     if scheme == Scheme.CONST:
         v = _limbs_to_u64(arrays["values"])          # u64[Pg, 1]
-        return jnp.broadcast_to(v, (Pg, N))
+        return jnp.broadcast_to(v, (v.shape[0], N))
     if scheme == Scheme.RAW:
         return _limbs_to_u64(arrays["values"])
     if scheme in (Scheme.BITPACK, Scheme.ALP):
@@ -384,7 +386,7 @@ def group_decode_limbs(g_sig: tuple, arrays: dict, W: int):
     from ..encode import schemes as S
     if scheme == Scheme.CONST:
         return jnp.broadcast_to(arrays["values"].transpose(1, 0, 2),
-                                (nlimbs, Pg, N))
+                                (nlimbs, arrays["values"].shape[0], N))
     if scheme == Scheme.RAW:
         return arrays["values"].transpose(1, 0, 2)
     if scheme == Scheme.RLE:
@@ -476,10 +478,11 @@ def group_masked_sum(g_sig: tuple, arrays: dict, mask_words, W: int):
     counts i64[Pg]) with total = lo + 2^32*hi (packed/value domain per
     scheme; host combines with bases/bias)."""
     scheme, width, k, nlimbs, wide, Pg = Scheme(g_sig[0]), *g_sig[1:]
+    Pl = mask_words.shape[0]       # local pack count (== Pg off-mesh)
     if scheme in (Scheme.BITPACK, Scheme.ALP):
         counts = B.popcount_words(mask_words)
-        lo = jnp.zeros(Pg, jnp.uint64)
-        hi = jnp.zeros(Pg, jnp.uint64)
+        lo = jnp.zeros(Pl, jnp.uint64)
+        hi = jnp.zeros(Pl, jnp.uint64)
         for p in range(width):
             c = B.popcount_words(arrays["planes"][:, p, :] & mask_words)
             c = c.astype(jnp.uint64)
@@ -498,7 +501,7 @@ def group_masked_sum(g_sig: tuple, arrays: dict, mask_words, W: int):
         counts = B.popcount_words(mask_words)
         if wide:
             # value = host base (python int); host adds base * count
-            z = jnp.zeros(Pg, jnp.uint64)
+            z = jnp.zeros(Pl, jnp.uint64)
             return z, z, counts
         v = _limbs_to_u64(arrays["values"])[:, 0]    # u64[Pg]
         cnt = counts.astype(jnp.uint64)
@@ -559,7 +562,7 @@ def group_masked_minmax(g_sig: tuple, arrays: dict, mask_words, W: int):
     Wide groups return packed-relative keys; host adds python-int bases."""
     scheme, width, k, nlimbs, wide, Pg = Scheme(g_sig[0]), *g_sig[1:]
     if scheme == Scheme.CONST and wide:
-        z = jnp.zeros(Pg, jnp.uint64)
+        z = jnp.zeros(mask_words.shape[0], jnp.uint64)
         return z, z
     if scheme in (Scheme.BITPACK, Scheme.ALP):
         mn = B.masked_min_planes(arrays["planes"], arrays["min_keys"],

@@ -196,8 +196,8 @@ def row_gids(mode_tags: tuple, gsigs: tuple, gidxs: tuple,
                 .astype(jnp.int32)
             gid = jnp.take_along_axis(gconsts[gi], codes, axis=1)
         elif tag == "const":
-            Pg = gsig[-1]
-            gid = jnp.broadcast_to(gconsts[gi][:, None], (Pg, W * 32))
+            gid = jnp.broadcast_to(gconsts[gi][:, None],
+                                   (gconsts[gi].shape[0], W * 32))
         elif tag == "bucket":
             t0, iv = gconsts[gi]
             keys = D.group_decode_keys(gsig, arrs, W)

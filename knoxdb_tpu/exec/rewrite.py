@@ -173,20 +173,47 @@ def _wide_rel_list(cs: list[int], bases: list[int], width: int):
             jnp.asarray(in_dom))
 
 
+def _alp_keybound(key: int, ft) -> float:
+    """Exact float bound from a keyform key. The optimizer's strict-bound
+    merges (query/filter._merge_and_bounds: GT -> key+1, LT -> key-1) are
+    +-1-ulp adjustments in keyform space; converting the key back gives the
+    correct INCLUSIVE float bound, so `x > 5.0 AND x <= 10.0` prunes 5.0
+    on ALP packs exactly like on keyform packs. Keys in the NaN keyform
+    regions clamp to +-inf (ALP packs hold finite values only)."""
+    import math
+    from ..utils import limbs as lb
+    L = ft.nlimbs
+    ninf = lb.scalar_to_keyform(-math.inf, ft)
+    pinf = lb.scalar_to_keyform(math.inf, ft)
+    k_lo = 0
+    k_hi = 0
+    for l in range(L):
+        k_lo = (k_lo << 32) | ninf[l]
+        k_hi = (k_hi << 32) | pinf[l]
+    key = min(max(key, k_lo), k_hi)
+    parts = tuple((key >> (32 * (L - 1 - l))) & 0xFFFFFFFF for l in range(L))
+    return float(lb.keyform_to_scalar(parts, ft))
+
+
 def _alp_consts(leaf: Filter, g: DeviceGroup):
     """Float predicates -> per-pack ALP enc-domain bounds (double-domain
     exact; encode/alp.enc_bounds). Kernel modes: LT->LE(bound),
-    GT->GE(bound) folded here; device maps statically."""
+    GT->GE(bound) folded here; device maps statically. GE/LE/RANGE bounds
+    come from the merged keyform keys (see _alp_keybound) — NOT leaf.value,
+    which loses strictness after optimizer merges."""
     from ..encode.alp import enc_bounds
     m = leaf.mode
+    ft = leaf.field.type
     _MISS_BOUND = 1 << 62
 
     def bounds_for(c: float):
         return [enc_bounds(float(c), e) for e in g.exps]
 
     if m == FilterMode.RANGE:
-        lo_b = [ge for _, ge, _ in bounds_for(leaf.value[0])]
-        hi_b = [le for le, _, _ in bounds_for(leaf.value[1])]
+        lo_v = _alp_keybound(leaf.key, ft)
+        hi_v = _alp_keybound(leaf.key_hi, ft)
+        lo_b = [ge for _, ge, _ in bounds_for(lo_v)]
+        hi_b = [le for le, _, _ in bounds_for(hi_v)]
         return {"rel_lo": _wide_rel_list(lo_b, g.bases, g.width),
                 "rel_hi": _wide_rel_list(hi_b, g.bases, g.width)}
     if m in (FilterMode.IN, FilterMode.NOT_IN):
@@ -204,11 +231,11 @@ def _alp_consts(leaf: Filter, g: DeviceGroup):
     elif m == FilterMode.LT:      # v < c ⟺ enc <= (largest with dec < c)
         cs = [le - 1 if eq is not None else le for le, _, eq in bs_]
     elif m == FilterMode.LE:
-        cs = [le for le, _, _ in bs_]
+        cs = [le for le, _, _ in bounds_for(_alp_keybound(leaf.key, ft))]
     elif m == FilterMode.GT:
         cs = [ge + 1 if eq is not None else ge for _, ge, eq in bs_]
     elif m == FilterMode.GE:
-        cs = [ge for _, ge, _ in bs_]
+        cs = [ge for _, ge, _ in bounds_for(_alp_keybound(leaf.key, ft))]
     else:
         raise ValueError(f"alp rewrite: {m}")
     return {"rel": _wide_rel_list(cs, g.bases, g.width)}

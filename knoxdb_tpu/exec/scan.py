@@ -266,10 +266,13 @@ class SegmentScanner:
         float_types = {name: d.seg.columns[name].field.type
                        for name in float_fields}
 
-        def eval_node(desc, arrays, consts, overrides):
+        def eval_node(desc, arrays, consts, overrides, valid):
+            # all shapes derive from TRACED arrays (valid u32[P, W]), not
+            # static segment geometry: under shard_map the same fn traces
+            # with device-local P (parallel/engine_spmd.py)
             kind = desc[0]
             if kind == "true":
-                return jnp.full((d.P, W), _FULL)
+                return jnp.full(valid.shape, _FULL)
             if kind == "leaf":
                 i, fname, mode = desc[1], desc[2], FilterMode(desc[3])
                 all_, none = overrides[i]
@@ -282,21 +285,22 @@ class SegmentScanner:
                     full = D.group_match(gsig, mode, arrays[fname][0],
                                          consts[i][0], W)
                 else:
-                    full = jnp.zeros((d.P, W), jnp.uint32)
+                    full = jnp.zeros(valid.shape, jnp.uint32)
                     for gi, (gsig, gidx, _) in enumerate(leaf_groups[i]):
                         m = D.group_match(gsig, mode, arrays[fname][gi],
                                           consts[i][gi], W)
                         full = full.at[gidx].set(m)
                 full = jnp.where(all_[:, None], _FULL, full)
                 return jnp.where(none[:, None], jnp.uint32(0), full)
-            kids = [eval_node(c, arrays, consts, overrides) for c in desc[1]]
+            kids = [eval_node(c, arrays, consts, overrides, valid)
+                    for c in desc[1]]
             out = kids[0]
             for k in kids[1:]:
                 out = (out | k) if kind == "or" else (out & k)
             return out
 
         def fn(arrays, consts, overrides, valid, excl=()):
-            mask = eval_node(tdesc, arrays, consts, overrides) & valid
+            mask = eval_node(tdesc, arrays, consts, overrides, valid) & valid
             if has_excl:
                 mask = mask & ~excl[0]
             if has_incl:
@@ -308,8 +312,12 @@ class SegmentScanner:
                     parts.append(None)
                     continue
                 col_parts = []
+                full_cov = (len(agg_groups[fname]) == 1
+                            and agg_groups[fname][0][1][-1] == d.P)
                 for gi, gsig, gidx in agg_groups[fname]:
-                    gmask = mask[gidx]
+                    # full-coverage single group: identity gather elided
+                    # (required under shard_map: gidx is global)
+                    gmask = mask if full_cov else mask[gidx]
                     garr = arrays[fname][gi]
                     is_alp = Scheme(gsig[0]) == Scheme.ALP
                     if op == "sum" or op == "avg":

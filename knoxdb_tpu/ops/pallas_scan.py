@@ -69,6 +69,8 @@ def range_consts(min_keys, lo, hi, width: int):
 
 
 _TILE = 8      # packs per grid step (sublane-dim requirement)
+_Z = np.int32(0)   # index-map zero: a python literal 0 traces as i64 under
+                   # jax_enable_x64 and Mosaic fails to legalize the map
 
 
 def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
@@ -123,16 +125,16 @@ def fused_range_sum(planes, lo_bits, hi_bits, flags, valid, width: int,
         partial(_kernel, width=width),
         grid=(P // _TILE,),
         in_specs=[
-            pl.BlockSpec((_TILE, w1), lambda i: (i, 0)),
-            pl.BlockSpec((_TILE, w1), lambda i: (i, 0)),
-            pl.BlockSpec((_TILE, _NFLAGS), lambda i: (i, 0)),
-            pl.BlockSpec((_TILE, w, W), lambda i: (i, 0, 0)),
-            pl.BlockSpec((_TILE, W), lambda i: (i, 0)),
+            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, _NFLAGS), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, w, W), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((_TILE, W), lambda i: (i, _Z)),
         ],
         out_specs=[
-            pl.BlockSpec((_TILE, W), lambda i: (i, 0)),
-            pl.BlockSpec((_TILE, w1), lambda i: (i, 0)),
-            pl.BlockSpec((_TILE, 1), lambda i: (i, 0)),
+            pl.BlockSpec((_TILE, W), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, _Z)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((P, W), jnp.uint32),

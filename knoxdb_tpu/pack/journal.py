@@ -41,8 +41,6 @@ class Journal:
         self.max_size = max_size
         self.tip = _Seg()
         self.tail: list[_Seg] = []          # immutable full segments
-        # rid -> (position key) for update/delete of journal-resident rows
-        self._rid_pos: dict[int, tuple[int, int]] = {}  # rid -> (seg#, row)
         # tombstones: rid -> xid that deleted it (may target segment rows)
         self.tomb: dict[int, int] = {}
         # per-row xmax for journal rows replaced/deleted (parallel to data)
@@ -60,9 +58,6 @@ class Journal:
                 _tolist(data[f.name], n))
         seg.rids.extend(int(r) for r in rids)
         seg.xmins.extend([xid] * n)
-        base = len(self.tail)
-        for i, r in enumerate(rids):
-            self._rid_pos[int(r)] = (base, seg.n + i)
         seg.n += n
         if seg.n >= self.max_size:
             self.rotate()
@@ -169,10 +164,25 @@ class Journal:
     def clear(self) -> None:
         self.tip = _Seg()
         self.tail = []
-        self._rid_pos.clear()
         self.tomb.clear()
         self._committed.clear()
         self._aborted.clear()
+
+    def drop_drained(self, tail_segs: list, tomb: dict, xids: set) -> None:
+        """Remove exactly the content a merge drained (captured under the
+        table lock before the merge built its segment). Rows/tombstones
+        inserted AFTER the capture — concurrent transactions — survive,
+        unlike a blanket clear() which would silently lose them."""
+        drained_ids = {id(s) for s in tail_segs}
+        self.tail = [s for s in self.tail if id(s) not in drained_ids]
+        for r, x in tomb.items():
+            if self.tomb.get(r) == x:
+                del self.tomb[r]
+        # an xid can only be drained when fully committed/aborted at
+        # capture time (mergable() guarantees no pending), so dropping the
+        # outcome sets is safe for rows inserted later under NEW xids
+        self._committed -= xids
+        self._aborted -= xids
 
 
 def _tolist(col, n: int) -> list:

@@ -161,13 +161,26 @@ def _limbs_to_ints(limbs: np.ndarray) -> np.ndarray:
 
 
 def build_segment(schema: Schema, data: dict[str, np.ndarray],
-                  pack_size: int, epoch: int = 0) -> Segment:
+                  pack_size: int, epoch: int = 0,
+                  uniform: int | None = None) -> Segment:
     """data: field name -> native-typed numpy array (or python-int list for
     wide types). All columns must share length. Rows are stored in input
-    order (the table engine sorts by pk before building)."""
+    order (the table engine sorts by pk before building).
+
+    uniform=N builds a SHARD-UNIFORM segment for N-device SPMD execution
+    (parallel/engine_spmd.py): pack count padded to a multiple of N and
+    every column encoded as exactly ONE (scheme, width, k) group, so the
+    fused scan plan traces identically on each device's pack shard."""
+    if pack_size < 32 or pack_size & (pack_size - 1):
+        raise ValueError(f"pack_size must be a power of two >= 32, "
+                         f"got {pack_size}")
     names = [f.name for f in schema.fields]
     n = len(data[names[0]])
     bounds = _split(n, pack_size)
+    if uniform:
+        P0 = len(bounds)
+        P_pad = -(-P0 // uniform) * uniform
+        bounds = bounds + [(n, n)] * (P_pad - P0)
     P = len(bounds)
     nrows = np.array([hi - lo for lo, hi in bounds], np.int64)
 
@@ -178,14 +191,24 @@ def build_segment(schema: Schema, data: dict[str, np.ndarray],
         if f.type.is_bytes_like:
             columns[f.name], fstats[f.name] = _encode_strings(
                 f, raw, bounds, pack_size)
+            if uniform:
+                _uniform_strings(columns[f.name])
             continue
         wide = f.type.nlimbs > 2
         if wide:
             limbs = lb.to_keyform(raw, f.type)
-            col, keys = _encode_wide(f, limbs, bounds, pack_size)
+            if uniform:
+                col, keys = _encode_wide_uniform(f, limbs, bounds, pack_size)
+            else:
+                col, keys = _encode_wide(f, limbs, bounds, pack_size)
         else:
             keys64 = lb.to_keys64(raw, f.type)
-            col, keys = _encode_narrow(f, keys64, bounds, pack_size, raw=raw)
+            if uniform:
+                col, keys = _encode_narrow_uniform(f, keys64, bounds,
+                                                   pack_size, raw=raw)
+            else:
+                col, keys = _encode_narrow(f, keys64, bounds, pack_size,
+                                           raw=raw)
         columns[f.name] = col
         limbs_per_pack = None
         if f.filter != FilterType.NONE:
@@ -197,3 +220,94 @@ def build_segment(schema: Schema, data: dict[str, np.ndarray],
     rid_base = np.arange(P, dtype=np.uint64) * np.uint64(pack_size)
     stats = SegmentStats(nrows, rid_base, fstats)
     return Segment(schema, pack_size, n, nrows, columns, stats, epoch)
+
+
+# ----------------------------------------------------- uniform encoders ---
+# One (scheme, width, k) group per column: the SPMD layout contract.
+
+def _pad_planes(p: EncodedPack, width: int) -> None:
+    """Grow a bitplane pack to `width` by appending zero planes (high bits
+    of in-domain values are zero, so match/sum semantics are unchanged)."""
+    if p.width >= width:
+        return
+    W = p.planes.shape[1]
+    out = np.zeros((max(width, 1), W), np.uint32)
+    if p.width:
+        out[:p.width] = p.planes[:p.width]
+    p.planes = out
+    p.width = width
+
+
+def _uniform_strings(col: EncodedColumn) -> None:
+    wmax = max(p.width for p in col.packs)
+    kmax = max(p.k for p in col.packs)
+    for p in col.packs:
+        _pad_planes(p, wmax)
+        p.k = kmax
+
+
+def _encode_narrow_uniform(field: Field, keys64: np.ndarray, bounds,
+                           pack_size: int, raw=None):
+    L = field.type.nlimbs
+    per_pack_keys = [keys64[lo:hi] for lo, hi in bounds]
+    if field.type == FieldType.FLOAT64 and raw is not None:
+        packs = []
+        ok = True
+        for lo, hi in bounds:
+            if lo == hi:        # empty pad pack: compatible with any exp
+                packs.append(EncodedPack(Scheme.ALP, 0, 2, width=0,
+                                         min_key=0, exp=0,
+                                         planes=np.zeros(
+                                             (1, pack_size // 32), np.uint32)))
+                continue
+            p = S.encode_alp(np.asarray(raw[lo:hi], np.float64), pack_size,
+                             width_round=sel.round_width)
+            if p is None:
+                ok = False
+                break
+            packs.append(p)
+        if ok:
+            wmax = max(p.width for p in packs)
+            for p in packs:
+                _pad_planes(p, wmax)
+            return EncodedColumn(field, packs, wide=False), per_pack_keys
+    mins, rngs = [], []
+    for k in per_pack_keys:
+        mn = int(k.min()) if len(k) else 0
+        mins.append(mn)
+        rngs.append((int(k.max()) - mn) if len(k) else 0)
+    gw = sel.round_width(max(rngs).bit_length()) if max(rngs) else 0
+    packs = [S.encode_bitpack(k, L, mn, gw, pack_size)
+             for k, mn in zip(per_pack_keys, mins)]
+    return EncodedColumn(field, packs, wide=False), per_pack_keys
+
+
+def _encode_wide_uniform(field: Field, limbs: np.ndarray, bounds,
+                         pack_size: int):
+    L = limbs.shape[0]
+    per_pack, infos = [], []
+    for lo, hi in bounds:
+        sub = limbs[:, lo:hi]
+        ints = _limbs_to_ints(sub)
+        per_pack.append(ints)
+        if len(ints):
+            mn = min(int(v) for v in ints)
+            mx = max(int(v) for v in ints)
+        else:
+            mn = mx = 0
+        infos.append((mn, mx - mn, sub))
+    if all(rng < (1 << 63) for _, rng, _ in infos):
+        gw = sel.round_width(
+            max(rng.bit_length() for _, rng, _ in infos)) \
+            if any(rng for _, rng, _ in infos) else 0
+        packs, bases = [], []
+        for (mn, rng, sub), ints in zip(infos, per_pack):
+            rel = np.array([int(v) - mn for v in ints], dtype=np.uint64)
+            packs.append(S.encode_bitpack(rel, L, 0, gw, pack_size))
+            bases.append(mn)
+        return EncodedColumn(field, packs, wide=True,
+                             wide_bases=bases), per_pack
+    packs = [S.encode_raw(sub, sub.shape[1], pack_size)
+             for _, _, sub in infos]
+    return EncodedColumn(field, packs, wide=True,
+                         wide_bases=[0] * len(infos)), per_pack

@@ -75,8 +75,9 @@ def run_series(req: SeriesRequest) -> dict:
         tf0 = t.full_schema.field(req.time_field).type
         t0_key = _key_int(req.start, tf0)
 
-        excl_by_seg = t._exclude_masks(snap)
-        for h, excl in zip(t.segments, excl_by_seg):
+        segments, jdata, jrids, dead = t._read_view(snap)
+        excl_by_seg = t._exclude_masks_of(segments, dead)
+        for h, excl in zip(segments, excl_by_seg):
             sc = h.scanner_()
             gplan = GB.plan_buckets(sc.d, req.time_field, t0_key,
                                     req.interval, G)
@@ -85,36 +86,34 @@ def run_series(req: SeriesRequest) -> dict:
             counts += c
             for f in agg_fields:
                 s, mn, mx = res[f]
-                for g in range(G):
-                    if c[g] == 0:
-                        continue
+                for g in np.flatnonzero(np.asarray(c) > 0):
                     sums[f][g] += s[g]
                     if mins[f][g] is None or int(mn[g]) < mins[f][g]:
                         mins[f][g] = int(mn[g])
                     if maxs[f][g] is None or int(mx[g]) > maxs[f][g]:
                         maxs[f][g] = int(mx[g])
 
-        jdata, jrids = t.journal.visible_rows(snap)
         if len(jrids):
             jm = ORC.eval_tree(tree, jdata, len(jrids))
-            if jm.any():
-                tf = t.full_schema.field(req.time_field).type
-                tkeys = ORC.column_keys(jdata[req.time_field], tf)
-                from .utils import limbs as lb
-                for i in np.flatnonzero(jm):
-                    ts = int(jdata[req.time_field][i])
-                    g = (ts - req.start) // req.interval
-                    if not (0 <= g < G):
-                        continue
-                    counts[g] += 1
-                    for f in agg_fields:
-                        ftf = t.full_schema.field(f).type
-                        k = int(ORC.column_keys(jdata[f][i:i + 1], ftf)[0])
-                        sums[f][g] += k
-                        if mins[f][g] is None or k < mins[f][g]:
-                            mins[f][g] = k
-                        if maxs[f][g] is None or k > maxs[f][g]:
-                            maxs[f][g] = k
+            sel = np.flatnonzero(jm)
+            if len(sel):
+                ts = np.array([int(v) for v in
+                               jdata[req.time_field][sel]], np.int64)
+                g_of = (ts - req.start) // req.interval
+                ok = (g_of >= 0) & (g_of < G)
+                sel, g_of = sel[ok], g_of[ok]
+                np.add.at(counts, g_of, 1)
+                for f in agg_fields:
+                    ftf = t.full_schema.field(f).type
+                    keys = ORC.column_keys(jdata[f][sel], ftf)
+                    gsum, gmin, gmax, hit = _group_reduce_exact(
+                        g_of, keys, G)
+                    for g in np.flatnonzero(hit):
+                        sums[f][g] += gsum[g]
+                        if mins[f][g] is None or gmin[g] < mins[f][g]:
+                            mins[f][g] = gmin[g]
+                        if maxs[f][g] is None or gmax[g] > maxs[f][g]:
+                            maxs[f][g] = gmax[g]
 
     times = req.start + np.arange(G, dtype=np.int64) * req.interval
     out: dict = {"time": times, "count": counts}
@@ -143,6 +142,40 @@ def run_series(req: SeriesRequest) -> dict:
                    np.array([x for x, kp in zip(v, keep) if kp], object))
                for k, v in out.items()}
     return out
+
+
+def _group_reduce_exact(gids: np.ndarray, keys: np.ndarray, G: int):
+    """Vectorized exact per-group (sum, min, max) of keyform keys.
+
+    Mirrors the device invariant (CLAUDE.md): u64 keys split into 32-bit
+    limbs whose per-group f64 bincount sums stay exact below 2^53, then
+    recombined with python ints. No per-row python loop — this is the
+    journal-overlay scaling fix (VERDICT weak #6). Object (wide) key
+    arrays fall back to a python reduction."""
+    hit = np.zeros(G, bool)
+    np.logical_or.at(hit, gids, True)
+    gmin = np.empty(G, object)
+    gmax = np.empty(G, object)
+    gsum = np.zeros(G, object)
+    if keys.dtype == object:
+        for g in np.flatnonzero(hit):
+            kk = [int(k) for k in keys[gids == g]]
+            gsum[g] = sum(kk)
+            gmin[g], gmax[g] = min(kk), max(kk)
+        return gsum, gmin, gmax, hit
+    k = keys.astype(np.uint64)
+    lo = (k & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    hi = (k >> np.uint64(32)).astype(np.float64)
+    lo_s = np.bincount(gids, weights=lo, minlength=G)
+    hi_s = np.bincount(gids, weights=hi, minlength=G)
+    mn = np.full(G, np.iinfo(np.uint64).max, np.uint64)
+    mx = np.zeros(G, np.uint64)
+    np.minimum.at(mn, gids, k)
+    np.maximum.at(mx, gids, k)
+    for g in np.flatnonzero(hit):
+        gsum[g] = (int(hi_s[g]) << 32) + int(lo_s[g])
+        gmin[g], gmax[g] = int(mn[g]), int(mx[g])
+    return gsum, gmin, gmax, hit
 
 
 def _kv(key: int, ft: FieldType):

@@ -108,7 +108,9 @@ class Wal:
         self.sync_mode = sync
         self.synced_lsn = 0
         self._flush_event = threading.Event()
-        self._wlock = threading.Lock()
+        # RLock: write_delayed/sync take it around write(); write() itself
+        # locks so a user commit and merge workers never interleave records
+        self._wlock = threading.RLock()
         self._stop_flusher = False
         self._segments = self._discover()
         if not self._segments:
@@ -149,15 +151,17 @@ class Wal:
 
     def write(self, rec: Record) -> int:
         buf = rec.encode()
-        if self._fh.tell() + len(buf) > self.max_segment:
-            self._rotate()
-        rec.lsn = self._seg_base + self._fh.tell()
-        self._fh.write(buf)
-        return rec.lsn
+        with self._wlock:
+            if self._fh.tell() + len(buf) > self.max_segment:
+                self._rotate()
+            rec.lsn = self._seg_base + self._fh.tell()
+            self._fh.write(buf)
+            return rec.lsn
 
     def write_and_sync(self, rec: Record) -> int:
-        lsn = self.write(rec)
-        self.sync()
+        with self._wlock:
+            lsn = self.write(rec)
+            self.sync()
         return lsn
 
     def sync(self) -> None:
