@@ -70,14 +70,54 @@ def join_keys_np(lkeys: np.ndarray, rkeys: np.ndarray,
     return JoinResult(np.asarray(lidx, np.int64), np.asarray(ridx, np.int64))
 
 
-def join_keys_device(lkeys, rkeys, cap: int):
-    """Device probe for UNIQUE build keys: returns (pos i32[Nl], match
-    bool[Nl]) where pos indexes the SORTED build side. Callers expand
-    projections with take(); duplicates fall back to join_keys_np."""
+def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Device sort-probe join with duplicate expansion.
+
+    lkeys/rkeys: u64 device arrays in a common join domain. Returns
+    (lidx i64[M], ridx i64[M]) host arrays of matched index pairs into
+    the input arrays; LEFT-join misses emit ridx == -1. The expansion is
+    two-phase: count matches per probe row on device, fetch the scalar
+    total, then materialize pairs at a static pow2 cap — sorts,
+    searchsorteds and output-sized gathers only (no [rows]-scale host
+    fetch; reference merge-join semantics, join.go:536-556)."""
     import jax.numpy as jnp
 
-    rs = jnp.sort(rkeys)
-    pos = jnp.searchsorted(rs, lkeys)
-    posc = jnp.minimum(pos, rs.shape[0] - 1)
-    match = jnp.take(rs, posc) == lkeys
-    return posc, match, jnp.argsort(rkeys)
+    Nl = int(lkeys.shape[0])
+    Nr = int(rkeys.shape[0])
+    empty = np.empty(0, np.int64)
+    if Nl == 0:
+        return empty, empty
+    if Nr == 0:
+        if how == JoinType.LEFT:
+            return np.arange(Nl, dtype=np.int64), np.full(Nl, -1, np.int64)
+        return empty, empty
+
+    order = jnp.argsort(rkeys)
+    rs = jnp.take(rkeys, order)
+    lo = jnp.searchsorted(rs, lkeys, side="left").astype(jnp.int64)
+    hi = jnp.searchsorted(rs, lkeys, side="right").astype(jnp.int64)
+    counts = hi - lo
+    eff = jnp.maximum(counts, 1) if how == JoinType.LEFT else counts
+    offs = jnp.cumsum(eff)
+    total = int(offs[-1])
+    if total == 0:
+        return empty, empty
+    cap = 1 << max(0, (total - 1).bit_length())
+
+    t = jnp.arange(cap, dtype=jnp.int64)
+    i = jnp.searchsorted(offs, t, side="right")     # probe row per slot
+    ic = jnp.minimum(i, Nl - 1).astype(jnp.int32)
+    prev = jnp.where(ic > 0, jnp.take(offs, jnp.maximum(ic - 1, 0)),
+                     jnp.int64(0))
+    k = t - prev
+    has = jnp.take(counts, ic) > 0
+    j = jnp.take(lo, ic) + k
+    jc = jnp.clip(j, 0, Nr - 1).astype(jnp.int32)
+    ridx = jnp.where(has, jnp.take(order, jc).astype(jnp.int64),
+                     jnp.int64(-1))
+    valid = t < jnp.int64(total)
+    lidx_np = np.asarray(jnp.where(valid, ic.astype(jnp.int64), -2))
+    ridx_np = np.asarray(jnp.where(valid, ridx, -2))
+    keep = lidx_np != -2
+    return lidx_np[keep], ridx_np[keep]

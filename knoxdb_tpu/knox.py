@@ -428,9 +428,14 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
     on=(left_field, right_field); how: JoinType or
     'inner'|'left'|'right'|'full'|'cross'. Returns column dict with
     right-side columns prefixed 'r_' on name collisions. Outer-side
-    misses yield None."""
-    from .exec import join as J
-    from .exec import oracle as ORC
+    misses yield None.
+
+    Execution: integer-keyed INNER/LEFT joins run DEVICE-SIDE — both
+    sides' keys are compacted on device from the filter masks, joined
+    with the sort-probe kernel (exec/join.join_pairs_device), and only
+    the MATCHED rows' projections are fetched (reference merge-join
+    semantics, join.go:536-556, without its full block fetches). Other
+    shapes (bytes/float/wide keys, RIGHT/FULL/CROSS) use the host path."""
     from .types import JoinType
 
     if how is None:
@@ -439,15 +444,86 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
         how = JoinType[how.upper()]
 
     lf, rf = on
+    lft = left._table._t.full_schema.field(lf).type
+    rft = right._table._t.full_schema.field(rf).type
+    device_ok = (
+        how in (JoinType.INNER, JoinType.LEFT)
+        and not (lft.is_bytes_like or rft.is_bytes_like)
+        and not (lft.is_float or rft.is_float)
+        and lft.nlimbs <= 2 and rft.nlimbs <= 2
+        # mixed signedness would alias in the u64 two's-complement
+        # join domain (e.g. -1 == 2^64-1); keep exact via host ints
+        and lft.is_signed == rft.is_signed)
+    if not device_ok:
+        return _join_host(left, right, (lf, rf), how, select)
+
+    from .exec import join as J
+    lt, rt = left._table._t, right._table._t
+    lsel = left._select or [f.name for f in left._table.schema.fields]
+    rsel = right._select or [f.name for f in right._table.schema.fields]
+
+    with lt.engine.begin(read_only=True) as txl:
+        lkeys, lpos, lview = lt.join_side(txl.snapshot, left._tree(), lf)
+    with rt.engine.begin(read_only=True) as txr:
+        rkeys, rpos, rview = rt.join_side(txr.snapshot, right._tree(), rf)
+
+    mesh = getattr(lt.engine, "mesh", None)
+    if mesh is not None and getattr(rt.engine, "mesh", None) is mesh:
+        # distributed path: salted all_to_all shuffle over the mesh
+        # (BASELINE config #5), pairs index the key arrays like the
+        # single-chip kernel's
+        from .parallel.shuffle import shuffle_join_rows
+        lidx, ridx, _stats = shuffle_join_rows(
+            mesh, np.asarray(lkeys), np.asarray(rkeys),
+            how="left" if how == JoinType.LEFT else "inner",
+            axis=mesh.axis_names[0])
+    else:
+        lidx, ridx = J.join_pairs_device(lkeys, rkeys, how)
+
+    import jax.numpy as jnp
+    lp = np.asarray(jnp.take(lpos, jnp.asarray(lidx, jnp.int32))) \
+        if len(lidx) else np.empty(0, np.int64)
+    rvalid = ridx >= 0
+    rp = np.full(len(ridx), -1, np.int64)
+    if rvalid.any():
+        rp[rvalid] = np.asarray(
+            jnp.take(rpos, jnp.asarray(ridx[rvalid], jnp.int32)))
+
+    lrows = lt.rows_at_positions(lview, lp, lsel)
+    rrows = rt.rows_at_positions(rview, rp, rsel)
+
+    out: dict = {}
+    for name in lsel:
+        out[name] = lrows[name]
+    for name in rsel:
+        key = name if name not in out else f"r_{name}"
+        out[key] = rrows[name]
+    out["__n"] = len(lidx)
+    return out
+
+
+def _join_host(left: "Query", right: "Query", on: tuple[str, str],
+               how, select) -> dict:
+    """Host join path (bytes/float/wide keys, RIGHT/FULL/CROSS): value-
+    domain python-int join, exact for any key type mix."""
+    from .exec import join as J
+
+    lf, rf = on
     lsel = left._select or [f.name for f in left._table.schema.fields]
     rsel = right._select or [f.name for f in right._table.schema.fields]
     lrows = left.select(*dict.fromkeys(lsel + [lf])).rows()
     rrows = right.select(*dict.fromkeys(rsel + [rf])).rows()
 
-    # join in the VALUE domain (python ints) so differently-typed key
-    # columns (e.g. INT64 fk vs UINT64 pk) match by numeric value
-    lkeys = np.array([int(v) for v in lrows[lf]], object)
-    rkeys = np.array([int(v) for v in rrows[rf]], object)
+    def keyed(col, ft):
+        if ft.is_bytes_like:
+            return np.array([v.encode() if isinstance(v, str) else bytes(v)
+                             for v in col], object)
+        if ft.is_float:
+            return np.array([float(v) for v in col], object)
+        return np.array([int(v) for v in col], object)
+
+    lkeys = keyed(lrows[lf], left._table._t.full_schema.field(lf).type)
+    rkeys = keyed(rrows[rf], right._table._t.full_schema.field(rf).type)
     res = J.join_keys_np(lkeys, rkeys, how)
 
     out: dict = {}

@@ -1,119 +1,264 @@
-"""Distributed hash join: all_to_all shuffle + local sort-probe.
+"""Distributed hash join: salted all_to_all shuffle + local sort-probe,
+returning MATCHED ROW PAIRS (not checksums).
 
 The genuinely-new TPU part (the reference is single-process —
 /root/reference/README.md:57; its join strategies are block merge/loop
-joins, internal/operator/join/join.go). Design per SURVEY §7.10:
+joins, internal/operator/join/join.go). BASELINE config #5 shape:
+hash-partition both sides by key over the mesh, exchange over ICI,
+sort-probe each partition locally, materialize (lpos, rpos) pairs.
 
-1. each device hash-partitions its local rows by join key modulo the mesh
-   axis (bucketed compaction into [ndev, cap] tiles, sentinel-padded)
-2. one jax.lax.all_to_all exchanges bucket i -> device i (rides ICI)
-3. each device sort-probes its partition locally (exec/join.py semantics)
-4. per-device match counts / aggregate checksums psum to all devices
+Skew handling (salted repartition, the round-2 upgrade): per-bucket
+global histograms are computed first; buckets holding more than
+skew_factor x the mean are HEAVY. Probe rows of heavy buckets spread
+round-robin across ALL devices (the salt) and build rows of heavy
+buckets REPLICATE to all devices, so a single hot key can never overload
+one device. Capacity overflow CANNOT occur by construction: a device's
+rows into one bucket tile never exceed its local row count (normal and
+replicated rows are disjoint locally), and tiles are sized exactly so.
 
-cap (per-bucket row budget) is static: callers size it from counts with a
-skew factor; overflowing rows are dropped and REPORTED via the returned
-overflow counter, so skew never silently corrupts results — salted
-repartition of heavy keys is the round-2 upgrade.
+Three compiled phases (static caps):
+  1. bucket histograms        -> heavy mask (host)
+  2. sort-based bucketize (O(N log N), not round-1's O(ndev*N) mask
+     loop) + all_to_all exchange + local match COUNT -> pair cap (host)
+  3. local sort-probe         -> (lpos, rpos) pairs, sharded output
+Phase 2 returns the exchanged partitions sharded in place so phase 3
+reuses them without a second exchange. Validity travels as a separate
+bool channel — a u64 key sentinel would collide with the legal key
+2^64-1 (round-1 bug, VERDICT weak #8).
 """
 
 from __future__ import annotations
 
-from functools import partial
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["shuffle_join_fn", "shuffle_join"]
+__all__ = ["shuffle_join_rows", "shuffle_join", "SKEW_FACTOR"]
 
-_SENT = (1 << 64) - 1
+SKEW_FACTOR = 4.0      # bucket is heavy above this multiple of the mean
+_MIX = 0x9E3779B97F4A7C15
+_SENT = 0xFFFFFFFFFFFFFFFF
 
 
-def _bucketize(keys, vals, ndev: int, cap: int):
-    """keys u64[N], vals u64[N] -> (k u64[ndev, cap], v u64[ndev, cap],
-    overflow i32). Rows land in bucket key % ndev; padding = sentinel."""
+def _bucket(keys, ndev: int):
+    """Decorrelated bucket id (mix then mod; key % ndev correlates with
+    the low bits of sequential pks)."""
+    h = keys * jnp.uint64(_MIX)
+    h = h ^ (h >> jnp.uint64(29))
+    return (h % jnp.uint64(ndev)).astype(jnp.int32)
+
+
+def _bucketize(keys, pos, valid, dest, ndev: int, cap: int,
+               replicate: bool):
+    """Sort rows by dest then slice bucket tiles [ndev, cap].
+
+    dest == ndev marks rows to REPLICATE into every bucket (heavy build
+    rows); dest == ndev+1 marks invalid rows (dropped). Returns
+    (k u64[ndev, cap], p i64[ndev, cap], ok bool[ndev, cap])."""
     n = keys.shape[0]
-    dest = (keys % jnp.uint64(ndev)).astype(jnp.int32)
-    ks = []
-    vs = []
-    dropped = jnp.int32(0)
-    for d in range(ndev):
-        m = dest == d
-        cnt = m.sum(dtype=jnp.int32)
-        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
-        slot = jnp.where(m & (pos < cap), pos, cap)
-        kd = jnp.full(cap + 1, jnp.uint64(_SENT)).at[slot].set(
-            keys, mode="drop")[:cap]
-        vd = jnp.zeros(cap + 1, jnp.uint64).at[slot].set(
-            vals, mode="drop")[:cap]
-        ks.append(kd)
-        vs.append(vd)
-        dropped = dropped + jnp.maximum(cnt - cap, 0)
-    return jnp.stack(ks), jnp.stack(vs), dropped
+    ds, ks, ps = jax.lax.sort((dest, keys, pos), dimension=0, num_keys=1,
+                              is_stable=True)
+    bounds = jnp.searchsorted(ds, jnp.arange(ndev + 2, dtype=jnp.int32))
+    start = bounds[:ndev, None]                 # [ndev, 1]
+    cnt = (bounds[1:ndev + 1] - bounds[:ndev])[:, None]
+    h_start = bounds[ndev]
+    h_cnt = (bounds[ndev + 1] - bounds[ndev]) if replicate else 0
+
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    in_norm = j < cnt
+    if replicate:
+        in_heavy = (j >= cnt) & (j < cnt + h_cnt)
+        idx = jnp.where(in_norm, start + j, h_start + (j - cnt))
+        ok = in_norm | in_heavy
+    else:
+        idx = start + j
+        ok = in_norm
+    idx = jnp.clip(idx, 0, max(n - 1, 0)).astype(jnp.int32)
+    k = jnp.take(ks, idx.reshape(-1)).reshape(ndev, cap)
+    p = jnp.take(ps, idx.reshape(-1)).reshape(ndev, cap)
+    return k, p, ok
 
 
-def _local_join_sum(lk, lv, rk, rv):
-    """Sort-probe join of one partition; returns (match_count i64,
-    checksum u64 = sum over matches of lv + rv). Build side must be
-    unique within the partition (pk semantics)."""
-    order = jnp.argsort(rk)
-    rs = jnp.take(rk, order)
-    rvs = jnp.take(rv, order)
-    pos = jnp.clip(jnp.searchsorted(rs, lk), 0, rs.shape[0] - 1)
-    hit = (jnp.take(rs, pos) == lk) & (lk != jnp.uint64(_SENT))
-    cnt = hit.sum(dtype=jnp.int64)
-    csum = jnp.where(hit, lv + jnp.take(rvs, pos), jnp.uint64(0)) \
-        .sum(dtype=jnp.uint64)
-    return cnt, csum
+def _sorted_build(rk, rok, rp):
+    """Key-sorted build side with invalid rows clustered LAST within
+    equal keys; plus validity prefix-sums for exact in-range counts."""
+    inv = (~rok).astype(jnp.uint32)
+    ks = jnp.where(rok, rk, jnp.uint64(_SENT))
+    rs, inv_s, rps = jax.lax.sort((ks, inv, rp), dimension=0, num_keys=2)
+    cval = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                            jnp.cumsum((1 - inv_s).astype(jnp.int64))])
+    return rs, rps, cval
 
 
-def shuffle_join_fn(mesh: Mesh, cap: int, axis: str = "shards"):
-    """Build the jitted multi-chip shuffle-join step.
+def _match_counts(lk, lok, rs, cval):
+    lo = jnp.searchsorted(rs, lk, side="left").astype(jnp.int64)
+    hi = jnp.searchsorted(rs, lk, side="right").astype(jnp.int64)
+    cnt = jnp.take(cval, hi) - jnp.take(cval, lo)
+    return jnp.where(lok, cnt, 0), lo
 
-    fn(lkeys, lvals, rkeys, rvals) with every array sharded on its leading
-    axis -> (matches i64, checksum u64, dropped i32), replicated."""
-    ndev = mesh.shape[axis]
 
+def _phase1(mesh: Mesh, axis: str, ndev: int):
     def local(lk, lv, rk, rv):
-        lk, lv, rk, rv = (x.reshape(-1) for x in (lk, lv, rk, rv))
-        lkb, lvb, dl = _bucketize(lk, lv, ndev, cap)
-        rkb, rvb, dr = _bucketize(rk, rv, ndev, cap)
-        # bucket i of every device -> device i (ICI all-to-all)
-        lkx = jax.lax.all_to_all(lkb, axis, 0, 0, tiled=False)
-        lvx = jax.lax.all_to_all(lvb, axis, 0, 0, tiled=False)
-        rkx = jax.lax.all_to_all(rkb, axis, 0, 0, tiled=False)
-        rvx = jax.lax.all_to_all(rvb, axis, 0, 0, tiled=False)
-        cnt, csum = _local_join_sum(lkx.reshape(-1), lvx.reshape(-1),
-                                    rkx.reshape(-1), rvx.reshape(-1))
-        return (jax.lax.psum(cnt, axis), jax.lax.psum(csum, axis),
-                jax.lax.psum(dl + dr, axis))
+        def hist(k, v):
+            d = jnp.where(v, _bucket(k, ndev), jnp.int32(ndev))
+            oneh = d[:, None] == jnp.arange(ndev, dtype=jnp.int32)[None, :]
+            return oneh.sum(axis=0, dtype=jnp.int64)
+        return (jax.lax.psum(hist(lk, lv), axis),
+                jax.lax.psum(hist(rk, rv), axis))
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P())))
 
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                       out_specs=(P(), P(), P()))
-    return jax.jit(fn)
+
+def _phase2(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
+            how_left: bool):
+    def local(lk, lv, rk, rv, heavy):
+        dev = jax.lax.axis_index(axis).astype(jnp.int64)
+        n_l, n_r = lk.shape[0], rk.shape[0]
+        lpos = jnp.arange(n_l, dtype=jnp.int64) + dev * n_l
+        rpos = jnp.arange(n_r, dtype=jnp.int64) + dev * n_r
+
+        bl = _bucket(lk, ndev)
+        br = _bucket(rk, ndev)
+        spread = ((jnp.arange(n_l, dtype=jnp.int32)
+                   + dev.astype(jnp.int32)) % jnp.int32(ndev))
+        dl = jnp.where(jnp.take(heavy, bl), spread, bl)
+        dl = jnp.where(lv, dl, jnp.int32(ndev + 1))
+        dr = jnp.where(jnp.take(heavy, br), jnp.int32(ndev), br)
+        dr = jnp.where(rv, dr, jnp.int32(ndev + 1))
+
+        lkb, lpb, lok = _bucketize(lk, lpos, lv, dl, ndev, cap_l, False)
+        rkb, rpb, rok = _bucketize(rk, rpos, rv, dr, ndev, cap_r, True)
+
+        lkx = jax.lax.all_to_all(lkb, axis, 0, 0).reshape(-1)
+        lpx = jax.lax.all_to_all(lpb, axis, 0, 0).reshape(-1)
+        lox = jax.lax.all_to_all(lok, axis, 0, 0).reshape(-1)
+        rkx = jax.lax.all_to_all(rkb, axis, 0, 0).reshape(-1)
+        rpx = jax.lax.all_to_all(rpb, axis, 0, 0).reshape(-1)
+        rox = jax.lax.all_to_all(rok, axis, 0, 0).reshape(-1)
+
+        rs, _rps, cval = _sorted_build(rkx, rox, rpx)
+        cnt, _lo = _match_counts(lkx, lox, rs, cval)
+        eff = jnp.where(lox, jnp.maximum(cnt, 1), 0) if how_left else cnt
+        nmatch = eff.sum(dtype=jnp.int64)
+        return (lkx, lpx, lox, rkx, rpx, rox,
+                jax.lax.pmax(nmatch, axis))
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis),) * 6 + (P(),)))
+
+
+def _phase3(mesh: Mesh, axis: str, cap_m: int, how_left: bool):
+    def local(lk, lp, lok, rk, rp, rok):
+        rs, rps, cval = _sorted_build(rk, rok, rp)
+        cnt, lo = _match_counts(lk, lok, rs, cval)
+        eff = jnp.where(lok, jnp.maximum(cnt, 1), 0) if how_left else cnt
+        offs = jnp.cumsum(eff)
+        total = offs[-1]
+        t = jnp.arange(cap_m, dtype=jnp.int64)
+        i = jnp.searchsorted(offs, t, side="right")
+        ic = jnp.minimum(i, eff.shape[0] - 1).astype(jnp.int32)
+        prev = jnp.where(ic > 0, jnp.take(offs, jnp.maximum(ic - 1, 0)),
+                         jnp.int64(0))
+        kk = t - prev
+        has = jnp.take(cnt, ic) > 0
+        # j-th valid build row of a key sits at lo + j (valid rows sort
+        # before invalid within equal keys)
+        j = jnp.clip(jnp.take(lo, ic) + kk, 0,
+                     max(int(rs.shape[0]) - 1, 0)).astype(jnp.int32)
+        rpos = jnp.where(has, jnp.take(rps, j), jnp.int64(-1))
+        lpos = jnp.take(lp, ic)
+        ok = t < total
+        return (jnp.where(ok, lpos, jnp.int64(-2)),
+                jnp.where(ok, rpos, jnp.int64(-2)))
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 6, out_specs=(P(axis), P(axis))))
+
+
+def _pow2(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+def shuffle_join_rows(mesh: Mesh, lkeys, rkeys, how: str = "inner",
+                      axis: str = "shards",
+                      skew_factor: float = SKEW_FACTOR):
+    """Distributed equi-join returning matched GLOBAL ROW PAIRS.
+
+    lkeys/rkeys: u64 numpy (or device) arrays — row i is global index i.
+    Returns (lidx i64[M], ridx i64[M], stats). LEFT misses emit
+    ridx == -1. Skew never raises: heavy buckets salt the probe side and
+    replicate the build side."""
+    ndev = mesh.shape[axis]
+    how_left = how == "left"
+    nl, nr = len(lkeys), len(rkeys)
+    pad_l = -(-max(nl, 1) // ndev) * ndev
+    pad_r = -(-max(nr, 1) // ndev) * ndev
+
+    def padded(a, n_pad):
+        out = np.zeros(n_pad, np.uint64)
+        out[:len(a)] = np.asarray(a, np.uint64)
+        v = np.zeros(n_pad, bool)
+        v[:len(a)] = True
+        return out, v
+
+    lk, lv = padded(lkeys, pad_l)
+    rk, rv = padded(rkeys, pad_r)
+
+    def shard(x):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis)))
+
+    lk_d, lv_d, rk_d, rv_d = shard(lk), shard(lv), shard(rk), shard(rv)
+
+    t0 = time.perf_counter()
+    hl, hr = _phase1(mesh, axis, ndev)(lk_d, lv_d, rk_d, rv_d)
+    hl, hr = np.asarray(hl), np.asarray(hr)
+    mean = max((hl.sum() + hr.sum()) / ndev, 1.0)
+    heavy = (hl + hr) > skew_factor * mean
+
+    # tight safe caps: a device's rows into ONE bucket tile never exceed
+    # its local row count (normal rows and replicated heavy rows are
+    # disjoint locally), so pow2(local) can never overflow
+    cap_l = _pow2(pad_l // ndev)
+    cap_r = _pow2(pad_r // ndev)
+
+    out2 = _phase2(mesh, axis, ndev, cap_l, cap_r, how_left)(
+        lk_d, lv_d, rk_d, rv_d, jnp.asarray(heavy))
+    lkx, lpx, lox, rkx, rpx, rox, nmax = out2
+    cap_m = _pow2(max(int(nmax), 1))
+
+    lpos, rpos = _phase3(mesh, axis, cap_m, how_left)(
+        lkx, lpx, lox, rkx, rpx, rox)
+    t1 = time.perf_counter()
+
+    lpos = np.asarray(lpos)
+    rpos = np.asarray(rpos)
+    keep = lpos >= 0                      # -2 slot padding
+    lidx, ridx = lpos[keep], rpos[keep]
+
+    bytes_moved = (pad_l + pad_r) * (8 + 8 + 1)   # keys + pos + validity
+    stats = {"ndev": ndev, "heavy_buckets": int(heavy.sum()),
+             "cap_exchange": (cap_l, cap_r), "cap_pairs": cap_m,
+             "seconds": t1 - t0, "shuffle_bytes": bytes_moved,
+             "shuffle_gbps": bytes_moved / max(t1 - t0, 1e-9) / 1e9}
+    return lidx, ridx, stats
 
 
 def shuffle_join(mesh: Mesh, lkeys: np.ndarray, lvals: np.ndarray,
                  rkeys: np.ndarray, rvals: np.ndarray,
-                 skew_factor: float = 2.0, axis: str = "shards"):
-    """One-call helper: shard, pick cap from sizes, run, verify overflow.
-    Returns (matches, checksum) as python ints."""
-    ndev = mesh.shape[axis]
-    per_dev = max(len(lkeys), len(rkeys)) // ndev
-    cap = max(64, int(per_dev / ndev * skew_factor))
-    cap = 1 << (cap - 1).bit_length()
-    fn = shuffle_join_fn(mesh, cap, axis)
-
-    def shard(x):
-        return jax.device_put(
-            jnp.asarray(x), NamedSharding(mesh, P(axis)))
-
-    cnt, csum, dropped = fn(shard(lkeys), shard(lvals),
-                            shard(rkeys), shard(rvals))
-    if int(dropped):
-        raise RuntimeError(
-            f"shuffle_join: {int(dropped)} rows overflowed cap={cap}; "
-            f"raise skew_factor (salted repartition lands in round 2)")
-    return int(cnt), int(csum)
+                 skew_factor: float = SKEW_FACTOR, axis: str = "shards"):
+    """Compat helper (round-1 API): (matches, checksum) with checksum =
+    sum of lval + rval over matches (mod 2^64). Implemented on the rows
+    path — skew can no longer raise."""
+    lidx, ridx, _ = shuffle_join_rows(mesh, lkeys, rkeys, how="inner",
+                                      axis=axis, skew_factor=skew_factor)
+    if not len(lidx):
+        return 0, 0
+    lv = np.asarray(lvals, np.uint64)[lidx]
+    rv = np.asarray(rvals, np.uint64)[ridx]
+    csum = int((lv.astype(object) + rv.astype(object)).sum() % (1 << 64))
+    return len(lidx), csum

@@ -72,3 +72,83 @@ def test_table_join(db, rng):
     np.testing.assert_array_equal(got_codes, want_codes)
     got_amt = np.array([int(v) for v in out["amount"]])
     np.testing.assert_array_equal(got_amt, amt[m])
+
+
+# ------------------------------------------------------- device join path --
+
+def _mk_tables(db, rng, na=50, nt=2000):
+    """uint64-keyed pair so the DEVICE join path engages."""
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+    accts_s = (Builder("da").pk("id").add("code", FieldType.UINT64).finish())
+    txns_s = (Builder("dt").pk("id").add("acct", FieldType.UINT64)
+              .add("amount", FieldType.INT64).finish())
+    accts = db.create_table(accts_s)
+    txns = db.create_table(txns_s)
+    accts.insert({"id": np.zeros(na, np.uint64),
+                  "code": np.arange(na, dtype=np.uint64) * 11})
+    aid = rng.integers(1, na + 1, nt).astype(np.uint64)
+    amt = rng.integers(-1000, 1000, nt)
+    txns.insert({"id": np.zeros(nt, np.uint64), "acct": aid, "amount": amt})
+    return accts, txns, aid, amt
+
+
+def test_device_join_inner(db, rng):
+    accts, txns, aid, amt = _mk_tables(db, rng)
+    accts.merge()
+    txns.merge()
+    out = knox.join(txns.query().where(knox.F("amount") > 0),
+                    accts.query(), on=("acct", "id"))
+    m = amt > 0
+    assert out["__n"] == int(m.sum())
+    got = sorted((int(a), int(c)) for a, c in zip(out["amount"],
+                                                  out["code"]))
+    want = sorted((int(a), int(k - 1) * 11) for a, k in
+                  zip(amt[m], aid[m]))
+    assert got == want
+
+
+def test_device_join_left_and_dups(db, rng):
+    accts, txns, aid, amt = _mk_tables(db, rng, na=10, nt=300)
+    accts.merge()
+    txns.merge()
+    # join accounts -> txns: duplicates expand (many txns per account);
+    # filter txns so some accounts miss -> LEFT emits None
+    out = knox.join(accts.query(),
+                    txns.query().where(knox.F("amount") > 900),
+                    on=("id", "acct"), how="left")
+    m = amt > 900
+    hits = {}
+    for a, v in zip(aid[m], amt[m]):
+        hits.setdefault(int(a), []).append(int(v))
+    n_want = sum(max(len(v), 1) for v in
+                 (hits.get(i, []) for i in range(1, 11)))
+    assert out["__n"] == n_want
+    miss = sum(1 for v in out["amount"] if v is None)
+    assert miss == sum(1 for i in range(1, 11) if i not in hits)
+
+
+def test_device_join_journal_overlay(db, rng):
+    accts, txns, aid, amt = _mk_tables(db, rng, na=20, nt=400)
+    accts.merge()      # accounts sealed; txns stay in the JOURNAL
+    out = knox.join(txns.query().where(knox.F("amount") < 0),
+                    accts.query(), on=("acct", "id"))
+    m = amt < 0
+    assert out["__n"] == int(m.sum())
+    got = sorted(int(v) for v in out["amount"])
+    assert got == sorted(int(v) for v in amt[m])
+
+
+def test_device_join_no_wholesale_fetch(db, rng):
+    """The device path must fetch only matched projections: queried_tuples
+    metric counts materialized rows, which must be ~matches not ~table."""
+    accts, txns, aid, amt = _mk_tables(db, rng, na=50, nt=5000)
+    accts.merge()
+    txns.merge()
+    before = txns._t.metrics.queried_tuples
+    out = knox.join(txns.query().where(knox.F("amount") == 5),
+                    accts.query(), on=("acct", "id"))
+    m = amt == 5
+    fetched = txns._t.metrics.queried_tuples - before
+    assert out["__n"] == int(m.sum())
+    assert fetched <= int(m.sum()) + 64, (fetched, int(m.sum()))

@@ -64,3 +64,58 @@ def test_shuffle_join(rng):
             if int(lk) in rmap]
     assert cnt == len(hits)
     assert csum == sum(hits) % (1 << 64)
+
+
+# ---------------------------------------------------- shuffle join (rows) --
+
+def _oracle_pairs(lk, rk, how="inner"):
+    from knoxdb_tpu.exec.join import join_keys_np
+    from knoxdb_tpu.types import JoinType
+    r = join_keys_np(np.asarray(lk, np.uint64), np.asarray(rk, np.uint64),
+                     JoinType[how.upper()])
+    return sorted(zip(r.lidx.tolist(), r.ridx.tolist()))
+
+
+def test_shuffle_join_rows_oracle(rng):
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    from jax.sharding import Mesh
+    import jax
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    nl, nr = 100_000, 20_000
+    rk = rng.permutation(np.arange(1, nr + 1)).astype(np.uint64)
+    lk = rng.integers(1, nr * 2, nl).astype(np.uint64)
+    lidx, ridx, stats = shuffle_join_rows(mesh, lk, rk)
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    assert got == _oracle_pairs(lk, rk)
+    assert stats["shuffle_gbps"] > 0
+
+
+def test_shuffle_join_rows_skew_salted(rng):
+    """One key is 40% of the probe side AND duplicated on the build side:
+    salting must engage (heavy_buckets > 0) and results stay exact."""
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    from jax.sharding import Mesh
+    import jax
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    nl = 50_000
+    hot = np.uint64(777)
+    lk = rng.integers(1, 1000, nl).astype(np.uint64)
+    lk[: nl * 2 // 5] = hot
+    rk = np.concatenate([np.arange(1, 1000, dtype=np.uint64),
+                         np.full(3, hot, np.uint64)])
+    lidx, ridx, stats = shuffle_join_rows(mesh, lk, rk, skew_factor=2.0)
+    assert stats["heavy_buckets"] >= 1
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    assert got == _oracle_pairs(lk, rk)
+
+
+def test_shuffle_join_rows_left(rng):
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    from jax.sharding import Mesh
+    import jax
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    lk = rng.integers(1, 200, 5000).astype(np.uint64)
+    rk = np.arange(1, 100, dtype=np.uint64)   # keys >= 100 miss
+    lidx, ridx, stats = shuffle_join_rows(mesh, lk, rk, how="left")
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    assert got == _oracle_pairs(lk, rk, "left")
