@@ -101,10 +101,16 @@ def main():
         def body(i, acc):
             c = shift_consts(consts, i)
             _mask, counts, parts = raw(arrays, c, overrides, valid, excl)
-            (lo, hi, cnts) = parts[1][0]
-            return (acc[0] + counts.sum(), acc[1] + lo.sum() + hi.sum())
+            p = parts[1][0]
+            if isinstance(p, dict):       # fused Pallas pcnt form
+                chk = p["pcnt"].sum(dtype=jnp.int64) \
+                    + p["cnt"].sum(dtype=jnp.int64)
+            else:
+                lo, hi, _cnts = p
+                chk = (lo.sum() + hi.sum()).astype(jnp.int64)
+            return (acc[0] + counts.sum(), acc[1] + chk)
         return jax.lax.fori_loop(
-            0, k, body, (jnp.int64(0), jnp.uint64(0)))
+            0, k, body, (jnp.int64(0), jnp.int64(0)))
 
     g = jax.jit(many)
 

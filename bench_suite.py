@@ -1,0 +1,293 @@
+"""Driver-runnable bench suite for BASELINE.json configs #2-#5.
+
+One JSON line per config (same shape as bench.py's line). Marginal
+timing method throughout where the op runs fully on device (see
+bench.py: K query variants inside one jit, distinct traced constants per
+iteration, rows/s = rows * dK / dt); host-coupled ops (top-k, join)
+report median end-to-end latency which INCLUDES the ~25-30 ms axon
+relay cost — pessimistic on this harness, documented in docs/bench.md.
+
+Baselines per config (denominator of vs_baseline):
+- #2 multi-pred scan: 11 G rows/s — the reference's single-predicate
+  u64 EQ AVX2 kernel (BASELINE.md); conservative (ours runs THREE
+  predicates + sum in that time).
+- #3 group-by:       1 G rows/s — the VERDICT round-1 bar (the
+  reference has no group-by operator; plan.go:26-34 TODO).
+- #4 top-k int128:   11 G rows/s row-scan equivalent (no reference
+  sort operator exists; plan.go:26-34).
+- #5 join:           11 G rows/s probe-side row equivalent (reference
+  merge join is pk-cursor sequential, join.go:536-556).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+PACK = 1 << 16
+
+
+def _marginal(run, k_lo=1, k_hi=129, reps=3):
+    t_lo = min(_time(run, k_lo) for _ in range(reps))
+    t_hi = min(_time(run, k_hi) for _ in range(reps))
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+
+def _time(fn, *a):
+    t0 = time.perf_counter()
+    fn(*a)
+    return time.perf_counter() - t0
+
+
+def _emit(metric, rows_per_s, baseline):
+    print(json.dumps({"metric": metric, "value": rows_per_s,
+                      "unit": "rows/s",
+                      "vs_baseline": rows_per_s / baseline}))
+
+
+def bench_config2(n_packs: int, rng):
+    """Multi-predicate AND over bytes + u64 + i64 with zone-map/bloom
+    pruning (BASELINE config #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import AggSpec, SegmentScanner
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.query.filter import Filter, and_, leaf
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, FilterMode
+
+    n = PACK * n_packs
+    sch = (Builder("c2").pk("id")
+           .add("val", FieldType.UINT64)
+           .add("acct", FieldType.BYTES)
+           .add("bal", FieldType.INT64)
+           .finish())
+    accts = np.array([b"acct-%03d" % i for i in range(64)], object)
+    data = {
+        "id": np.arange(1, n + 1, dtype=np.uint64),
+        "val": rng.integers(0, 1 << 16, n, dtype=np.uint64),
+        "acct": accts[rng.integers(0, 64, n)],
+        "bal": rng.integers(-1 << 40, 1 << 40, n, dtype=np.int64),
+    }
+    seg = build_segment(sch, data, pack_size=PACK)
+    sc = SegmentScanner(DeviceSegment(seg))
+    tree = and_(
+        leaf(Filter(sch.field("val"), FilterMode.RANGE, (1000, 50000))),
+        leaf(Filter(sch.field("acct"), FilterMode.EQ, b"acct-042")),
+        leaf(Filter(sch.field("bal"), FilterMode.GT, 0)),
+    ).optimize()
+    aggs = [AggSpec("count"), AggSpec("sum", "bal")]
+
+    res = sc.scan(tree, aggs)
+    m = ((data["val"] >= 1000) & (data["val"] <= 50000)
+         & (data["acct"] == b"acct-042") & (data["bal"] > 0))
+    assert res.count == int(m.sum()), "config2 count mismatch"
+    assert res.aggs[("sum", "bal")] == int(
+        data["bal"][m].astype(object).sum()), "config2 sum mismatch"
+
+    _fn, args, raw = sc.prepare(tree, aggs)
+    arrays, consts, overrides, valid, excl = args
+
+    def many(arrays, consts, overrides, valid, excl, k):
+        def body(i, acc):
+            step = (i * jnp.uint64(0x9E3779B1)) % jnp.uint64(4096)
+            c = jax.tree_util.tree_map(
+                lambda x: x + step
+                if getattr(x, "dtype", None) == jnp.uint64 and x.ndim == 0
+                else x, consts)
+            _mask, counts, parts = raw(arrays, c, overrides, valid, excl)
+            p = parts[1][0]
+            if isinstance(p, dict):       # fused Pallas pcnt form
+                chk = p["pcnt"].sum(dtype=jnp.int64) \
+                    + p["cnt"].sum(dtype=jnp.int64)
+            else:
+                lo, hi, _c = p
+                chk = (lo.sum() + hi.sum()).astype(jnp.int64)
+            return (acc[0] + counts.sum(), acc[1] + chk)
+        return jax.lax.fori_loop(0, k, body, (jnp.int64(0), jnp.int64(0)))
+
+    g = jax.jit(many)
+
+    def run(k):
+        out = g(arrays, consts, overrides, valid, excl, jnp.int32(k))
+        return int(out[0]), int(out[1])
+
+    run(1)
+    marg = _marginal(run)
+    _emit("multipred_scan_rows_per_s", n / marg, 11e9)
+
+
+def bench_config3(n_packs: int, rng):
+    """Group-by account, sum over decimal64 balances, 1000 groups
+    (BASELINE config #3) — one-hot MXU matmul path."""
+    import jax
+    import jax.numpy as jnp
+
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import SegmentScanner
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.query.filter import Filter, leaf
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, FilterMode
+
+    n = PACK * n_packs
+    G = 1000
+    sch = (Builder("c3").pk("id")
+           .add("acct", FieldType.UINT64)
+           .add("bal", FieldType.DECIMAL64, scale=4)
+           .finish())
+    acct = rng.integers(0, G, n, dtype=np.uint64)
+    bal = rng.integers(-1 << 40, 1 << 40, n, dtype=np.int64)
+    data = {"id": np.arange(1, n + 1, dtype=np.uint64),
+            "acct": acct, "bal": bal}
+    seg = build_segment(sch, data, pack_size=PACK)
+    sc = SegmentScanner(DeviceSegment(seg))
+    # 99%-pass filter: the threshold sits INSIDE every pack's value
+    # range, so zone maps cannot decide the leaf, its constant stays
+    # traced, and per-iteration shifts defeat loop hoisting (a decidable
+    # leaf is pruned to a constant and XLA collapses the K-iter loop)
+    tree = leaf(Filter(sch.field("bal"), FilterMode.GT,
+                       -((1 << 40) * 49) // 50)).optimize()
+
+    gplan, counts, res = sc.group_scan(tree, "acct", ["bal"],
+                                       minmax=False)
+    fm = bal > -((1 << 40) * 49) // 50
+    w_cnt = np.bincount(acct[fm].astype(np.int64), minlength=G)
+    assert (counts == w_cnt).all(), "config3 counts mismatch"
+    sums, _mn, _mx = res["bal"]
+    bias = 1 << 63
+    for g in (0, 1, G // 2, G - 1):
+        sel = (acct == g) & fm
+        want = int(bal[sel].astype(object).sum()) + int(w_cnt[g]) * bias
+        assert sums[g] == want, f"config3 sum mismatch group {g}"
+
+    # rebuild the pieces group_scan cached to drive the raw fn in a loop
+    from knoxdb_tpu.exec import groupby as GB
+    _fn, margs, _raw = sc.prepare(tree, [])
+    sig = [s for s in sc._fns if isinstance(s, tuple) and s[0] == "group"]
+    gfn_raw = sc._fns[sig[0]][1]
+    garrays = sc.d.arrays_pytree(["acct", "bal"])
+    gconsts = GB.gid_consts(gplan)
+    arrays, consts, overrides, valid, excl = margs
+
+    def many(arrays, consts, overrides, valid, excl, garrays, gconsts, k):
+        def body(i, acc):
+            step = (i * jnp.uint64(0x9E3779B1)) % jnp.uint64(4096)
+            c = jax.tree_util.tree_map(
+                lambda x: x - step
+                if getattr(x, "dtype", None) == jnp.uint64 and x.ndim == 0
+                else x, consts)
+            out = gfn_raw((arrays, c, overrides, valid, excl),
+                          garrays, gconsts)
+            cg, lo, hi, _mn, _mx = out["bal"]
+            return (acc[0] + cg.sum(), acc[1] + lo.sum() + hi.sum())
+        return jax.lax.fori_loop(0, k, body, (jnp.int64(0), jnp.uint64(0)))
+
+    g = jax.jit(many)
+
+    def run(k):
+        out = g(arrays, consts, overrides, valid, excl, garrays, gconsts,
+                jnp.int32(k))
+        return int(out[0]), int(out[1])
+
+    run(1)
+    marg = _marginal(run, k_hi=33)
+    _emit("groupby_decimal64_rows_per_s", n / marg, 1e9)
+
+
+def bench_config4(n_packs: int, rng):
+    """Top-k over an int128 column under a filter (BASELINE config #4).
+    End-to-end latency (host merge + relay included)."""
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import SegmentScanner
+    from knoxdb_tpu.exec.sort import segment_topk
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.query.filter import Filter, leaf
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, FilterMode
+
+    n = PACK * n_packs
+    sch = (Builder("c4").pk("id")
+           .add("big", FieldType.INT128)
+           .add("val", FieldType.UINT64)
+           .finish())
+    big = np.array([int(x) << 40 for x in
+                    rng.integers(-1 << 62, 1 << 62, n)], object)
+    data = {"id": np.arange(1, n + 1, dtype=np.uint64),
+            "big": big,
+            "val": rng.integers(0, 1 << 16, n, dtype=np.uint64)}
+    seg = build_segment(sch, data, pack_size=PACK)
+    sc = SegmentScanner(DeviceSegment(seg))
+    tree = leaf(Filter(sch.field("val"), FilterMode.LT, 50000)).optimize()
+
+    keys, rows, nv = segment_topk(sc, tree, "big", 100, desc=True,
+                                  project=["id"])
+    m = data["val"] < 50000
+    want = sorted(big[m].tolist(), reverse=True)[:100]
+    got = [int(k) - (1 << 127) for k in keys]
+    assert got == want, f"config4 top-k mismatch {got[:3]} {want[:3]}"
+
+    lat = min(_time(lambda: segment_topk(sc, tree, "big", 100, desc=True,
+                                         project=["id"]))
+              for _ in range(5))
+    _emit("topk_int128_rows_per_s", n / lat, 11e9)
+
+    # narrow u64 order column -> the bit-descent radix-select kernel
+    keys2, _r2, _nv2 = segment_topk(sc, tree, "val", 100, desc=True,
+                                    project=["id"])
+    m2 = sorted(data["val"][m].tolist(), reverse=True)[:100]
+    assert [int(x) for x in keys2] == [int(x) for x in m2], \
+        "config4 u64 top-k mismatch"
+    lat2 = min(_time(lambda: segment_topk(sc, tree, "val", 100, desc=True,
+                                          project=["id"]))
+               for _ in range(5))
+    _emit("topk_u64_bitdescent_rows_per_s", n / lat2, 11e9)
+
+
+def bench_config5(n_packs: int, rng):
+    """Single-chip device join: 1M x 1M u64 keys with duplicates
+    (BASELINE config #5's per-chip kernel; the distributed shuffle path
+    is validated on the virtual mesh in tests/test_shuffle.py and needs
+    multi-chip hardware for a meaningful GB/s)."""
+    import jax.numpy as jnp
+
+    from knoxdb_tpu.exec.join import join_keys_np, join_pairs_device
+    from knoxdb_tpu.types import JoinType
+
+    nl = PACK * max(1, n_packs // 4)
+    nr = nl
+    lkeys = rng.integers(0, nl * 2, nl, dtype=np.uint64)
+    rkeys = rng.integers(0, nl * 2, nr, dtype=np.uint64)
+    li, ri = join_pairs_device(jnp.asarray(lkeys), jnp.asarray(rkeys),
+                               JoinType.INNER)
+    want = join_keys_np(lkeys, rkeys, JoinType.INNER)
+    assert len(li) == want.n, "config5 join cardinality mismatch"
+    assert (lkeys[li] == rkeys[ri]).all(), "config5 join pairs mismatch"
+
+    lat = min(_time(lambda: join_pairs_device(
+        jnp.asarray(lkeys), jnp.asarray(rkeys), JoinType.INNER))
+        for _ in range(5))
+    _emit("device_join_rows_per_s", (nl + nr) / lat, 11e9)
+
+
+def main():
+    n_packs = int(os.environ.get("KNOX_BENCH_PACKS",
+                                 sys.argv[1] if len(sys.argv) > 1 else 64))
+    rng = np.random.default_rng(0xC0FFEE)
+    which = os.environ.get("KNOX_BENCH_CONFIGS", "2,3,4,5").split(",")
+    for w in which:
+        t0 = time.perf_counter()
+        {"2": bench_config2, "3": bench_config3,
+         "4": bench_config4, "5": bench_config5}[w.strip()](n_packs, rng)
+        print(f"# config {w} done in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,3 +40,10 @@ def is_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+# Pallas fused scan kernels (ops/pallas_scan.py): enabled by default;
+# KNOX_NO_PALLAS=1 falls back to the pure-XLA bitslice path. Off-TPU the
+# kernels run in interpret mode (tests).
+def use_pallas() -> bool:
+    return os.environ.get("KNOX_NO_PALLAS", "") == ""

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..exec import oracle as ORC
 from ..types import FilterMode, IndexType
+from ..utils.ridset import RidSet
 
 __all__ = ["PackIndex"]
 
@@ -43,8 +44,9 @@ class PackIndex:
         rid_parts: list[np.ndarray] = []
         for h in table.segments:
             mat = table._materialize_all(
-                h, np.ones(len(h.host_rid), bool))
-            rids = np.asarray([int(r) for r in mat["$rid"]], np.uint64)
+                h, np.ones(len(h.host_rid), bool),
+                fields=sorted(set(self.fields) | {"$rid"}))
+            rids = np.asarray(mat["$rid"], np.uint64)
             keys = self._make_keys(table, mat, len(rids))
             key_parts.append(keys)
             rid_parts.append(rids)
@@ -77,25 +79,26 @@ class PackIndex:
 
     # ------------------------------------------------------------ lookup --
 
-    def lookup_eq(self, key) -> np.ndarray:
+    def lookup_eq(self, key) -> "RidSet":
         # bisect handles tuple keys (composite) that searchsorted cannot
         import bisect
         lo = bisect.bisect_left(self.keys, key)
         hi = bisect.bisect_right(self.keys, key)
-        return self.rids[lo:hi]
+        return RidSet.from_array(self.rids[lo:hi])
 
-    def lookup_in(self, keys) -> np.ndarray:
-        outs = [self.lookup_eq(k) for k in keys]
-        return np.unique(np.concatenate(outs)) if outs else \
-            np.empty(0, np.uint64)
+    def lookup_in(self, keys) -> "RidSet":
+        out = RidSet.empty()
+        for k in keys:
+            out = out.union(self.lookup_eq(k))
+        return out
 
-    def lookup_range(self, lo_key, hi_key) -> np.ndarray:
+    def lookup_range(self, lo_key, hi_key) -> "RidSet":
         if self.kind == IndexType.HASH:
             raise ValueError("hash index supports EQ/IN only")
         import bisect
         lo = bisect.bisect_left(self.keys, lo_key)
         hi = bisect.bisect_right(self.keys, hi_key)
-        return np.unique(self.rids[lo:hi])
+        return RidSet.from_array(self.rids[lo:hi])
 
     def can_serve(self, leaf) -> bool:
         """Does this index serve a filter leaf (reference plan.go index

@@ -223,6 +223,323 @@ def row_gids(mode_tags: tuple, gsigs: tuple, gidxs: tuple,
     return full
 
 
+def keyform_to_f64(keys, bias, is_float: bool):
+    """u64 keyform -> f64 VALUE (jit). Ints: (key - bias) signed mod-2^64
+    interp (exact < 2^53); floats: invert the order-preserving bit trick
+    (utils/limbs.py to_keyform: sign-flip / complement)."""
+    if is_float:
+        sign = (keys & jnp.uint64(1 << 63)) != 0
+        bits = jnp.where(sign, keys ^ jnp.uint64(1 << 63), ~keys)
+        return jax.lax.bitcast_convert_type(bits, jnp.float64)
+    u = keys - bias                      # value domain, wraps for 64-bit
+    # signed interp via i64 bitcast: exact for |v| < 2^53 (a u64->f64
+    # convert of a wrapped small negative rounds to 2^64 and the naive
+    # `f - 2^64` correction collapses to 0)
+    return jax.lax.bitcast_convert_type(u, jnp.int64).astype(jnp.float64)
+
+
+def group_moments(gids, mask_words, vals, G: int, bias=None,
+                  is_float: bool = False):
+    """Per-group float moments for var/std reducers (reference
+    reducer.go:352-381 VarReducer): (counts i64[G], sum f64[G],
+    sumsq f64[G]) over VALUE-domain f64. vals is u64 keyform for int
+    columns (bias required) or f64 VALUES for float columns (ALP packs
+    decode pack-locally, so the caller converts — exec/scan.series_scan).
+    Reduction order is FIXED (sorted by gid, then value, cumsum) —
+    deterministic for a given segment geometry; float contract
+    documented in series.py. PRECISION NOTE: segmentation is
+    cumsum-difference per pack, so a bucket's moments carry relative
+    error ~eps * (pack prefix sum / bucket sum); an extreme outlier
+    (|v| >~ 2^52) in one bucket degrades later buckets co-located in
+    the same pack (the reference's per-bucket Welford does not — but
+    its f64 accumulators blow up on the same inputs)."""
+    mask = bs.unpack_mask(mask_words)
+    ok = mask & (gids >= 0) & (gids < G)
+    gid = jnp.where(ok, gids, G)
+    if is_float:
+        gs, vs_s = jax.lax.sort((gid, vals), dimension=1, num_keys=1,
+                                is_stable=True)
+        oks = gs < G
+        vs = jnp.where(oks, vs_s, jnp.float64(0))
+    else:
+        # co-sort the value keyform as two u32 limbs (variadic sort)
+        k_hi = (vals >> jnp.uint64(32)).astype(jnp.uint32)
+        k_lo = vals.astype(jnp.uint32)
+        gs, kh, kl = jax.lax.sort((gid, k_hi, k_lo), dimension=1,
+                                  num_keys=1, is_stable=True)
+        keys_s = (kh.astype(jnp.uint64) << jnp.uint64(32)) \
+            | kl.astype(jnp.uint64)
+        oks = gs < G
+        vs = jnp.where(oks, keyform_to_f64(keys_s, bias, False),
+                       jnp.float64(0))
+
+    cs = jnp.cumsum(vs, axis=1)
+    cq = jnp.cumsum(vs * vs, axis=1)
+    cn = jnp.cumsum(oks.astype(jnp.int64), axis=1)
+    z = jnp.zeros((gs.shape[0], 1))
+    cs = jnp.concatenate([z.astype(jnp.float64), cs], axis=1)
+    cq = jnp.concatenate([z.astype(jnp.float64), cq], axis=1)
+    cn = jnp.concatenate([z.astype(jnp.int64), cn], axis=1)
+    targets = jnp.arange(G + 1, dtype=jnp.int32)
+    lb = jax.vmap(lambda row: jnp.searchsorted(row, targets))(gs)
+
+    def seg(c):
+        return (jnp.take_along_axis(c, lb[:, 1:], axis=1)
+                - jnp.take_along_axis(c, lb[:, :-1], axis=1))
+
+    return (seg(cn).sum(axis=0), seg(cs).sum(axis=0),
+            seg(cq).sum(axis=0))
+
+
+def group_first_last(gids, mask_words, ts_keys, val_keys, G: int):
+    """Per-group FIRST/LAST value by TIMESTAMP order (reference
+    reducer.go:198-247; ties broken by in-pack row order). Returns
+    (first_ts, first_val, last_ts, last_val) u64 keyform [G] + counts,
+    with empty groups at (u64max, 0) / (0, 0) sentinels — callers
+    combine partials across segments by (ts) ordering."""
+    mask = bs.unpack_mask(mask_words)
+    ok = mask & (gids >= 0) & (gids < G)
+    gid = jnp.where(ok, gids, G)
+    t_hi = (ts_keys >> jnp.uint64(32)).astype(jnp.uint32)
+    t_lo = ts_keys.astype(jnp.uint32)
+    v_hi = (val_keys >> jnp.uint64(32)).astype(jnp.uint32)
+    v_lo = val_keys.astype(jnp.uint32)
+    gs, th, tl, vh, vl = jax.lax.sort((gid, t_hi, t_lo, v_hi, v_lo),
+                                      dimension=1, num_keys=3,
+                                      is_stable=True)
+    inb = gs < G
+    ts_s = (th.astype(jnp.uint64) << jnp.uint64(32)) | tl.astype(jnp.uint64)
+    vs_s = (vh.astype(jnp.uint64) << jnp.uint64(32)) | vl.astype(jnp.uint64)
+
+    ccnt = jnp.cumsum(inb.astype(jnp.int64), axis=1)
+    ccnt = jnp.concatenate([jnp.zeros((gs.shape[0], 1), jnp.int64), ccnt],
+                           axis=1)
+    targets = jnp.arange(G + 1, dtype=jnp.int32)
+    lb = jax.vmap(lambda row: jnp.searchsorted(row, targets))(gs)
+    has = (jnp.take_along_axis(ccnt, lb[:, 1:], axis=1)
+           - jnp.take_along_axis(ccnt, lb[:, :-1], axis=1)) > 0
+    first_i = jnp.minimum(lb[:, :-1], gs.shape[1] - 1)
+    last_i = jnp.clip(lb[:, 1:] - 1, 0, gs.shape[1] - 1)
+    U = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    f_ts = jnp.where(has, jnp.take_along_axis(ts_s, first_i, axis=1), U)
+    f_v = jnp.where(has, jnp.take_along_axis(vs_s, first_i, axis=1),
+                    jnp.uint64(0))
+    l_ts = jnp.where(has, jnp.take_along_axis(ts_s, last_i, axis=1),
+                     jnp.uint64(0))
+    l_v = jnp.where(has, jnp.take_along_axis(vs_s, last_i, axis=1),
+                    jnp.uint64(0))
+    counts = (jnp.take_along_axis(ccnt, lb[:, 1:], axis=1)
+              - jnp.take_along_axis(ccnt, lb[:, :-1], axis=1)).sum(axis=0)
+    # combine packs: first = entry of the pack with the smallest ts
+    # (argmin tie -> EARLIEST pack = earliest rows); last = largest ts
+    # with ties taking the LATEST pack (reverse-argmax)
+    P = f_ts.shape[0]
+    fi = jnp.argmin(f_ts, axis=0)
+    li = (P - 1) - jnp.argmax(l_ts[::-1], axis=0)
+    gi = jnp.arange(G)
+    return (f_ts[fi, gi], f_v[fi, gi], l_ts[li, gi], l_v[li, gi], counts)
+
+
+def group_ts_runs(gids, mask_words, ts_keys, val_keys, G: int, bias):
+    """Per-bucket TS-RUN aggregates for the reference's *_join reducers
+    (reducer.go:460-700: rows sharing one timestamp are summed, then the
+    base reducer applies to the per-timestamp sums).
+
+    One GLOBAL stable sort of the whole segment by (gid, ts) coalesces
+    equal-ts rows into runs; cumsum differences give exact split-limb run
+    sums. Because a timestamp may also appear in OTHER segments or the
+    journal, each bucket's FIRST and LAST run are returned separately
+    (exact ts + count + limb sums) so the host can merge equal-ts
+    boundary runs across contributors; interior runs (which can only
+    collide when contributor ts-ranges interleave — detected on the host,
+    which then falls back to an exact recompute) are pre-reduced here.
+
+    bias: u64 keyform bias of the value type (2^(bits-1) signed, else 0);
+    run sums are produced in the VALUE domain mod 2^64 (overflow wraps,
+    matching the reference's native int semantics).
+
+    Returns [G]-arrays: (n_runs i64, first_ts u64, first_cnt i64,
+    first_lo u64, first_hi u64, last_ts, last_cnt, last_lo, last_hi,
+    int_min u64 keyform, int_max u64 keyform, int_n i64, int_sum f64,
+    int_sumsq f64) — int_* cover interior runs only.
+    """
+    mask = bs.unpack_mask(mask_words)
+    ok = (mask & (gids >= 0) & (gids < G)).reshape(-1)
+    gid = jnp.where(ok, gids.reshape(-1), G)
+    M = gid.shape[0]
+    t_hi = (ts_keys >> jnp.uint64(32)).astype(jnp.uint32).reshape(-1)
+    t_lo = ts_keys.astype(jnp.uint32).reshape(-1)
+    v_hi = (val_keys >> jnp.uint64(32)).astype(jnp.uint32).reshape(-1)
+    v_lo = val_keys.astype(jnp.uint32).reshape(-1)
+    gs, th, tl, vh, vl = jax.lax.sort((gid, t_hi, t_lo, v_hi, v_lo),
+                                      dimension=0, num_keys=3,
+                                      is_stable=True)
+    inb = gs < G                       # in-bound rows are a prefix
+    minb = jnp.sum(inb.astype(jnp.int32))
+    ts = (th.astype(jnp.uint64) << jnp.uint64(32)) | tl.astype(jnp.uint64)
+    key = (vh.astype(jnp.uint64) << jnp.uint64(32)) | vl.astype(jnp.uint64)
+    v = jnp.where(inb, key - bias, jnp.uint64(0))   # value domain, wraps
+
+    # run starts: first row, or (gid, ts) change — in-bound rows only
+    idx = jnp.arange(M, dtype=jnp.int32)
+    chg = (idx == 0) | (gs != jnp.roll(gs, 1)) | (th != jnp.roll(th, 1)) \
+        | (tl != jnp.roll(tl, 1))
+    st = inb & chg
+    # run r occupies [starts[r], starts[r+1]) clipped to the inb prefix
+    starts = jax.lax.sort(jnp.where(st, idx, jnp.int32(M)))      # [M]
+    nxt = jnp.concatenate([starts[1:], jnp.full(1, M, jnp.int32)])
+    s_c = jnp.clip(starts, 0, minb)
+    e_c = jnp.clip(nxt, 0, minb)
+    run_valid = starts < minb
+    gpos = jnp.minimum(starts, M - 1)
+    run_gid = jnp.where(run_valid, gs[gpos], G)
+    run_ts = jnp.where(run_valid, ts[gpos], jnp.uint64(0))
+    run_cnt = (e_c - s_c).astype(jnp.int64)
+
+    z64 = jnp.zeros(1, jnp.uint64)
+    clo = jnp.concatenate([z64, jnp.cumsum(v & jnp.uint64(0xFFFFFFFF))])
+    chi = jnp.concatenate([z64, jnp.cumsum(v >> jnp.uint64(32))])
+    run_lo = clo[e_c] - clo[s_c]       # exact: <= M * 2^32 < 2^64
+    run_hi = chi[e_c] - chi[s_c]
+
+    # per-bucket run boundaries (runs are sorted by (gid, ts))
+    targets = jnp.arange(G + 1, dtype=jnp.int32)
+    lbr = jnp.searchsorted(run_gid, targets).astype(jnp.int32)   # [G+1]
+    n_runs = (lbr[1:] - lbr[:-1]).astype(jnp.int64)
+    has = n_runs > 0
+    fi = jnp.minimum(lbr[:-1], M - 1)
+    li = jnp.clip(lbr[1:] - 1, 0, M - 1)
+    U = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    f_ts = jnp.where(has, run_ts[fi], U)
+    f_cnt = jnp.where(has, run_cnt[fi], 0)
+    f_lo = jnp.where(has, run_lo[fi], jnp.uint64(0))
+    f_hi = jnp.where(has, run_hi[fi], jnp.uint64(0))
+    l_ts = jnp.where(has, run_ts[li], jnp.uint64(0))
+    l_cnt = jnp.where(has, run_cnt[li], 0)
+    l_lo = jnp.where(has, run_lo[li], jnp.uint64(0))
+    l_hi = jnp.where(has, run_hi[li], jnp.uint64(0))
+
+    # interior runs: drop each bucket's first and last run
+    first_of = idx == lbr[jnp.clip(run_gid, 0, G)]
+    last_of = idx == (lbr[jnp.clip(run_gid, 0, G) + 1] - 1)
+    m_int = run_valid & ~first_of & ~last_of
+
+    # moments over interior run sums (f64 contract, reducer.go:352-381);
+    # signed interpretation of the wrapped mod-2^64 sum
+    s_mod = run_lo + (run_hi << jnp.uint64(32))
+    # signed interp via i64 bitcast (see keyform_to_f64: the naive
+    # u64->f64 + "- 2^64" correction collapses small negatives to 0)
+    s_f = jax.lax.bitcast_convert_type(s_mod, jnp.int64) \
+        .astype(jnp.float64)
+    s_f = jnp.where(m_int, s_f, jnp.float64(0))
+    zf = jnp.zeros(1, jnp.float64)
+    zi = jnp.zeros(1, jnp.int64)
+    cs = jnp.concatenate([zf, jnp.cumsum(s_f)])
+    cq = jnp.concatenate([zf, jnp.cumsum(s_f * s_f)])
+    cn = jnp.concatenate([zi, jnp.cumsum(m_int.astype(jnp.int64))])
+    i_n = cn[lbr[1:]] - cn[lbr[:-1]]
+    i_sum = cs[lbr[1:]] - cs[lbr[:-1]]
+    i_sumsq = cq[lbr[1:]] - cq[lbr[:-1]]
+
+    # interior min/max over ORDER-PRESERVING sum keyform (wrap matches
+    # native overflow): second sort of runs by (gid, sum-key)
+    sk = s_mod + bias
+    g2 = jnp.where(m_int, run_gid, G)
+    sk_hi = (sk >> jnp.uint64(32)).astype(jnp.uint32)
+    sk_lo = sk.astype(jnp.uint32)
+    g2s, skh, skl = jax.lax.sort((g2, sk_hi, sk_lo), dimension=0,
+                                 num_keys=3)
+    sks = (skh.astype(jnp.uint64) << jnp.uint64(32)) | skl.astype(jnp.uint64)
+    lb2 = jnp.searchsorted(g2s, targets).astype(jnp.int32)
+    has2 = (lb2[1:] - lb2[:-1]) > 0
+    i_min = jnp.where(has2, sks[jnp.minimum(lb2[:-1], M - 1)], U)
+    i_max = jnp.where(has2, sks[jnp.clip(lb2[1:] - 1, 0, M - 1)],
+                      jnp.uint64(0))
+    return (n_runs, f_ts, f_cnt, f_lo, f_hi, l_ts, l_cnt, l_lo, l_hi,
+            i_min, i_max, i_n, i_sum, i_sumsq)
+
+
+MXU_MAX_G = 4096     # one-hot matmul path: FLOPs/row = G x 9; beyond
+#                      this the sort path wins (and VMEM tiles outgrow)
+_MXU_TILE = 2048     # rows per matmul step (255 * tile < 2^24: f32-exact)
+
+
+def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
+    """Per-group exact (count, sum) via ONE-HOT MXU MATMULS.
+
+    The sort-based path (group_aggregate) moves every row through a
+    3-operand sort — correct but memory-bound at ~140 M rows/s. For
+    G <= MXU_MAX_G the systolic array is faster: split each u64 value
+    into 8 exact 8-bit chunks, build a bf16 one-hot [G, T] per row tile,
+    and matmul partials [G, 9] (8 chunks + count). Every number stays
+    exactly representable: 8-bit chunks are exact in bf16, per-tile
+    accumulations are < 2^24 in f32, and cross-tile accumulation is
+    u64 ADDS only (the x64-emulated u64 SHIFT/MULTIPLY lowering is
+    wrong in some fusion contexts on this TPU stack — measured round 2 —
+    so the chunk recombination happens on the HOST with python ints).
+    Returns (counts i64[G], chunks 8-tuple of u64[G], mn, mx) with
+    mn/mx EMPTY sentinels — callers choose this path only when no
+    min/max aggregate is requested; sum[g] = sum_c chunks[c][g] << 8c.
+    """
+    mask = bs.unpack_mask(mask_words)
+    ok = mask & (gids >= 0) & (gids < G)
+    gid = jnp.where(ok, gids, G).reshape(-1)          # bin G never one-hots
+    v = jnp.where(ok, value_keys, jnp.uint64(0)).reshape(-1)
+
+    n = gid.shape[0]
+    T = min(_MXU_TILE, n)
+    B = -(-n // T)
+    pad = B * T - n
+    if pad:
+        gid = jnp.concatenate([gid, jnp.full(pad, G, jnp.int32)])
+        v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint64)])
+
+    # [B, T, 9] bf16 chunk matrix: 8 exact byte chunks + a count column
+    chunks = [((v >> jnp.uint64(8 * c)) & jnp.uint64(0xFF))
+              .astype(jnp.bfloat16) for c in range(8)]
+    chunks.append(jnp.where(gid < G, jnp.bfloat16(1), jnp.bfloat16(0)))
+    cm = jnp.stack(chunks, axis=-1).reshape(B, T, 9)
+    gm = gid.reshape(B, T)
+    groups = jnp.arange(G, dtype=jnp.int32)
+
+    # TPU x64-emulation hazard (measured, see scan._pcnt_sum_parts):
+    # 2-D u64 arrays built via astype-then-slice drop the emulated high
+    # word. The scan carry is therefore a TUPLE of 1-D u64[G] vectors —
+    # each updated from a 1-D slice of the f32 matmul result.
+    def step(carry, xs):
+        g_t, c_t = xs
+        oneh = (g_t[None, :] == groups[:, None]).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            oneh, c_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [G, 9] < 2^24
+        new = tuple(carry[c]
+                    + part[:, c].astype(jnp.uint32).astype(jnp.uint64)
+                    for c in range(9))
+        return new, None
+
+    # init derives from the data so it carries the same varying-axes type
+    # under shard_map (a plain zeros carry traces as unvarying and scan
+    # rejects the carry-type mismatch)
+    vzero = gm[0, 0].astype(jnp.uint64) & jnp.uint64(0)
+    acc0 = tuple(jnp.zeros(G, jnp.uint64) + vzero for _ in range(9))
+    acc, _ = jax.lax.scan(step, acc0, (gm, cm))
+    counts = acc[8].astype(jnp.int64)
+    mn = jnp.full(G, 0xFFFFFFFFFFFFFFFF, jnp.uint64)
+    mx = jnp.zeros(G, jnp.uint64)
+    return counts, acc[:8], mn, mx
+
+
+def mxu_chunk_sums(chunks) -> list:
+    """Host recombination of group_aggregate_mxu chunk partials:
+    exact python-int keyform sums [G]. chunks: 8 arrays u64[G] (or
+    [ndev, G] stacks — pass per-device rows separately)."""
+    cs = [np.asarray(c).astype(object) for c in chunks]
+    out = cs[0].copy()
+    for c in range(1, 8):
+        out += cs[c] << (8 * c)
+    return [int(x) for x in out]
+
+
 def group_aggregate(gids, mask_words, value_keys, G: int):
     """Per-group exact aggregation: SORT-BASED segmented reduction.
 

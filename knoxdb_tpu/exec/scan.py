@@ -72,6 +72,8 @@ def _tree_desc(node: Node, leaf_index: dict) -> tuple:
 class SegmentScanner:
     """Executes filter+aggregate plans against one DeviceSegment."""
 
+    spmd = False    # ShardedScanner overrides; gates the Pallas fusion
+
     def __init__(self, dseg: D.DeviceSegment):
         self.d = dseg
         self._fns: dict = {}
@@ -157,23 +159,55 @@ class SegmentScanner:
             self._materialize(res, mask_words, project or [], cap, limit)
         return res
 
+    def scan_stream(self, tree: Node | None, project: list[str],
+                    batch_packs: int = 64, exclude_words=None,
+                    include_words=None):
+        """STREAMING scan: yields ScanResult row batches one pack-window
+        at a time (the reference's pull-operator pipeline,
+        operator/pipeline.go:26-38, re-shaped TPU-native: the filter
+        runs ONCE over the whole segment, then each window compacts and
+        fetches only its own matches — host memory stays bounded by
+        batch_packs * pack_size regardless of result size)."""
+        d = self.d
+        fn, args, _ = self.prepare(tree, [], exclude_words, include_words)
+        mask_words, pack_counts, _parts = fn(*args)
+        counts = np.asarray(pack_counts)
+        for s in range(0, d.P, batch_packs):
+            e = min(s + batch_packs, d.P)
+            n_win = int(counts[s:e].sum())
+            if n_win == 0:
+                continue
+            win = jnp.zeros_like(mask_words).at[s:e].set(mask_words[s:e])
+            res = ScanResult()
+            res.count = n_win
+            # pow2 cap: at most log2(P*N) distinct compiled shapes
+            cap = max(1, 1 << (n_win - 1).bit_length())
+            cap = min(cap, d.P * d.N)
+            self._materialize(res, win, project, cap, 0)
+            yield res
+
     # ---------------------------------------------------------- group-by --
 
     def group_scan(self, tree: Node | None, group_field: str,
                    agg_fields: list[str], exclude_words=None,
-                   global_keys: np.ndarray | None = None, gplan=None):
+                   global_keys: np.ndarray | None = None, gplan=None,
+                   minmax: bool = True):
         """Hash-aggregate: per-group (count, exact int sum, min, max) for
         each agg field. Returns (gplan, counts i64[G],
         {field: (sum int[G] python, min u64[G], max u64[G])}).
 
         Group domain comes from host metadata (dicts/zone maps); pass
-        global_keys to align multiple segments on one domain."""
+        global_keys to align multiple segments on one domain. With
+        minmax=False and G <= MXU_MAX_G the one-hot MXU matmul kernel
+        replaces the sort (exec/groupby.group_aggregate_mxu) — min/max
+        outputs are then empty sentinels."""
         from . import groupby as GB
         d = self.d
         if not agg_fields:
             agg_fields = [group_field]   # count-only: aggregate the key
         if gplan is None:
             gplan = GB.plan_groups(d, group_field, global_keys)
+        use_mxu = (not minmax) and gplan.G <= GB.MXU_MAX_G
         _fn, margs, mask_raw = self.prepare(tree, [], exclude_words)
 
         used = sorted(set([group_field] + agg_fields))
@@ -188,9 +222,12 @@ class SegmentScanner:
         gconsts = GB.gid_consts(gplan)
 
         sig = ("group", d.sig(used), group_field, tuple(agg_fields),
-               mode_tags, gplan.G, exclude_words is not None)
+               mode_tags, gplan.G, exclude_words is not None, use_mxu)
         gfn = self._fns.get(sig)
         if gfn is None:
+            agg_kernel = GB.group_aggregate_mxu if use_mxu \
+                else GB.group_aggregate
+
             def gf(margs, garrays, gconsts):
                 mask, _, _ = mask_raw(*margs)
                 gids = GB.row_gids(mode_tags, gsigs, gidxs,
@@ -208,23 +245,149 @@ class SegmentScanner:
                             keys = D.group_decode_keys(
                                 gsig_, garrays[f][gi_], d.W)
                             dec = dec.at[gidx_].set(keys)
-                    out[f] = GB.group_aggregate(gids, mask, dec, gplan.G)
+                    out[f] = agg_kernel(gids, mask, dec, gplan.G)
                 return out
 
-            gfn = jax.jit(gf)
+            gfn = (jax.jit(gf), gf)
             self._fns[sig] = gfn
 
-        out = gfn(margs, garrays, gconsts)
+        out = gfn[0](margs, garrays, gconsts)
         results = {}
         counts = None
         for f in agg_fields:
-            c, slo, shi, mn, mx = out[f]
+            if use_mxu:
+                c, chunks, mn, mx = out[f]
+                sums = GB.mxu_chunk_sums(chunks)
+            else:
+                c, slo, shi, mn, mx = out[f]
+                sums = [int(l) + (int(h) << 32)
+                        for l, h in zip(np.asarray(slo), np.asarray(shi))]
             if counts is None:
                 counts = np.asarray(c)
-            sums = [int(l) + (int(h) << 32)
-                    for l, h in zip(np.asarray(slo), np.asarray(shi))]
             results[f] = (sums, np.asarray(mn), np.asarray(mx))
         return gplan, counts, results
+
+    def series_scan(self, tree: Node | None, time_field: str, kinds: dict,
+                    gplan, exclude_words=None):
+        """Extended reducer partials for the series layer (series.py):
+        first/last, var/std moments, and *_join timestamp-run aggregates
+        (reference reducer.go:24-48 full surface).
+
+        kinds: {field: iterable from {"moments", "firstlast", "tsruns"}}.
+        Returns {(field, kind): tuple of numpy arrays} —
+          moments   -> (n i64[G], sum f64[G], sumsq f64[G])
+          firstlast -> (f_ts, f_val, l_ts, l_val u64 keyform, counts)
+          tsruns    -> exec/groupby.group_ts_runs output (14 arrays)
+        """
+        from . import groupby as GB
+        d = self.d
+        fields = sorted(kinds)
+        _fn, margs, mask_raw = self.prepare(tree, [], exclude_words)
+
+        used = sorted(set([time_field] + fields))
+        garrays = d.arrays_pytree(used)
+        tcol = d.column(time_field)
+        mode_tags = tuple(m[0] for m in gplan.mode)
+        tsigs = tuple(g.sig() for g in tcol.groups)
+        tidxs = tuple(g.idx for g in tcol.groups)
+        fsigs = {f: [(gi, g.sig(), g.idx)
+                     for gi, g in enumerate(d.column(f).groups)]
+                 for f in used}
+        gconsts = GB.gid_consts(gplan)
+        meta = {}
+        for f in fields:
+            ft = d.seg.columns[f].field.type
+            meta[f] = (np.uint64(1 << (ft.bits - 1)) if ft.is_signed
+                       else np.uint64(0), ft.is_float)
+
+        kspec = tuple((f, tuple(sorted(kinds[f]))) for f in fields)
+        sig = ("series", d.sig(used), time_field, kspec, mode_tags,
+               gplan.G, exclude_words is not None)
+        sfn = self._fns.get(sig)
+        if sfn is None:
+            # per-pack ALP decode constants (segment-static: scanners are
+            # per-segment so baking them is jit-cache-safe)
+            alp_c = {}
+            for f in used:
+                for gi, g in enumerate(d.column(f).groups):
+                    if g.scheme == Scheme.ALP:
+                        alp_c[(f, gi)] = (
+                            jnp.asarray([float(b) for b in g.bases],
+                                        jnp.float64),
+                            jnp.asarray([10.0 ** e for e in g.exps],
+                                        jnp.float64))
+
+            def decode(f, garrays):
+                if len(fsigs[f]) == 1 and fsigs[f][0][1][-1] == d.P:
+                    gi_, gsig_, _ = fsigs[f][0]
+                    return D.group_decode_keys(gsig_, garrays[f][gi_], d.W)
+                dec = jnp.zeros((d.P, d.N), jnp.uint64)
+                for gi_, gsig_, gidx_ in fsigs[f]:
+                    keys = D.group_decode_keys(gsig_, garrays[f][gi_], d.W)
+                    dec = dec.at[gidx_].set(keys)
+                return dec
+
+            def decode_f64(f, garrays):
+                """Float column -> f64 VALUES [P, N] (ALP packs decode
+                via per-pack base/exponent; others via IEEE keyform)."""
+                from ..encode import schemes as S
+
+                def one(gi_, gsig_):
+                    if Scheme(gsig_[0]) == Scheme.ALP:
+                        base, scale = alp_c[(f, gi_)]
+                        dec = S.decode_bitplanes_u64(
+                            garrays[f][gi_]["planes"], gsig_[1])
+                        return (dec.astype(jnp.float64)
+                                + base[:, None]) / scale[:, None]
+                    keys = D.group_decode_keys(gsig_, garrays[f][gi_],
+                                               d.W)
+                    return GB.keyform_to_f64(keys, jnp.uint64(0), True)
+
+                if len(fsigs[f]) == 1 and fsigs[f][0][1][-1] == d.P:
+                    gi_, gsig_, _ = fsigs[f][0]
+                    return one(gi_, gsig_)
+                out = jnp.zeros((d.P, d.N), jnp.float64)
+                for gi_, gsig_, gidx_ in fsigs[f]:
+                    out = out.at[gidx_].set(one(gi_, gsig_))
+                return out
+
+            def sf(margs, garrays, gconsts):
+                mask, _, _ = mask_raw(*margs)
+                gids = GB.row_gids(mode_tags, tsigs, tidxs,
+                                   garrays[time_field], gconsts, d.W)
+                ts_keys = None
+                out = {}
+                for f, fk in kspec:
+                    bias, is_float = meta[f]
+                    if is_float:
+                        vf = decode_f64(f, garrays)
+                        vk = jax.lax.bitcast_convert_type(vf, jnp.uint64)
+                    else:
+                        vf = None
+                        vk = decode(f, garrays)
+                    if "moments" in fk:
+                        out[(f, "moments")] = GB.group_moments(
+                            gids, mask, vf if is_float else vk, gplan.G,
+                            jnp.uint64(bias), is_float)
+                    if "firstlast" in fk or "tsruns" in fk:
+                        if ts_keys is None:
+                            ts_keys = decode(time_field, garrays)
+                    if "firstlast" in fk:
+                        # float values travel as raw f64 BITS (payload
+                        # only; host bit-casts back)
+                        out[(f, "firstlast")] = GB.group_first_last(
+                            gids, mask, ts_keys, vk, gplan.G)
+                    if "tsruns" in fk:
+                        out[(f, "tsruns")] = GB.group_ts_runs(
+                            gids, mask, ts_keys, vk, gplan.G,
+                            jnp.uint64(bias))
+                return out
+
+            sfn = jax.jit(sf)
+            self._fns[sig] = sfn
+
+        out = sfn(margs, garrays, gconsts)
+        return {k: tuple(np.asarray(a) for a in v) for k, v in out.items()}
 
     # ------------------------------------------------------- compilation --
 
@@ -245,6 +408,52 @@ class SegmentScanner:
         return prune_leaf(fs, f.mode, lo=f.key, hi=f.key_hi, keys=f.keys,
                           key_limbs=None if kb else f.key_limbs,
                           key_bytes=kb)
+
+    _PALLAS_MODES = (FilterMode.RANGE, FilterMode.GT, FilterMode.GE,
+                     FilterMode.LT, FilterMode.LE, FilterMode.EQ)
+
+    def _plan_fusion(self, tdesc, leaves, skip_leaf, aggs):
+        """Pick one (leaf, sum-agg) pair to fuse into the Pallas
+        cmp+masked-sum kernel: the leaf's column is read ONCE for both
+        the predicate and the aggregate (the reference's matcher-on-
+        compressed-container fusion, container.go:72-76, taken one step
+        further). Returns (leaf_index, field) or None."""
+        from ..config import use_pallas
+        d = self.d
+        if self.spmd or not use_pallas() or d.P % 8:
+            return None
+        top_leaves = []
+        if tdesc[0] == "leaf":
+            top_leaves = [tdesc]
+        elif tdesc[0] == "and":
+            top_leaves = [c for c in tdesc[1] if c[0] == "leaf"]
+        if not top_leaves:
+            return None
+        for a in aggs:
+            if a.op not in ("sum", "avg") or not a.field:
+                continue
+            col = d.seg.columns.get(a.field)
+            if col is None or col.field.type.is_float or col.wide:
+                continue
+            dcol = d.column(a.field)
+            if len(dcol.groups) != 1 or dcol.groups[0].npacks != d.P \
+                    or dcol.groups[0].scheme != Scheme.BITPACK:
+                continue
+            for c in top_leaves:
+                i = c[1]
+                if c[2] == a.field and not skip_leaf[i] \
+                        and FilterMode(c[3]) in self._PALLAS_MODES:
+                    return i, a.field
+        return None
+
+    @staticmethod
+    def _drop_leaf(desc, i):
+        if desc[0] == "leaf":
+            return ("true",) if desc[1] == i else desc
+        if desc[0] == "and":
+            return ("and", tuple(SegmentScanner._drop_leaf(c, i)
+                                 for c in desc[1]))
+        return desc
 
     def _build_fn(self, tdesc, leaves, skip_leaf, aggs, agg_fields,
                   has_excl=False, has_incl=False):
@@ -299,17 +508,58 @@ class SegmentScanner:
                 out = (out | k) if kind == "or" else (out & k)
             return out
 
+        fuse = self._plan_fusion(tdesc, leaves, skip_leaf, aggs)
+        if fuse is not None:
+            fuse_i, fuse_f = fuse
+            fuse_mode = leaves[fuse_i].mode
+            fuse_width = d.column(fuse_f).groups[0].sig()[1]
+            tdesc_rest = self._drop_leaf(tdesc, fuse_i)
+            from ..config import is_tpu
+            interp = not is_tpu()
+
         def fn(arrays, consts, overrides, valid, excl=()):
-            mask = eval_node(tdesc, arrays, consts, overrides, valid) & valid
-            if has_excl:
-                mask = mask & ~excl[0]
-            if has_incl:
-                mask = mask & excl[1 if has_excl else 0]
-            pack_counts = B.popcount_words(mask)
+            if fuse is not None:
+                # one-pass Pallas kernel: the fused column's planes are
+                # read ONCE for predicate + aggregate (ops/pallas_scan)
+                from ..ops import pallas_scan as PSC
+                rest = eval_node(tdesc_rest, arrays, consts, overrides,
+                                 valid) & valid
+                if has_excl:
+                    rest = rest & ~excl[0]
+                if has_incl:
+                    rest = rest & excl[1 if has_excl else 0]
+                garr = arrays[fuse_f][0]
+                lo_v, hi_v = _mode_to_range(fuse_mode, consts[fuse_i][0])
+                lo_b, hi_b, flags = PSC.range_consts(
+                    garr["min_keys"], lo_v, hi_v, fuse_width)
+                mask, pcnt, cnt = PSC.fused_range_sum_masked(
+                    garr["planes"], lo_b, hi_b, flags, rest, fuse_width,
+                    interpret=interp)
+                pack_counts = cnt
+                # per-plane popcounts go to the HOST for exact python-int
+                # recombination (_combine_sum): the x64-emulated u64
+                # shift/multiply lowering on this TPU stack is wrong in
+                # some fusion contexts (measured round 2), while the i32
+                # pcnt matrix itself is verified bit-exact on chip
+                fused_part = {"pcnt": pcnt, "cnt": cnt}
+            else:
+                mask = eval_node(tdesc, arrays, consts, overrides,
+                                 valid) & valid
+                if has_excl:
+                    mask = mask & ~excl[0]
+                if has_incl:
+                    mask = mask & excl[1 if has_excl else 0]
+                pack_counts = B.popcount_words(mask)
             parts = []
+            fused_used = False
             for op, fname in agg_specs:
                 if op == "count" or not fname:
                     parts.append(None)
+                    continue
+                if fuse is not None and fname == fuse_f \
+                        and op in ("sum", "avg") and not fused_used:
+                    parts.append([fused_part])
+                    fused_used = True
                     continue
                 col_parts = []
                 full_cov = (len(agg_groups[fname]) == 1
@@ -389,6 +639,16 @@ class SegmentScanner:
         total = 0
         cnt = 0
         for part, g in zip(parts, groups):
+            if isinstance(part, dict):    # fused Pallas pcnt form
+                pc = np.asarray(part["pcnt"]).astype(object)
+                c = np.asarray(part["cnt"], dtype=np.int64)
+                mk = np.asarray(g.arrays["min_keys"]).astype(object)
+                w = pc.shape[1]
+                weights = np.array([1 << p for p in range(w)], object)
+                total += int((pc * weights[None, :]).sum())
+                total += int((mk * c.astype(object)).sum())
+                cnt += int(c.sum())
+                continue
             if len(part) == 2:            # wide per-limb form: u64[L, Pg]
                 sums = np.asarray(part[0])
                 c = np.asarray(part[1])
@@ -551,6 +811,32 @@ class SegmentScanner:
             bias = 1 << (ft.bits - 1) if ft.is_signed else 0
             out[r] = v - bias
         return out
+
+
+def _mode_to_range(mode: FilterMode, consts: dict):
+    """Narrow-bitpack leaf consts -> inclusive u64 (lo, hi) for the
+    Pallas fused range kernel. Strict modes adjust by one key; boundary
+    wraps (GT u64max, LT 0) map to the universally-empty range (1, 0)."""
+    U = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    Z = jnp.uint64(0)
+    lo = consts["lo"]
+    if mode == FilterMode.RANGE:
+        return lo, consts["hi"]
+    if mode == FilterMode.EQ:
+        return lo, lo
+    if mode == FilterMode.GE:
+        return lo, U
+    if mode == FilterMode.LE:
+        return Z, lo
+    if mode == FilterMode.GT:
+        wrap = lo == U
+        return (jnp.where(wrap, jnp.uint64(1), lo + jnp.uint64(1)),
+                jnp.where(wrap, Z, U))
+    if mode == FilterMode.LT:
+        wrap = lo == Z
+        return (jnp.where(wrap, jnp.uint64(1), Z),
+                jnp.where(wrap, Z, lo - jnp.uint64(1)))
+    raise ValueError(f"_mode_to_range: {mode}")
 
 
 def _key_to_value(key: int, ft: FieldType):

@@ -412,12 +412,51 @@ class Query:
                 out.append(kw)
         return out
 
+    def stream_batches(self, batch_packs: int = 64):
+        """INCREMENTAL column-batch generator (reference operator
+        pipeline pull model, operator/pipeline.go:26-38): each yielded
+        dict covers one pack window; host memory stays bounded by the
+        window regardless of result size. Decimals scale to floats."""
+        names = self._select or [f.name for f in self._table.schema.fields]
+        sch = self._table.schema.with_meta()
+        with self._table.db.begin(read_only=True) as tx:
+            for batch in self._table._t.stream_query(
+                    tx.snapshot, self._tree(), names,
+                    batch_packs=batch_packs, limit=self._limit):
+                for name in list(batch):
+                    f = sch.field(name)
+                    if f.scale:
+                        batch[name] = np.array(
+                            [None if v is None else int(v) / 10**f.scale
+                             for v in batch[name]], object)
+                    elif f.is_enum:
+                        e = self._table.db.engine.enums.get(f.enum_name)
+                        batch[name] = np.array(
+                            [e.value(int(v)) for v in batch[name]], object)
+                yield batch
+
     def stream(self, fn) -> int:
-        """Row-callback streaming (reference Query.Stream)."""
+        """Row-callback streaming (reference Query.Stream) — pulls
+        batches INCREMENTALLY (no full materialization)."""
+        if self._order is not None:     # ordered results need the sort
+            cnt = 0
+            for row in self.execute():
+                fn(row)
+                cnt += 1
+            return cnt
         cnt = 0
-        for row in self.execute():
-            fn(row)
-            cnt += 1
+        names = None
+        cls = self._table._cls
+        for batch in self.stream_batches():
+            if names is None:
+                names = list(batch.keys())
+            n = min((len(v) for v in batch.values()), default=0)
+            for i in range(n):
+                kw = {k: _pyval(batch[k][i]) for k in names}
+                row = cls(**kw) if cls is not None and \
+                    self._select is None else kw
+                fn(row)
+                cnt += 1
         return cnt
 
 

@@ -269,3 +269,68 @@ def masked_min_planes(planes, min_keys, mask_words, width: int):
 def masked_max_planes(planes, min_keys, mask_words, width: int):
     rel = _tournament_planes(planes, mask_words, width, want_max=True)
     return rel + min_keys
+
+
+# ------------------------------------------------------------------ top-k ---
+
+def add_const_planes(planes, const_bits, width_out: int):
+    """Bit-sliced ripple-carry add of a PER-PACK constant.
+
+    planes u32[P, w, W] encode x (pack-relative offsets); const_bits
+    u32[width_out, P] holds bit b of each pack's constant as a full/zero
+    word mask (0xFFFFFFFF / 0) — computed on the HOST from pack metadata
+    (no device 64-bit shifts: the x64-emulated u64 shift lowering is
+    unreliable on this TPU stack, see exec/scan fused notes). Returns
+    u32[P, width_out, W] bitplanes of (x + c) mod 2^width_out.
+
+    Cost: width_out sequential full-adder steps of [P, W] word ops —
+    ~2 reads + 1 write of the plane volume, bandwidth-bound."""
+    P, w, W = planes.shape
+    carry = jnp.zeros((P, W), jnp.uint32)
+    outs = []
+    for b in range(width_out):
+        xb = planes[:, b, :] if b < w else jnp.zeros((P, W), jnp.uint32)
+        cb = const_bits[b][:, None]
+        s = xb ^ cb ^ carry
+        carry = (xb & cb) | (carry & (xb ^ cb))
+        outs.append(s)
+    return jnp.stack(outs, axis=1)
+
+
+def topk_select(planes, mask_words, k, width: int, want_max: bool):
+    """Exact top-k THRESHOLD + candidate masks via MSB-first bit descent
+    (radix select): width popcount passes over [P, W] words — bandwidth
+    bound, no sort of the row population (lax.top_k/sort over P*N keys
+    runs ~20x slower at 16M rows).
+
+    planes must be in a COMPARABLE domain across packs (absolute keys
+    minus a global base — see add_const_planes). k is a traced i32.
+
+    Returns (t_hi u32, t_lo u32, better u32[P, W], tie u32[P, W],
+    n_better i32): `better` rows beat the threshold T = (t_hi<<32)|t_lo
+    strictly, ties equal it; the top-k set = better + any (k - n_better)
+    tie rows."""
+    P, _, W = planes.shape
+    pm = mask_words                      # rows still matching the prefix
+    better = jnp.zeros((P, W), jnp.uint32)
+    t_hi = jnp.uint32(0)
+    t_lo = jnp.uint32(0)
+    k_rem = k.astype(jnp.int32)
+    for b in range(width - 1, -1, -1):
+        x = planes[:, b, :]
+        pref = pm & (x if want_max else ~x)      # preferred-bit rows
+        rest = pm & (~x if want_max else x)
+        c = jnp.sum(jax.lax.population_count(pref).astype(jnp.int32),
+                    dtype=jnp.int32)
+        take = c >= k_rem                        # stay inside preferred
+        pm = jnp.where(take, pref, rest)
+        better = jnp.where(take, better, better | pref)
+        k_rem = jnp.where(take, k_rem, k_rem - c)
+        tbit = jnp.where(take == want_max, jnp.uint32(1), jnp.uint32(0))
+        if b >= 32:
+            t_hi = t_hi | (tbit << jnp.uint32(b - 32))
+        else:
+            t_lo = t_lo | (tbit << jnp.uint32(b))
+    n_better = jnp.sum(jax.lax.population_count(better).astype(jnp.int32),
+                       dtype=jnp.int32)
+    return t_hi, t_lo, better, pm, n_better

@@ -82,3 +82,42 @@ def masked_row_ids(mask, rid_base):
     local = jnp.arange(P * n, dtype=jnp.uint64) % jnp.uint64(n)
     base = jnp.repeat(rid_base, n)
     return jnp.where(flat, base + local, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+
+
+def first_k_indexes(mask_words, kcap: int):
+    """Packed u32[P, W] mask -> (idx i32[kcap], count i64): the first
+    kcap set rows in ascending order (idx past count = 0).
+
+    cumsum + vectorized searchsorted: one bandwidth pass over the mask
+    plus kcap binary searches — unlike mask_to_indexes' full-population
+    top_k this stays cheap at 16M+ rows when k is small (top-k path)."""
+    flat = bs.unpack_mask(mask_words).reshape(-1)
+    cs = jnp.cumsum(flat.astype(jnp.int32))
+    count = cs[-1].astype(jnp.int64)
+    targets = jnp.arange(1, kcap + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(cs, targets).astype(jnp.int32)
+    idx = jnp.where(targets <= cs[-1], idx, jnp.int32(0))
+    return idx, count
+
+
+def gather_plane_values(planes, idx, N: int):
+    """Bit-sliced u32[P, w, W] planes + flat row ids i32[K] ->
+    (lo u32[K], hi u32[K]) of each row's value (hi = bits 32..63).
+
+    Pure 32-bit gathers/shifts (no device u64 arithmetic — see the
+    x64-emulation notes); K is top-k-small so the [K, w] gather is
+    cheap."""
+    P, w, W = planes.shape
+    pk = idx // N
+    wd = (idx % N) // 32
+    bit = (idx % 32).astype(jnp.uint32)
+    words = planes[pk, :, wd]                 # [K, w]
+    bits = (words >> bit[:, None]) & jnp.uint32(1)
+    lo = jnp.zeros(idx.shape[0], jnp.uint32)
+    hi = jnp.zeros(idx.shape[0], jnp.uint32)
+    for b in range(w):
+        if b < 32:
+            lo = lo | (bits[:, b] << jnp.uint32(b))
+        else:
+            hi = hi | (bits[:, b] << jnp.uint32(b - 32))
+    return lo, hi

@@ -113,6 +113,83 @@ def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
             dtype=jnp.int32)
 
 
+def _kernel_masked(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref,
+                   mask_in_ref, mask_ref, pcnt_ref, cnt_ref, *, width: int):
+    """fused cmp+sum with an INCOMING mask: mask_out = range-match &
+    mask_in; pcnt = per-plane popcounts under mask_out. One HBM pass
+    over the column serves both the predicate and the aggregate."""
+    T, _, W = planes_ref.shape
+    lt_lo = jnp.zeros((T, W), jnp.uint32)
+    eq_lo = jnp.full((T, W), _FULL_NP, jnp.uint32)
+    lt_hi = jnp.zeros((T, W), jnp.uint32)
+    eq_hi = jnp.full((T, W), _FULL_NP, jnp.uint32)
+    for p in range(width - 1, -1, -1):
+        x = planes_ref[:, p, :]
+        cl = lo_bits_ref[:, p][:, None]
+        ch = hi_bits_ref[:, p][:, None]
+        lt_lo = lt_lo | (eq_lo & ~x & cl)
+        eq_lo = eq_lo & ~(x ^ cl)
+        lt_hi = lt_hi | (eq_hi & ~x & ch)
+        eq_hi = eq_hi & ~(x ^ ch)
+
+    lo_lt_all = flags_ref[:, _F_LO_LT_ALL][:, None]
+    lo_ge_none = flags_ref[:, _F_LO_GE_NONE][:, None]
+    hi_in = flags_ref[:, _F_HI_IN][:, None]
+    hi_ge_none = flags_ref[:, _F_HI_GE_NONE][:, None]
+    hi_lt_all = flags_ref[:, _F_HI_LT_ALL][:, None]
+
+    lt_lo = lt_lo | lo_lt_all
+    ge_lo = ~(lt_lo & ~lo_ge_none)
+    le_hi = lt_hi | (eq_hi & hi_in)
+    le_hi = le_hi | hi_lt_all
+    le_hi = le_hi & ~hi_ge_none
+    mask = ge_lo & le_hi & mask_in_ref[:, :]
+    mask_ref[:, :] = mask
+
+    cnt_ref[:, 0] = jnp.sum(
+        jax.lax.population_count(mask).astype(jnp.int32), axis=-1,
+        dtype=jnp.int32)
+    for p in range(width):
+        x = planes_ref[:, p, :]
+        pcnt_ref[:, p] = jnp.sum(
+            jax.lax.population_count(x & mask).astype(jnp.int32), axis=-1,
+            dtype=jnp.int32)
+
+
+def fused_range_sum_masked(planes, lo_bits, hi_bits, flags, mask_in,
+                           width: int, interpret: bool = False):
+    """Like fused_range_sum but ANDs an incoming packed mask (the rest of
+    the filter tree) instead of just validity. Returns (mask u32[P, W],
+    plane_counts i32[P, w1], counts i32[P])."""
+    P, w, W = planes.shape
+    assert P % _TILE == 0, f"P must be a multiple of {_TILE}"
+    w1 = max(w, 1)
+    out = pl.pallas_call(
+        partial(_kernel_masked, width=width),
+        grid=(P // _TILE,),
+        in_specs=[
+            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, _NFLAGS), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, w, W), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((_TILE, W), lambda i: (i, _Z)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TILE, W), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, _Z)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, W), jnp.uint32),
+            jax.ShapeDtypeStruct((P, w1), jnp.int32),
+            jax.ShapeDtypeStruct((P, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lo_bits, hi_bits, flags, planes, mask_in)
+    mask, pcnt, cnt = out
+    return mask, pcnt, cnt[:, 0]
+
+
 def fused_range_sum(planes, lo_bits, hi_bits, flags, valid, width: int,
                     interpret: bool = False):
     """planes u32[P, w, W] (P a multiple of 8); consts from range_consts;

@@ -65,6 +65,25 @@ class FieldStats:
     # True for STRING/BYTES prefix keys: equal prefixes cannot decide, so
     # pruning must use STRICT compares and never emit ALL verdicts
     is_prefix: bool = False
+    # lazily-built coarse level (see coarse()); not serialized
+    _coarse: tuple | None = field(default=None, repr=False, compare=False)
+
+    def coarse(self) -> tuple:
+        """(cmin, cmax) per _TREE_BLOCK-pack super-block — the two-level
+        analog of the reference's 2048-entry spack n-ary stats tree
+        (internal/pack/stats/index.go:175-223). Lazily built, cached."""
+        if self._coarse is None:
+            P = len(self.min_key)
+            nb = -(-P // _TREE_BLOCK)
+            cmin = np.empty(nb, self.min_key.dtype)
+            cmax = np.empty(nb, self.max_key.dtype)
+            for b in range(nb):
+                s = b * _TREE_BLOCK
+                e = min(P, s + _TREE_BLOCK)
+                cmin[b] = self.min_key[s:e].min()
+                cmax[b] = self.max_key[s:e].max()
+            self._coarse = (cmin, cmax)
+        return self._coarse
 
     @classmethod
     def from_packs(cls, pack_keys: list[np.ndarray], wide: bool,
@@ -122,6 +141,42 @@ def _bloom_none_bytes(fs: FieldStats, vals: list) -> np.ndarray:
     return out
 
 
+_TREE_BLOCK = 2048      # super-block fanout (reference spack size)
+_TREE_MODES = (FilterMode.EQ, FilterMode.NE, FilterMode.LT, FilterMode.LE,
+               FilterMode.GT, FilterMode.GE, FilterMode.RANGE,
+               FilterMode.IN, FilterMode.NOT_IN)
+
+
+def _prune_tree(fs: FieldStats, mode: FilterMode, lo, hi, keys,
+                key_limbs, key_bytes) -> TriState:
+    """Two-level prune: decide whole super-blocks from (cmin, cmax)
+    first — a block decided ALL/NONE covers every pack without touching
+    its fine zone maps or blooms (the per-pack bloom probes are python
+    loops; at 100k packs they dominate the flat path) — then run the
+    flat prune only on MIXED blocks' slices."""
+    cmin, cmax = fs.coarse()
+    cfs = FieldStats(cmin, cmax, None, FilterType.NONE, fs.is_prefix)
+    ct = prune_leaf(cfs, mode, lo, hi, keys, None, None)
+    P = len(fs.min_key)
+    all_ = np.zeros(P, bool)
+    none = np.zeros(P, bool)
+    for b in np.flatnonzero(ct.all_):
+        all_[b * _TREE_BLOCK:(b + 1) * _TREE_BLOCK] = True
+    for b in np.flatnonzero(ct.none):
+        none[b * _TREE_BLOCK:(b + 1) * _TREE_BLOCK] = True
+    for b in np.flatnonzero(ct.maybe):
+        s = b * _TREE_BLOCK
+        e = min(P, s + _TREE_BLOCK)
+        sub = FieldStats(fs.min_key[s:e], fs.max_key[s:e],
+                         None if fs.bloom_words is None
+                         else fs.bloom_words[s:e],
+                         fs.filter_type, fs.is_prefix)
+        t = prune_leaf(sub, mode, lo, hi, keys, key_limbs, key_bytes)
+        all_[s:e] = t.all_
+        none[s:e] = t.none
+    return TriState(all_, none)
+
+
 def prune_leaf(fs: FieldStats, mode: FilterMode, lo=None, hi=None,
                keys=None, key_limbs=None, key_bytes=None) -> TriState:
     """Tri-state prune of one filter leaf against all packs.
@@ -131,6 +186,8 @@ def prune_leaf(fs: FieldStats, mode: FilterMode, lo=None, hi=None,
     probes; key_bytes the byte values for string blooms."""
     mn, mx = fs.min_key, fs.max_key
     P = len(mn)
+    if P >= 2 * _TREE_BLOCK and mode in _TREE_MODES:
+        return _prune_tree(fs, mode, lo, hi, keys, key_limbs, key_bytes)
     if key_bytes is not None:
         key_limbs = None     # string blooms hash full bytes
 

@@ -104,6 +104,8 @@ class ShardedScanner(SegmentScanner):
     builds, so scan()/group_scan() host logic — exact aggregate
     combination, materialization, stats — is inherited untouched."""
 
+    spmd = True     # gates the single-chip Pallas fusion in _build_fn
+
     def __init__(self, dseg: D.DeviceSegment, mesh: Mesh,
                  axis: str = "packs"):
         super().__init__(dseg)
@@ -148,7 +150,8 @@ class ShardedScanner(SegmentScanner):
     # ---------------------------------------------------------- group-by --
 
     def group_scan(self, tree, group_field: str, agg_fields: list[str],
-                   exclude_words=None, global_keys=None, gplan=None):
+                   exclude_words=None, global_keys=None, gplan=None,
+                   minmax: bool = True):
         """SPMD group-by: each device aggregates its local packs into
         [G] partials (the same sort-based kernel, exec/groupby.py);
         out_specs concatenate them to [ndev*G] and the host combines
@@ -174,11 +177,14 @@ class ShardedScanner(SegmentScanner):
                     for f in agg_fields}
         gconsts = GB.gid_consts(gplan)
 
+        use_mxu = (not minmax) and gplan.G <= GB.MXU_MAX_G
         sig = ("group-spmd", d.sig(used), group_field, tuple(agg_fields),
-               mode_tags, gplan.G, exclude_words is not None)
+               mode_tags, gplan.G, exclude_words is not None, use_mxu)
         gfn = self._fns.get(sig)
         if gfn is None:
             W = d.W
+            agg_kernel = GB.group_aggregate_mxu if use_mxu \
+                else GB.group_aggregate
 
             def gf(margs, garrays, gconsts):
                 mask, _, _ = mask_raw(*margs)
@@ -188,7 +194,7 @@ class ShardedScanner(SegmentScanner):
                 for f in agg_fields:
                     gi_, gsig_, _ = agg_sigs[f][0]
                     dec = D.group_decode_keys(gsig_, garrays[f][gi_], W)
-                    out[f] = GB.group_aggregate(gids, mask, dec, gplan.G)
+                    out[f] = agg_kernel(gids, mask, dec, gplan.G)
                 return out
 
             # garrays spec: every group array shards on its pack axis
@@ -200,23 +206,35 @@ class ShardedScanner(SegmentScanner):
             out_specs = jax.tree_util.tree_map(
                 lambda _: P(self.axis),
                 jax.eval_shape(gf, margs, garrays, gconsts))
-            gfn = jax.jit(jax.shard_map(gf, mesh=self.mesh,
-                                        in_specs=in_specs,
-                                        out_specs=out_specs))
+            smapped = jax.shard_map(gf, mesh=self.mesh,
+                                    in_specs=in_specs,
+                                    out_specs=out_specs)
+            gfn = (jax.jit(smapped), smapped)
             self._fns[sig] = gfn
 
-        out = gfn(margs, garrays, gconsts)
+        out = gfn[0](margs, garrays, gconsts)
         G = gplan.G
         results = {}
         counts = None
         for f in agg_fields:
-            c, slo, shi, mn, mx = (np.asarray(x).reshape(ndev, G)
-                                   for x in out[f])
+            if use_mxu:
+                c, chunks, mn, mx = out[f]
+                c = np.asarray(c).reshape(ndev, G)
+                mn = np.asarray(mn).reshape(ndev, G)
+                mx = np.asarray(mx).reshape(ndev, G)
+                per_dev = [GB.mxu_chunk_sums(
+                    [np.asarray(ch).reshape(ndev, G)[d] for ch in chunks])
+                    for d in range(ndev)]
+                sums = [sum(per_dev[d][g] for d in range(ndev))
+                        for g in range(G)]
+            else:
+                c, slo, shi, mn, mx = (np.asarray(x).reshape(ndev, G)
+                                       for x in out[f])
+                sums = [sum(int(l) + (int(h) << 32)
+                            for l, h in zip(slo[:, g], shi[:, g]))
+                        for g in range(G)]
             if counts is None:
                 counts = c.sum(axis=0)
-            sums = [sum(int(l) + (int(h) << 32)
-                        for l, h in zip(slo[:, g], shi[:, g]))
-                    for g in range(G)]
             results[f] = (sums, mn.min(axis=0), mx.max(axis=0))
         return gplan, counts, results
 

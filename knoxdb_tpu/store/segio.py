@@ -6,13 +6,23 @@ a sealed segment serializes as one blob per table epoch — a JSON manifest
 plus raw little-endian array payloads (pickle-free; wide python ints
 travel as fixed-width big-endian bytes). Blobs are immutable; the store
 key is (table id, epoch, segment no).
+
+OUTER COMPRESSION (reference block/compress.go:54-70 snappy/lz4/zstd):
+every array payload is individually zlib-compressed when that shrinks it
+(bit-packed planes are already dense; dict blobs / value arrays / stats
+usually compress well) and the per-array choice is recorded in the array
+header — mirroring the reference's per-block compression byte. zlib is
+the stdlib codec available here; level 1 keeps encode ~100 MB/s.
+KNOX_SEG_COMPRESS=off disables. KXSEG001 blobs (round 1) still load.
 """
 
 from __future__ import annotations
 
 import io
 import json
+import os
 import struct
+import zlib
 
 import numpy as np
 
@@ -25,6 +35,7 @@ from ..types import FilterType
 __all__ = ["dump_segment", "load_segment"]
 
 _MAGIC = b"KXSEG001"
+_MAGIC2 = b"KXSEG002"      # adds per-array outer compression headers
 
 
 def _arr_out(arrays: list, a: np.ndarray | None) -> int:
@@ -96,24 +107,31 @@ def dump_segment(seg: Segment) -> bytes:
             ent["max"] = _arr_out(arrays, fs.max_key)
         man["stats"][name] = ent
 
+    compress = os.environ.get("KNOX_SEG_COMPRESS", "zlib") != "off"
     out = io.BytesIO()
-    out.write(_MAGIC)
+    out.write(_MAGIC2 if compress else _MAGIC)
     mb = json.dumps(man).encode()
     out.write(struct.pack("<I", len(mb)))
     out.write(mb)
     out.write(struct.pack("<I", len(arrays)))
     for a in arrays:
-        hdr = json.dumps({"dtype": a.dtype.str, "shape": a.shape}).encode()
+        body = a.tobytes()
+        h = {"dtype": a.dtype.str, "shape": a.shape}
+        if compress:
+            z = zlib.compress(body, 1)
+            if len(z) < len(body):          # per-array choice, recorded
+                body = z
+                h["comp"] = "zlib"
+        hdr = json.dumps(h).encode()
         out.write(struct.pack("<I", len(hdr)))
         out.write(hdr)
-        body = a.tobytes()
         out.write(struct.pack("<Q", len(body)))
         out.write(body)
     return out.getvalue()
 
 
 def load_segment(buf: bytes) -> Segment:
-    if buf[:8] != _MAGIC:
+    if buf[:8] not in (_MAGIC, _MAGIC2):
         raise ValueError("bad segment magic")
     off = 8
     (mlen,) = struct.unpack_from("<I", buf, off)
@@ -130,7 +148,10 @@ def load_segment(buf: bytes) -> Segment:
         off += hlen
         (blen,) = struct.unpack_from("<Q", buf, off)
         off += 8
-        a = np.frombuffer(buf[off:off + blen], dtype=np.dtype(h["dtype"]))
+        body = buf[off:off + blen]
+        if h.get("comp") == "zlib":
+            body = zlib.decompress(body)
+        a = np.frombuffer(body, dtype=np.dtype(h["dtype"]))
         arrays.append(a.reshape(h["shape"]).copy())
         off += blen
 

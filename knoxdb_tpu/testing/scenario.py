@@ -65,7 +65,7 @@ def run_scenario(seed: int, path: str, steps: int = 60,
 
     for step in range(cfg.steps):
         op = rng.choice(["insert", "insert", "insert", "update", "delete",
-                         "merge", "reopen", "query"])
+                         "merge", "reopen", "query", "tear"])
         if op == "insert":
             n = int(rng.integers(1, cfg.max_batch))
             grp = rng.integers(0, 10, n).astype(np.uint16)
@@ -102,6 +102,31 @@ def run_scenario(seed: int, path: str, steps: int = 60,
             db = open_db()
             t = db.table("t")
             A.reachable("op.reopen")
+        elif op == "tear" and reopen:
+            # WAL damage injection (reference DST fault model): a crash
+            # mid-append leaves a torn tail record that was never
+            # acknowledged. Recovery must TRUNCATE it (wal.go:33-40
+            # damage policy) and lose NOTHING acknowledged (= the model).
+            db.close()
+            from pathlib import Path
+            segs = sorted(Path(path).glob("**/wal_*.seg"))
+            if segs:
+                kind = int(rng.integers(0, 3))
+                with open(segs[-1], "ab") as fh:
+                    if kind == 0:      # partial header
+                        fh.write(b"\x01\x02\x03")
+                    elif kind == 1:    # header claiming a longer body
+                        import struct as _s
+                        fh.write(_s.pack("<BBIQI I", 1, 0, 1, 99,
+                                         1 << 20, 0xDEAD))
+                        fh.write(b"torn")
+                    else:              # garbage bytes
+                        fh.write(bytes(rng.integers(0, 256, 64,
+                                                    dtype=np.uint8)))
+                A.reachable("op.tear")
+            db = open_db()
+            t = db.table("t")
+            _check(t, model)
         elif op == "query":
             A.reachable("op.query")
 

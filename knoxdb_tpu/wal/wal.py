@@ -224,8 +224,22 @@ class Wal:
         if mode == RecoveryMode.FAIL:
             raise WalError(f"{seg_path.name}@{pos}: {why}")
         if mode == RecoveryMode.TRUNCATE:
-            with open(seg_path, "r+b") as fh:
-                fh.truncate(pos)
+            active = seg_path == self.dir / _SEG_NAME.format(self._seg_base)
+            with self._wlock:
+                if active and self._fh is not None:
+                    # the append handle was positioned at the PRE-truncate
+                    # EOF; leaving it stale skews every subsequent LSN
+                    # (write() assigns base + tell()) and a later
+                    # from_lsn seek then lands mid-record and truncates
+                    # GOOD tail records — acked-data loss (found by the
+                    # DST tear scenario, seed 57)
+                    self._fh.close()
+                    with open(seg_path, "r+b") as fh:
+                        fh.truncate(pos)
+                    self._fh = open(seg_path, "ab")
+                else:
+                    with open(seg_path, "r+b") as fh:
+                        fh.truncate(pos)
         # SKIP/IGNORE: stop reading this segment silently
 
     # ---------------------------------------------------------------- gc --

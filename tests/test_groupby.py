@@ -101,3 +101,59 @@ def test_group_dict_scheme(db, rng):
     np.testing.assert_array_equal(np.asarray(out["keys"], np.uint64), want)
     for i, kk in enumerate(want):
         assert out[("sum", "v")][i] == int(v[k == kk].sum())
+
+
+def test_mxu_group_aggregate_matches_sort(rng):
+    """One-hot MXU matmul kernel == sort kernel (count/sum), including
+    extreme u64 values that stress chunk exactness."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec import groupby as GB
+    from knoxdb_tpu.ops import bitset as bs
+    P, N, G = 4, 2048, 100
+    gids = jnp.asarray(rng.integers(-1, G + 2, (P, N)).astype(np.int32))
+    vals = rng.integers(0, 1 << 63, (P, N), dtype=np.uint64)
+    vals[0, :10] = np.uint64(0xFFFFFFFFFFFFFFFF)     # extreme chunks
+    vals_j = jnp.asarray(vals)
+    mask = rng.random((P, N)) < 0.7
+    mw = jnp.asarray(np.stack([bs.np_pack_mask(mask[p]) for p in range(P)]))
+    c1, lo1, hi1, _, _ = GB.group_aggregate(gids, mw, vals_j, G)
+    c2, chunks, _, _ = GB.group_aggregate_mxu(gids, mw, vals_j, G)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    s1 = [int(l) + (int(h) << 32) for l, h in zip(np.asarray(lo1),
+                                                  np.asarray(hi1))]
+    s2 = GB.mxu_chunk_sums(chunks)
+    assert s1 == s2
+
+
+def test_group_query_sum_only_uses_mxu(rng):
+    """count/sum group query must produce identical results through the
+    MXU path (engine chooses it when no min/max is requested)."""
+    import knoxdb_tpu.knox as knox
+    from dataclasses import dataclass
+
+    @dataclass
+    class R:
+        id: int = 0
+        g: int = 0
+        v: int = 0
+
+    db = knox.create_database("mxu", driver="mem", pack_size=512,
+                              background_merge=False)
+    t = db.create_table(R)
+    n = 20_000
+    g = rng.integers(0, 50, n)
+    v = rng.integers(-1 << 50, 1 << 50, n)
+    t.insert({"id": np.zeros(n, np.uint64), "g": g, "v": v})
+    t.merge()
+    out = t.query().group_by("g").aggregate(("count", ""), ("sum", "v"))
+    for i, k in enumerate(out["keys"]):
+        m = g == int(k)
+        assert out["count"][i] == int(m.sum())
+        assert int(out[("sum", "v")][i]) == int(v[m].astype(object).sum())
+    # and the min/max flavour still works (sort path)
+    out2 = t.query().group_by("g").aggregate(("min", "v"), ("max", "v"))
+    for i, k in enumerate(out2["keys"]):
+        m = g == int(k)
+        assert int(out2[("min", "v")][i]) == int(v[m].min())
+        assert int(out2[("max", "v")][i]) == int(v[m].max())
+    db.close()

@@ -175,3 +175,43 @@ def test_device_cache_eviction(tmp_path):
     # evicted segments still answer correctly (re-upload)
     assert acc.query().where(knox.F("balance") < 1000).count() == 300
     d.close()
+
+
+def test_stream_batches_incremental(rng):
+    """Streaming pull path: batches concat == full rows(); bounded
+    window sizes; limit respected (reference operator pipeline)."""
+    import numpy as np
+    import knoxdb_tpu.knox as knox
+    from dataclasses import dataclass
+
+    @dataclass
+    class S:
+        id: int = 0
+        k: int = 0
+        v: int = 0
+
+    db = knox.create_database("stream", driver="mem", pack_size=256,
+                              background_merge=False)
+    t = db.create_table(S)
+    n = 5000
+    k = rng.integers(0, 100, n)
+    v = rng.integers(-10**6, 10**6, n)
+    t.insert({"id": np.zeros(n, np.uint64), "k": k, "v": v})
+    t.merge()
+    t.insert([S(k=50, v=777)])          # journal overlay row
+
+    q = lambda: db.table("s").query().where(k__ge=50).select("k", "v")
+    full = q().rows()
+    batches = list(q().stream_batches(batch_packs=4))
+    assert len(batches) > 1             # actually incremental
+    got_k = np.concatenate([b["k"] for b in batches])
+    got_v = np.concatenate([b["v"] for b in batches])
+    assert sorted(got_k.tolist()) == sorted(np.asarray(full["k"]).tolist())
+    assert sorted(got_v.tolist()) == sorted(np.asarray(full["v"]).tolist())
+    for b in batches[:-1]:              # window bound: 4 packs * 256
+        assert len(b["k"]) <= 4 * 256
+    # limit via stream()
+    seen = []
+    cnt = q().limit(10).stream(lambda r: seen.append(r))
+    assert cnt == 10 and len(seen) == 10
+    db.close()

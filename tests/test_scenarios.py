@@ -1,5 +1,6 @@
 """Seeded deterministic workload scenarios vs python model
-(reference internal/tests/scenarios + DST runner)."""
+(reference internal/tests/scenarios + DST runner, incl. WAL damage
+injection — torn tail records on crash/reopen)."""
 
 import pytest
 
@@ -9,6 +10,14 @@ from knoxdb_tpu.testing.scenario import run_scenario
 @pytest.mark.parametrize("seed", [1, 7, 42])
 def test_workload_model_equivalence(seed, tmp_path):
     rep = run_scenario(seed, str(tmp_path / f"s{seed}"), steps=40)
+    assert all(v > 0 for v in rep.values()), rep
+
+
+@pytest.mark.parametrize("seed", [3, 11, 23, 57, 101, 257, 999])
+def test_workload_deep(seed, tmp_path):
+    """Deeper DST sweep (VERDICT r1 #8): more seeds x more steps, with
+    the tear op injecting torn WAL tails before reopen."""
+    rep = run_scenario(seed, str(tmp_path / f"d{seed}"), steps=150)
     assert all(v > 0 for v in rep.values()), rep
 
 

@@ -1,0 +1,77 @@
+"""Bit-descent top-k kernels (ops/bitslice.add_const_planes +
+topk_select) vs numpy selection oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knoxdb_tpu.ops import bitset as bs
+from knoxdb_tpu.ops import bitslice as BS
+
+
+def _mk_planes(vals_rel, width):
+    P, N = vals_rel.shape
+    planes = np.zeros((P, width, N // 32), np.uint32)
+    for p in range(width):
+        for pk in range(P):
+            planes[pk, p] = bs.np_pack_mask(
+                ((vals_rel[pk] >> p) & 1).astype(bool))
+    return planes
+
+
+def _const_bits(consts, width_out):
+    P = len(consts)
+    out = np.zeros((width_out, P), np.uint32)
+    for b in range(width_out):
+        out[b] = np.where((consts >> b) & 1, 0xFFFFFFFF, 0)
+    return out
+
+
+def test_add_const_planes(rng):
+    P, N, w = 4, 128, 12
+    rel = rng.integers(0, 1 << w, (P, N), dtype=np.uint64)
+    consts = rng.integers(0, 1 << 13, P, dtype=np.uint64)
+    wo = 15
+    planes = _mk_planes(rel, w)
+    out = np.asarray(BS.add_const_planes(
+        jnp.asarray(planes), jnp.asarray(_const_bits(consts, wo)), wo))
+    want = (rel + consts[:, None]) % (1 << wo)
+    for b in range(wo):
+        for pk in range(P):
+            got_bits = bs.np_unpack_mask(out[pk, b], N)
+            np.testing.assert_array_equal(
+                got_bits, ((want[pk] >> b) & 1).astype(bool),
+                err_msg=f"bit {b} pack {pk}")
+
+
+@pytest.mark.parametrize("want_max", [True, False])
+@pytest.mark.parametrize("k", [1, 7, 100])
+def test_topk_select(rng, want_max, k):
+    P, N, w = 4, 256, 20
+    vals = rng.integers(0, 1 << w, (P, N), dtype=np.uint64)
+    vals[0, :50] = 12345        # tie block
+    mask = rng.random((P, N)) < 0.8
+    planes = _mk_planes(vals, w)
+    mw = np.stack([bs.np_pack_mask(mask[p]) for p in range(P)])
+    th, tl, better, tie, nb = BS.topk_select(
+        jnp.asarray(planes), jnp.asarray(mw), jnp.int32(k), w, want_max)
+    T = (int(th) << 32) | int(tl)
+    sel = np.sort(vals[mask])
+    sel = sel[::-1] if want_max else sel
+    kk = min(k, len(sel))
+    want_set = sel[:kk]
+    # threshold == k-th best value
+    assert T == int(want_set[-1])
+    bet = np.concatenate([bs.np_unpack_mask(np.asarray(better)[p], N)
+                          for p in range(P)])
+    tiem = np.concatenate([bs.np_unpack_mask(np.asarray(tie)[p], N)
+                           for p in range(P)])
+    flat_v = vals.reshape(-1)
+    flat_m = mask.reshape(-1)
+    if want_max:
+        np.testing.assert_array_equal(bet, flat_m & (flat_v > T))
+    else:
+        np.testing.assert_array_equal(bet, flat_m & (flat_v < T))
+    np.testing.assert_array_equal(tiem, flat_m & (flat_v == T))
+    assert int(nb) == int(bet.sum())
+    assert int(nb) + int(tiem.sum()) >= kk

@@ -144,6 +144,29 @@ def test_segment_serialization(rng):
     assert [int(v) for v in ws.min_key] == [int(v) for v in ws2.min_key]
 
 
+def test_segment_outer_compression(rng, monkeypatch):
+    """KXSEG002 per-array zlib (block/compress.go analog): compressed
+    blob loads bit-identically, shrinks vs raw on compressible data, and
+    uncompressed (round-1 KXSEG001-style) blobs still load."""
+    sch = (Builder("s").pk("id").add("v", FieldType.UINT64).finish())
+    n = 4096
+    data = {"id": np.arange(1, n + 1, dtype=np.uint64),
+            "v": rng.integers(0, 8, n, dtype=np.uint64)}  # low entropy
+    seg = build_segment(sch, data, pack_size=256)
+    blob_c = segio.dump_segment(seg)
+    monkeypatch.setenv("KNOX_SEG_COMPRESS", "off")
+    blob_raw = segio.dump_segment(seg)
+    assert blob_raw[:8] == b"KXSEG001" and blob_c[:8] == b"KXSEG002"
+    assert len(blob_c) < len(blob_raw)
+    for blob in (blob_c, blob_raw):
+        seg2 = segio.load_segment(blob)
+        for name, col in seg.columns.items():
+            for p, p2 in zip(col.packs, seg2.columns[name].packs):
+                for a, b in ((p.planes, p2.planes), (p.values, p2.values)):
+                    if a is not None:
+                        np.testing.assert_array_equal(a, b)
+
+
 def test_wal_delayed_sync(tmp_path):
     from knoxdb_tpu.wal.wal import Record, RecordType, Wal
     w = Wal(tmp_path / "wal", sync="delay", flush_interval=0.005)
