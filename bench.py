@@ -85,6 +85,35 @@ def main():
 
     # K-iteration variant: constants perturbed per iteration (golden-ratio
     # step keeps selectivity ~stable and defeats loop hoisting)
+    try:
+        marginal, t_lo, t_hi, t_compile = _timed_loop(sc, tree, aggs)
+    except Exception as e:                    # pragma: no cover
+        # resilience: if the fused-kernel loop fails at runtime on this
+        # harness, fall back to the pure-XLA plan so the driver always
+        # gets a number (correctness was already asserted above)
+        print(f"# fused timing failed ({type(e).__name__}); "
+              f"falling back to XLA path", file=sys.stderr)
+        os.environ["KNOX_PALLAS"] = "0"
+        sc2 = SegmentScanner(DeviceSegment(seg))
+        r = sc2.scan(tree, aggs)
+        assert r.count == int(m.sum())
+        marginal, t_lo, t_hi, t_compile = _timed_loop(sc2, tree, aggs)
+
+    rows_per_s = n_rows / marginal
+    print(json.dumps({
+        "metric": "scan_filter_agg_rows_per_s",
+        "value": rows_per_s,
+        "unit": "rows/s",
+        "vs_baseline": rows_per_s / REF_ROWS_PER_S,
+    }))
+    print(f"# n_rows={n_rows} marginal={marginal*1e3:.3f}ms t_lo={t_lo*1e3:.1f}ms "
+          f"t_hi={t_hi*1e3:.1f}ms compile={t_compile:.1f}s build={t_build:.1f}s "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr)
+
+
+def _timed_loop(sc, tree, aggs):
+    import jax
+    import jax.numpy as jnp
     _fn, args, raw = sc.prepare(tree, aggs)
     arrays, consts, overrides, valid, excl = args
 
@@ -97,8 +126,12 @@ def main():
             return x
         return jax.tree_util.tree_map(bump, consts)
 
-    def many(arrays, consts, overrides, valid, excl, k):
-        def body(i, acc):
+    # lax.scan, NOT fori_loop: the Mosaic kernel inside fori_loop hangs
+    # the remote compiler at grid 32 on this harness; the identical body
+    # under lax.scan compiles in seconds (measured round 2). Static scan
+    # length -> one compiled program per K (two Ks total).
+    def many(arrays, consts, overrides, valid, excl, idxs):
+        def body(acc, i):
             c = shift_consts(consts, i)
             _mask, counts, parts = raw(arrays, c, overrides, valid, excl)
             p = parts[1][0]
@@ -108,14 +141,15 @@ def main():
             else:
                 lo, hi, _cnts = p
                 chk = (lo.sum() + hi.sum()).astype(jnp.int64)
-            return (acc[0] + counts.sum(), acc[1] + chk)
-        return jax.lax.fori_loop(
-            0, k, body, (jnp.int64(0), jnp.int64(0)))
+            return (acc[0] + counts.sum(), acc[1] + chk), None
+        out, _ = jax.lax.scan(body, (jnp.int64(0), jnp.int64(0)), idxs)
+        return out
 
     g = jax.jit(many)
 
     def run(k):
-        out = g(arrays, consts, overrides, valid, excl, jnp.int32(k))
+        out = g(arrays, consts, overrides, valid, excl,
+                jnp.arange(k, dtype=jnp.uint64))
         return int(out[0]), int(out[1])   # host fetch forces completion
 
     t0 = time.perf_counter()
@@ -128,17 +162,7 @@ def main():
     t_lo = min(_time(run, K_LO) for _ in range(3))
     t_hi = min(_time(run, K_HI) for _ in range(3))
     marginal = max((t_hi - t_lo) / (K_HI - K_LO), 1e-9)
-
-    rows_per_s = n_rows / marginal
-    print(json.dumps({
-        "metric": "scan_filter_agg_rows_per_s",
-        "value": rows_per_s,
-        "unit": "rows/s",
-        "vs_baseline": rows_per_s / REF_ROWS_PER_S,
-    }))
-    print(f"# n_rows={n_rows} marginal={marginal*1e3:.3f}ms t_lo={t_lo*1e3:.1f}ms "
-          f"t_hi={t_hi*1e3:.1f}ms compile={t_compile:.1f}s build={t_build:.1f}s "
-          f"platform={jax.devices()[0].platform}", file=sys.stderr)
+    return marginal, t_lo, t_hi, t_compile
 
 
 def _time(fn, k):

@@ -94,8 +94,9 @@ def bench_config2(n_packs: int, rng):
     _fn, args, raw = sc.prepare(tree, aggs)
     arrays, consts, overrides, valid, excl = args
 
-    def many(arrays, consts, overrides, valid, excl, k):
-        def body(i, acc):
+    # lax.scan (NOT fori_loop: Mosaic-in-fori hangs the remote compiler)
+    def many(arrays, consts, overrides, valid, excl, idxs):
+        def body(acc, i):
             step = (i * jnp.uint64(0x9E3779B1)) % jnp.uint64(4096)
             c = jax.tree_util.tree_map(
                 lambda x: x + step
@@ -109,13 +110,15 @@ def bench_config2(n_packs: int, rng):
             else:
                 lo, hi, _c = p
                 chk = (lo.sum() + hi.sum()).astype(jnp.int64)
-            return (acc[0] + counts.sum(), acc[1] + chk)
-        return jax.lax.fori_loop(0, k, body, (jnp.int64(0), jnp.int64(0)))
+            return (acc[0] + counts.sum(), acc[1] + chk), None
+        out, _ = jax.lax.scan(body, (jnp.int64(0), jnp.int64(0)), idxs)
+        return out
 
     g = jax.jit(many)
 
     def run(k):
-        out = g(arrays, consts, overrides, valid, excl, jnp.int32(k))
+        out = g(arrays, consts, overrides, valid, excl,
+                jnp.arange(k, dtype=jnp.uint64))
         return int(out[0]), int(out[1])
 
     run(1)
@@ -176,8 +179,9 @@ def bench_config3(n_packs: int, rng):
     gconsts = GB.gid_consts(gplan)
     arrays, consts, overrides, valid, excl = margs
 
-    def many(arrays, consts, overrides, valid, excl, garrays, gconsts, k):
-        def body(i, acc):
+    def many(arrays, consts, overrides, valid, excl, garrays, gconsts,
+             idxs):
+        def body(acc, i):
             step = (i * jnp.uint64(0x9E3779B1)) % jnp.uint64(4096)
             c = jax.tree_util.tree_map(
                 lambda x: x - step
@@ -185,15 +189,20 @@ def bench_config3(n_packs: int, rng):
                 else x, consts)
             out = gfn_raw((arrays, c, overrides, valid, excl),
                           garrays, gconsts)
-            cg, lo, hi, _mn, _mx = out["bal"]
-            return (acc[0] + cg.sum(), acc[1] + lo.sum() + hi.sum())
-        return jax.lax.fori_loop(0, k, body, (jnp.int64(0), jnp.uint64(0)))
+            o = out["bal"]
+            cg = o[0]
+            chk = sum(x.sum(dtype=jnp.int64) if x.dtype != jnp.uint64
+                      else x.astype(jnp.int64).sum() for x in
+                      (o[1] if isinstance(o[1], tuple) else (o[1], o[2])))
+            return (acc[0] + cg.sum(), acc[1] + chk), None
+        out, _ = jax.lax.scan(body, (jnp.int64(0), jnp.int64(0)), idxs)
+        return out
 
     g = jax.jit(many)
 
     def run(k):
         out = g(arrays, consts, overrides, valid, excl, garrays, gconsts,
-                jnp.int32(k))
+                jnp.arange(k, dtype=jnp.uint64))
         return int(out[0]), int(out[1])
 
     run(1)

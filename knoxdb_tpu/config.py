@@ -42,8 +42,15 @@ def is_tpu() -> bool:
         return False
 
 
-# Pallas fused scan kernels (ops/pallas_scan.py): enabled by default;
-# KNOX_NO_PALLAS=1 falls back to the pure-XLA bitslice path. Off-TPU the
-# kernels run in interpret mode (tests).
+# Pallas fused scan kernels (ops/pallas_scan.py): OPT-IN via
+# KNOX_PALLAS=1. Round-2 finding: the kernels compile and produce
+# bit-exact results on this harness's TPU (verified vs the XLA oracle),
+# but REPEAT executions of a Mosaic program are unstable through the
+# version-skewed remote-compile relay (first run ok, second raises
+# INVALID_ARGUMENT and wedges the whole TPU session — every later
+# device_put in ANY process fails FAILED_PRECONDITION until the grant
+# recycles). Until the harness's libtpu pair is aligned, the default
+# path is the proven pure-XLA bitslice plan. Off-TPU the kernels run in
+# interpret mode (tests keep covering them).
 def use_pallas() -> bool:
-    return os.environ.get("KNOX_NO_PALLAS", "") == ""
+    return os.environ.get("KNOX_PALLAS", "") == "1"

@@ -485,6 +485,11 @@ class Table:
         sums = {f: [0] * G for f in agg_fields}
         mins = {f: [None] * G for f in agg_fields}
         maxs = {f: [None] * G for f in agg_fields}
+        # var/std: f64 moment partials (reference reducer.go semantics;
+        # float contract documented in series.py)
+        mom_fields = sorted({f for op, f in aggs if op in ("var", "std")})
+        moments = {f: [np.zeros(G, np.int64), np.zeros(G, np.float64),
+                       np.zeros(G, np.float64)] for f in mom_fields}
 
         # count/sum-only group queries skip the sort path: one-hot MXU
         # matmul partials (exec/groupby.group_aggregate_mxu)
@@ -495,6 +500,16 @@ class Table:
                 tree, group_field, agg_fields, exclude_words=excl,
                 global_keys=global_keys, minmax=need_minmax)
             counts += c
+            if mom_fields:
+                sp = h.scanner_().series_scan(
+                    tree, group_field,
+                    {f: {"moments"} for f in mom_fields}, gplan,
+                    exclude_words=excl)
+                for f in mom_fields:
+                    n_, s_, q_ = sp[(f, "moments")]
+                    moments[f][0] += n_
+                    moments[f][1] += s_
+                    moments[f][2] += q_
             for f in agg_fields:
                 s, mn, mx = res[f]
                 for g in range(G):
@@ -529,6 +544,15 @@ class Table:
                         mins[f][g] = gmin[g]
                     if maxs[f][g] is None or gmax[g] > maxs[f][g]:
                         maxs[f][g] = gmax[g]
+            for f in mom_fields:
+                from ..series import _np_series_part
+                ftf = self.full_schema.field(f).type
+                keys = ORC.column_keys(jdata[f][sel], ftf)
+                n_, s_, q_ = _np_series_part("moments", gsel, None, keys,
+                                             G, ftf)
+                moments[f][0] += n_
+                moments[f][1] += s_
+                moments[f][2] += q_
 
         keep = counts > 0
         from ..exec.groupby import GroupPlan
@@ -554,6 +578,18 @@ class Table:
             elif op == "max":
                 out[(op, f)] = np.array(
                     [_from_key(maxs[f][g], ftf) for g in kept], object)
+            elif op in ("var", "std"):
+                import math
+                n_, s_, q_ = moments[f]
+                vals = []
+                for g in kept:
+                    n = int(n_[g])
+                    if n < 2:               # reducer.go:375-378
+                        vals.append(float("nan") if n else None)
+                        continue
+                    var = max(0.0, q_[g] - s_[g] * s_[g] / n) / (n - 1)
+                    vals.append(math.sqrt(var) if op == "std" else var)
+                out[(op, f)] = np.array(vals, object)
         return out
 
     def sorted_query(self, snap: Snapshot, tree: Node | None,

@@ -35,7 +35,8 @@ from .types import FieldType, FilterMode
 from .utils import limbs as lb
 
 __all__ = ["create_database", "open_database", "Database", "TableHandle",
-           "Query", "F", "cond", "Builder", "field_meta", "schema_of"]
+           "Query", "F", "cond", "Builder", "field_meta", "schema_of",
+           "join", "union"]
 
 
 def create_database(name: str, **kw) -> "Database":
@@ -65,6 +66,30 @@ class Database:
             schema, cls = schema_of(schema_or_cls), schema_or_cls
         t = self.engine.create_table(schema, **kw)
         return TableHandle(self, t, cls)
+
+    def describe(self, name: str) -> dict:
+        """Schema + storage introspection (reference describe operator):
+        fields (type/scale/pk/index/filter), row/segment/journal counts,
+        stored bytes, per-table metrics."""
+        t = self.engine.tables[name]
+        m = t.metrics
+        return {
+            "name": name,
+            "fields": [{
+                "name": f.name, "type": f.type.name, "scale": f.scale,
+                "pk": f.name == t.schema.pk.name,
+                "filter": f.filter.name,
+            } for f in t.schema.fields],
+            "indexes": [{"name": i.name, "kind": i.kind.name,
+                         "fields": list(i.fields)} for i in t.indexes],
+            "segments": len(t.segments),
+            "rows": sum(h.seg.nrows_total for h in t.segments)
+            + t.journal.nrows,
+            "journal_rows": t.journal.nrows,
+            "bytes_stored": m.bytes_stored,
+            "merges": m.merges,
+            "queries": m.num_calls,
+        }
 
     def table(self, name: str, cls=None) -> "TableHandle":
         return TableHandle(self, self.engine.table(name), cls)
@@ -187,6 +212,66 @@ class TableHandle:
         q = self.query().where(cond(self.schema.pk.name, FilterMode.EQ, pk))
         rows = q.execute()
         return rows[0] if rows else None
+
+    def import_csv(self, src, delimiter: str | None = None,
+                   batch_rows: int = 65536) -> int:
+        """STREAMING CSV import (reference table_import operator,
+        internal/operator/pipeline.go op set): parse + insert in bounded
+        row batches — file size never hits host memory at once. src is a
+        path or a text file object. Returns rows imported."""
+        import csv as _csv
+        import io as _io
+        from .utils import csvio as CS
+        from .utils import limbs as lb
+        close = False
+        if isinstance(src, str):
+            src = open(src, "r", newline="")
+            close = True
+        try:
+            sample = src.read(4096)
+            src.seek(0)
+            dialect = CS.sniff_dialect(sample) if delimiter is None else None
+            r = _csv.reader(src, dialect) if dialect else \
+                _csv.reader(src, delimiter=delimiter)
+            header = next(r)
+            fields = [f for f in self.schema.with_meta().fields
+                      if not f.is_meta]
+            col_of = {}
+            for f in fields:
+                if f.name not in header:
+                    raise ValueError(f"csv: missing column {f.name}")
+                col_of[f.name] = header.index(f.name)
+            total = 0
+            batch: list[list[str]] = []
+
+            def flush():
+                nonlocal total
+                if not batch:
+                    return
+                cols: dict = {}
+                for f in fields:
+                    vals = [CS._parse(row[col_of[f.name]], f.type, f.scale)
+                            for row in batch]
+                    if f.type.is_bytes_like or f.type.nlimbs > 2 or f.scale:
+                        cols[f.name] = vals
+                    else:
+                        cols[f.name] = np.asarray(vals,
+                                                  lb.numpy_dtype(f.type))
+                self.insert(cols)
+                total += len(batch)
+                batch.clear()
+
+            for row in r:
+                if not row:
+                    continue
+                batch.append(row)
+                if len(batch) >= batch_rows:
+                    flush()
+            flush()
+            return total
+        finally:
+            if close:
+                src.close()
 
 
 class _FieldExpr:
@@ -460,6 +545,22 @@ class Query:
         return cnt
 
 
+def union(*queries: "Query", batch_packs: int = 64):
+    """Streamed UNION ALL (reference union operator,
+    internal/operator/pipeline.go op set): yields column batches from
+    each same-shaped query in order, pulled incrementally — no full
+    materialization of any input."""
+    names = None
+    for q in queries:
+        for b in q.stream_batches(batch_packs=batch_packs):
+            if names is None:
+                names = list(b)
+            elif list(b) != names:
+                raise ValueError(
+                    f"union: column mismatch {list(b)} vs {names}")
+            yield b
+
+
 def join(left: "Query", right: "Query", on: tuple[str, str],
          how: "JoinType | str" = None, select: tuple | None = None) -> dict:
     """Equi-join two filtered queries (reference pkg/knox/join.go:28-47).
@@ -585,9 +686,10 @@ class GroupQuery:
         self._field = field
 
     def aggregate(self, *specs: tuple) -> dict:
-        """specs: (op, field) with op in count/sum/min/max/avg.
+        """specs: (op, field) with op in count/sum/min/max/avg/var/std.
         Returns {"keys": group keys, "count": counts, (op, field): values}
-        with per-field decimal scaling applied."""
+        with per-field decimal scaling applied (variance scales by the
+        SQUARE of the decimal factor)."""
         t = self._q._table
         with t.db.begin(read_only=True) as tx:
             out = t._t.group_query(tx.snapshot, self._q._tree(),
@@ -597,8 +699,10 @@ class GroupQuery:
             if isinstance(key, tuple):
                 f = sch.field(key[1])
                 if f.scale:
+                    div = 10 ** (f.scale * (2 if key[0] == "var" else 1))
                     out[key] = np.array(
-                        [v / 10**f.scale for v in out[key]], object)
+                        [None if v is None else v / div for v in out[key]],
+                        object)
         return out
 
     def count(self) -> dict:

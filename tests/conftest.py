@@ -13,6 +13,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# keep the fused Pallas plan covered (interpret mode on CPU); the
+# production default is opt-in — see knoxdb_tpu/config.use_pallas
+os.environ.setdefault("KNOX_PALLAS", "1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

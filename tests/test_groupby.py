@@ -157,3 +157,37 @@ def test_group_query_sum_only_uses_mxu(rng):
         assert int(out2[("min", "v")][i]) == int(v[m].min())
         assert int(out2[("max", "v")][i]) == int(v[m].max())
     db.close()
+
+
+def test_group_var_std(rng):
+    """GroupQuery var/std (sample, NaN below 2 rows; decimal scaling
+    squares for var) vs numpy oracle."""
+    import math
+    import knoxdb_tpu.knox as knox
+    from dataclasses import dataclass
+
+    @dataclass
+    class R:
+        id: int = 0
+        g: int = 0
+        v: int = 0
+
+    db = knox.create_database("gvar", driver="mem", pack_size=256,
+                              background_merge=False)
+    t = db.create_table(R)
+    n = 6000
+    g = rng.integers(0, 30, n)
+    v = rng.integers(-10**6, 10**6, n)
+    t.insert({"id": np.zeros(n, np.uint64), "g": g, "v": v})
+    t.merge()
+    t.insert([R(g=99, v=5)])          # journal row, single-row group
+    out = t.query().group_by("g").aggregate(("var", "v"), ("std", "v"))
+    for i, k in enumerate(out["keys"]):
+        m = g == int(k)
+        if int(k) == 99:
+            assert math.isnan(out[("var", "v")][i])
+            continue
+        w = float(np.var(v[m].astype(np.float64), ddof=1))
+        assert abs(out[("var", "v")][i] - w) <= 1e-9 * max(w, 1)
+        assert abs(out[("std", "v")][i] - math.sqrt(w)) <= 1e-9
+    db.close()

@@ -215,3 +215,47 @@ def test_stream_batches_incremental(rng):
     cnt = q().limit(10).stream(lambda r: seen.append(r))
     assert cnt == 10 and len(seen) == 10
     db.close()
+
+
+def test_import_union_describe(rng, tmp_path):
+    """Reference pipeline operators: table_import (streaming CSV),
+    union (streamed UNION ALL), describe."""
+    import io
+    import knoxdb_tpu.knox as knox
+    from dataclasses import dataclass
+
+    @dataclass
+    class U:
+        id: int = 0
+        k: int = 0
+        v: int = 0
+
+    db = knox.create_database("ops", driver="mem", pack_size=256,
+                              background_merge=False)
+    ta = db.create_table(U)
+    # import: csv with shuffled column order + extra column
+    n = 700
+    lines = ["v,junk,k,id"]
+    for i in range(n):
+        lines.append(f"{i * 3},x,{i % 5},0")
+    got = ta.import_csv(io.StringIO("\n".join(lines)), batch_rows=100)
+    assert got == n
+    assert ta.count() == n
+    assert ta.query().sum("v") == sum(i * 3 for i in range(n))
+    ta.merge()
+
+    # union: same-schema queries stream back in order
+    q1 = ta.query().where(k=1).select("k", "v")
+    q2 = ta.query().where(k=2).select("k", "v")
+    ks = []
+    for b in knox.union(q1, q2, batch_packs=1):
+        ks.extend(int(x) for x in b["k"])
+    n1 = ta.query().where(k=1).count()
+    assert ks[:n1] == [1] * n1 and set(ks[n1:]) == {2}
+    assert len(ks) == n1 + ta.query().where(k=2).count()
+
+    d = db.describe("u")
+    assert d["rows"] == n and d["segments"] == 1
+    assert any(f["name"] == "k" for f in d["fields"])
+    assert d["fields"][0]["pk"] is True
+    db.close()
