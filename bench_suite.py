@@ -263,10 +263,17 @@ def bench_config5(n_packs: int, rng):
     """Single-chip device join: 1M x 1M u64 keys with duplicates
     (BASELINE config #5's per-chip kernel; the distributed shuffle path
     is validated on the virtual mesh in tests/test_shuffle.py and needs
-    multi-chip hardware for a meaningful GB/s)."""
+    multi-chip hardware for a meaningful GB/s).
+
+    Marginal method over join_pairs_core (the jittable sort-probe-
+    expand; pairs stay ON DEVICE — fetching 2M pairs over this
+    harness's 45 MB/s relay costs ~700 ms and would measure the tunnel,
+    not the join)."""
+    import jax
     import jax.numpy as jnp
 
-    from knoxdb_tpu.exec.join import join_keys_np, join_pairs_device
+    from knoxdb_tpu.exec.join import (join_keys_np, join_pairs_core,
+                                      join_pairs_device)
     from knoxdb_tpu.types import JoinType
 
     nl = PACK * max(1, n_packs // 4)
@@ -279,10 +286,28 @@ def bench_config5(n_packs: int, rng):
     assert len(li) == want.n, "config5 join cardinality mismatch"
     assert (lkeys[li] == rkeys[ri]).all(), "config5 join pairs mismatch"
 
-    lat = min(_time(lambda: join_pairs_device(
-        jnp.asarray(lkeys), jnp.asarray(rkeys), JoinType.INNER))
-        for _ in range(5))
-    _emit("device_join_rows_per_s", (nl + nr) / lat, 11e9)
+    cap = 1 << max(0, (want.n - 1).bit_length())
+
+    def many(lk, rk, idxs):
+        def body(acc, i):
+            lidx, ridx, total = join_pairs_core(lk + i, rk + i, cap,
+                                                JoinType.INNER)
+            chk = lidx.astype(jnp.int64).sum() + ridx.astype(
+                jnp.int64).sum()
+            return acc + chk + total, None
+        out, _ = jax.lax.scan(body, jnp.int64(0), idxs)
+        return out
+
+    g = jax.jit(many)
+    lk = jnp.asarray(lkeys)
+    rk = jnp.asarray(rkeys)
+
+    def run(k):
+        return int(g(lk, rk, jnp.arange(k, dtype=jnp.uint64)))
+
+    run(1)
+    marg = _marginal(run, k_hi=17)
+    _emit("device_join_rows_per_s", (nl + nr) / marg, 11e9)
 
 
 def main():

@@ -353,6 +353,61 @@ def _cmp_limbs(mode: FilterMode, x, consts):
 
 # -------------------------------------------------------------- decoding ---
 
+_MXU_LOOKUP_MAX_K = 1024    # above this the FLOPs outgrow the gather win
+
+
+def onehot_lookup_u64(codes, values):
+    """EXACT dict decode via ONE-HOT MXU MATMULS: codes i32[Pg, N] in
+    [0, k), values u64[Pg, k] -> u64[Pg, N].
+
+    take_along_axis at [Pg, N] row scale is the known ~30x-below-
+    bandwidth gather pathology (CLAUDE.md); the systolic array does the
+    same lookup as 8 batched one-hot x byte-plane matmuls. Every number
+    stays exact: byte chunks are exact in bf16, each one-hot row has ONE
+    nonzero so f32 accumulation is a single exact product, and the u64
+    reassembles from two u32 halves via bitcast (no emulated 64-bit
+    shifts — the x64 shift lowering is unreliable on this stack)."""
+    Pg, k = values.shape
+    N = codes.shape[1]
+    # byte planes bf16 [Pg, k, 8]: u32 halves via bitcast, then 32-bit
+    # shifts only
+    halves = jax.lax.bitcast_convert_type(values, jnp.uint32)  # [Pg,k,2]
+    planes = []
+    for c in range(8):
+        h = halves[..., c // 4]
+        planes.append(((h >> jnp.uint32(8 * (c % 4)))
+                       & jnp.uint32(0xFF)).astype(jnp.bfloat16))
+    vm = jnp.stack(planes, axis=-1)                    # [Pg, k, 8]
+    iota = jnp.arange(k, dtype=jnp.int32)
+    oneh = (codes[:, :, None] == iota[None, None, :]).astype(jnp.bfloat16)
+    ch = jax.lax.dot_general(
+        oneh, vm, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [Pg, N, 8]
+    ch = ch.astype(jnp.uint32)
+    lo = ch[..., 0] | (ch[..., 1] << jnp.uint32(8)) \
+        | (ch[..., 2] << jnp.uint32(16)) | (ch[..., 3] << jnp.uint32(24))
+    hi = ch[..., 4] | (ch[..., 5] << jnp.uint32(8)) \
+        | (ch[..., 6] << jnp.uint32(16)) | (ch[..., 7] << jnp.uint32(24))
+    return jax.lax.bitcast_convert_type(
+        jnp.stack([lo, hi], axis=-1), jnp.uint64)
+
+
+def onehot_lookup_u16(codes, table):
+    """One-hot MXU lookup for small int tables: codes i32[Pg, N] in
+    [0, k), table i32[Pg, k] with values < 2^16 (group ids: G <=
+    MAX_GROUPS = 65536) -> i32[Pg, N]. Two exact byte-chunk matmuls."""
+    Pg, k = table.shape
+    lo8 = (table & jnp.int32(0xFF)).astype(jnp.bfloat16)
+    hi8 = ((table >> jnp.int32(8)) & jnp.int32(0xFF)).astype(jnp.bfloat16)
+    vm = jnp.stack([lo8, hi8], axis=-1)                # [Pg, k, 2]
+    iota = jnp.arange(k, dtype=jnp.int32)
+    oneh = (codes[:, :, None] == iota[None, None, :]).astype(jnp.bfloat16)
+    ch = jax.lax.dot_general(
+        oneh, vm, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    return ch[..., 0] | (ch[..., 1] << jnp.int32(8))
+
+
 def group_decode_keys(g_sig: tuple, arrays: dict, W: int):
     """Decode a NARROW group to u64 key values [Pg, N] (value domain for
     narrow columns; packed-relative domain for wide bitpack groups)."""
@@ -375,6 +430,8 @@ def group_decode_keys(g_sig: tuple, arrays: dict, W: int):
     if scheme == Scheme.DICT:
         codes = S.decode_bitplanes_u32(arrays["planes"], width).astype(jnp.int32)
         dv = _limbs_to_u64(arrays["values"])
+        if dv.shape[1] <= _MXU_LOOKUP_MAX_K:
+            return onehot_lookup_u64(codes, dv)
         return jnp.take_along_axis(dv, codes, axis=1)
     raise ValueError(f"group_decode_keys: {scheme}")
 

@@ -194,7 +194,13 @@ def row_gids(mode_tags: tuple, gsigs: tuple, gidxs: tuple,
             from ..encode import schemes as S
             codes = S.decode_bitplanes_u32(arrs["planes"], width) \
                 .astype(jnp.int32)
-            gid = jnp.take_along_axis(gconsts[gi], codes, axis=1)
+            lut = gconsts[gi]
+            if lut.shape[1] <= D._MXU_LOOKUP_MAX_K:
+                # one-hot MXU lookup, not a [Pg, N] gather (~30x slower
+                # on TPU; exec/device.onehot_lookup_u16)
+                gid = D.onehot_lookup_u16(codes, lut)
+            else:
+                gid = jnp.take_along_axis(lut, codes, axis=1)
         elif tag == "const":
             gid = jnp.broadcast_to(gconsts[gi][:, None],
                                    (gconsts[gi].shape[0], W * 32))
@@ -459,27 +465,30 @@ def group_ts_runs(gids, mask_words, ts_keys, val_keys, G: int, bias):
             i_min, i_max, i_n, i_sum, i_sumsq)
 
 
-MXU_MAX_G = 4096     # one-hot matmul path: FLOPs/row = G x 9; beyond
-#                      this the sort path wins (and VMEM tiles outgrow)
-_MXU_TILE = 2048     # rows per matmul step (255 * tile < 2^24: f32-exact)
+MXU_MAX_G = 4096     # one-hot matmul path: beyond this the sort path
+#                      wins (one-hot traffic is G bytes/row)
+_MXU_TILE = 8192     # rows per matmul step (15 * tile < 2^31: i32-exact;
+#                      bigger tiles amortize the scan-step overhead)
 
 
 def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
-    """Per-group exact (count, sum) via ONE-HOT MXU MATMULS.
+    """Per-group exact (count, sum) via INT8 ONE-HOT MXU MATMULS.
 
     The sort-based path (group_aggregate) moves every row through a
     3-operand sort — correct but memory-bound at ~140 M rows/s. For
-    G <= MXU_MAX_G the systolic array is faster: split each u64 value
-    into 8 exact 8-bit chunks, build a bf16 one-hot [G, T] per row tile,
-    and matmul partials [G, 9] (8 chunks + count). Every number stays
-    exactly representable: 8-bit chunks are exact in bf16, per-tile
-    accumulations are < 2^24 in f32, and cross-tile accumulation is
-    u64 ADDS only (the x64-emulated u64 SHIFT/MULTIPLY lowering is
-    wrong in some fusion contexts on this TPU stack — measured round 2 —
-    so the chunk recombination happens on the HOST with python ints).
-    Returns (counts i64[G], chunks 8-tuple of u64[G], mn, mx) with
+    G <= MXU_MAX_G the systolic array wins: split each u64 value into
+    16 exact 4-bit nibbles, build an INT8 one-hot [G, T] per row tile,
+    and matmul partials [G, 17] (16 nibbles + count) with i32
+    accumulation — int8 halves the dominant cost (the materialized
+    one-hot = G bytes per row of HBM traffic; measured 302 M rows/s at
+    bf16/G=1000 on v5e round 2) and the i32 MACs are exact outright
+    (15 * 8192 < 2^31). Cross-tile accumulation is u64 ADDS only — the
+    x64-emulated u64 SHIFT/MULTIPLY lowering is wrong in some fusion
+    contexts on this stack (measured round 2), so nibble recombination
+    happens on the HOST with python ints (mxu_chunk_sums).
+    Returns (counts i64[G], chunks 16-tuple of u64[G], mn, mx) with
     mn/mx EMPTY sentinels — callers choose this path only when no
-    min/max aggregate is requested; sum[g] = sum_c chunks[c][g] << 8c.
+    min/max aggregate is requested; sum[g] = sum_c chunks[c][g] << 4c.
     """
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)
@@ -494,49 +503,54 @@ def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
         gid = jnp.concatenate([gid, jnp.full(pad, G, jnp.int32)])
         v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint64)])
 
-    # [B, T, 9] bf16 chunk matrix: 8 exact byte chunks + a count column
-    chunks = [((v >> jnp.uint64(8 * c)) & jnp.uint64(0xFF))
-              .astype(jnp.bfloat16) for c in range(8)]
-    chunks.append(jnp.where(gid < G, jnp.bfloat16(1), jnp.bfloat16(0)))
-    cm = jnp.stack(chunks, axis=-1).reshape(B, T, 9)
+    # [B, T, 17] i8 nibble matrix (u32 halves via bitcast — no emulated
+    # 64-bit shifts) + a count column
+    halves = jax.lax.bitcast_convert_type(v, jnp.uint32)      # [n, 2]
+    chunks = []
+    for c in range(16):
+        h = halves[:, c // 8]
+        chunks.append(((h >> jnp.uint32(4 * (c % 8)))
+                       & jnp.uint32(0xF)).astype(jnp.int8))
+    chunks.append(jnp.where(gid < G, jnp.int8(1), jnp.int8(0)))
+    cm = jnp.stack(chunks, axis=-1).reshape(B, T, 17)
     gm = gid.reshape(B, T)
     groups = jnp.arange(G, dtype=jnp.int32)
 
-    # TPU x64-emulation hazard (measured, see scan._pcnt_sum_parts):
-    # 2-D u64 arrays built via astype-then-slice drop the emulated high
-    # word. The scan carry is therefore a TUPLE of 1-D u64[G] vectors —
-    # each updated from a 1-D slice of the f32 matmul result.
+    # TPU x64-emulation hazard (measured, see scan fused notes): the
+    # scan carry is a TUPLE of 1-D u64[G] vectors — each updated from a
+    # 1-D slice of the i32 matmul result (slice FIRST, then convert).
     def step(carry, xs):
         g_t, c_t = xs
-        oneh = (g_t[None, :] == groups[:, None]).astype(jnp.bfloat16)
+        oneh = (g_t[None, :] == groups[:, None]).astype(jnp.int8)
         part = jax.lax.dot_general(
             oneh, c_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [G, 9] < 2^24
+            preferred_element_type=jnp.int32)          # [G, 17] exact
         new = tuple(carry[c]
                     + part[:, c].astype(jnp.uint32).astype(jnp.uint64)
-                    for c in range(9))
+                    for c in range(17))
         return new, None
 
     # init derives from the data so it carries the same varying-axes type
     # under shard_map (a plain zeros carry traces as unvarying and scan
     # rejects the carry-type mismatch)
     vzero = gm[0, 0].astype(jnp.uint64) & jnp.uint64(0)
-    acc0 = tuple(jnp.zeros(G, jnp.uint64) + vzero for _ in range(9))
+    acc0 = tuple(jnp.zeros(G, jnp.uint64) + vzero for _ in range(17))
     acc, _ = jax.lax.scan(step, acc0, (gm, cm))
-    counts = acc[8].astype(jnp.int64)
+    counts = acc[16].astype(jnp.int64)
     mn = jnp.full(G, 0xFFFFFFFFFFFFFFFF, jnp.uint64)
     mx = jnp.zeros(G, jnp.uint64)
-    return counts, acc[:8], mn, mx
+    return counts, acc[:16], mn, mx
 
 
 def mxu_chunk_sums(chunks) -> list:
     """Host recombination of group_aggregate_mxu chunk partials:
-    exact python-int keyform sums [G]. chunks: 8 arrays u64[G] (or
-    [ndev, G] stacks — pass per-device rows separately)."""
+    exact python-int keyform sums [G]. chunks: 16 nibble (or 8 byte,
+    legacy) arrays u64[G]."""
     cs = [np.asarray(c).astype(object) for c in chunks]
+    shift = 4 if len(cs) == 16 else 8
     out = cs[0].copy()
-    for c in range(1, 8):
-        out += cs[c] << (8 * c)
+    for c in range(1, len(cs)):
+        out += cs[c] << (shift * c)
     return [int(x) for x in out]
 
 

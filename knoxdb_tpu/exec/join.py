@@ -93,6 +93,39 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
             return np.arange(Nl, dtype=np.int64), np.full(Nl, -1, np.int64)
         return empty, empty
 
+    total = int(join_count_device(lkeys, rkeys, how))
+    if total == 0:
+        return empty, empty
+    cap = 1 << max(0, (total - 1).bit_length())
+    lidx, ridx, _ = join_pairs_core(lkeys, rkeys, cap, how)
+    lidx_np = np.asarray(lidx)
+    ridx_np = np.asarray(ridx)
+    keep = lidx_np != -2
+    return lidx_np[keep].astype(np.int64), ridx_np[keep].astype(np.int64)
+
+
+def join_count_device(lkeys, rkeys, how: JoinType = JoinType.INNER):
+    """Match-pair count (phase 1; one scalar host fetch)."""
+    import jax.numpy as jnp
+    order = jnp.argsort(rkeys)
+    rs = jnp.take(rkeys, order)
+    lo = jnp.searchsorted(rs, lkeys, side="left").astype(jnp.int64)
+    hi = jnp.searchsorted(rs, lkeys, side="right").astype(jnp.int64)
+    counts = hi - lo
+    eff = jnp.maximum(counts, 1) if how == JoinType.LEFT else counts
+    return eff.sum()
+
+
+def join_pairs_core(lkeys, rkeys, cap: int,
+                    how: JoinType = JoinType.INNER):
+    """Pure jittable sort-probe join with duplicate expansion at a
+    STATIC cap: returns DEVICE arrays (lidx i32[cap], ridx i32[cap],
+    total) with -2 past total (and ridx -1 on LEFT misses). Callers
+    keep the pairs on device (projection gathers run device-side; only
+    final columns cross the relay — it moves ~45 MB/s)."""
+    import jax.numpy as jnp
+    Nl = lkeys.shape[0]
+    Nr = rkeys.shape[0]
     order = jnp.argsort(rkeys)
     rs = jnp.take(rkeys, order)
     lo = jnp.searchsorted(rs, lkeys, side="left").astype(jnp.int64)
@@ -100,10 +133,7 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
     counts = hi - lo
     eff = jnp.maximum(counts, 1) if how == JoinType.LEFT else counts
     offs = jnp.cumsum(eff)
-    total = int(offs[-1])
-    if total == 0:
-        return empty, empty
-    cap = 1 << max(0, (total - 1).bit_length())
+    total = offs[-1]
 
     t = jnp.arange(cap, dtype=jnp.int64)
     i = jnp.searchsorted(offs, t, side="right")     # probe row per slot
@@ -114,10 +144,9 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
     has = jnp.take(counts, ic) > 0
     j = jnp.take(lo, ic) + k
     jc = jnp.clip(j, 0, Nr - 1).astype(jnp.int32)
-    ridx = jnp.where(has, jnp.take(order, jc).astype(jnp.int64),
-                     jnp.int64(-1))
-    valid = t < jnp.int64(total)
-    lidx_np = np.asarray(jnp.where(valid, ic.astype(jnp.int64), -2))
-    ridx_np = np.asarray(jnp.where(valid, ridx, -2))
-    keep = lidx_np != -2
-    return lidx_np[keep], ridx_np[keep]
+    ridx = jnp.where(has, jnp.take(order, jc).astype(jnp.int32),
+                     jnp.int32(-1))
+    valid = t < total
+    lidx = jnp.where(valid, ic, jnp.int32(-2))
+    ridx = jnp.where(valid, ridx, jnp.int32(-2))
+    return lidx, ridx, total

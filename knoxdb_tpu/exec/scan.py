@@ -77,6 +77,7 @@ class SegmentScanner:
     def __init__(self, dseg: D.DeviceSegment):
         self.d = dseg
         self._fns: dict = {}
+        self._acache: dict = {}    # (tdesc, leaf values) -> uploaded args
 
     # ------------------------------------------------------------ public --
 
@@ -92,6 +93,24 @@ class SegmentScanner:
         d = self.d
         leaves: dict[int, Filter] = {}
         tdesc = _tree_desc(tree, leaves) if tree is not None else ("true",)
+
+        # upload cache: a REPEATED query re-uses the device copies of its
+        # leaf constants and tristate overrides — each fresh jnp.asarray
+        # is a separate H2D transfer, and this harness's relay charges a
+        # flat ~25-30 ms per transfer (measured: repeated top-k calls
+        # spent 100+ ms re-uploading identical constants)
+        try:
+            akey = (tdesc, tuple(
+                (f.field.name, int(f.mode), repr(f.value))
+                for f in leaves.values()))
+        except Exception:
+            akey = None
+        cached = self._acache.get(akey) if akey is not None else None
+        if cached is not None:
+            tri, consts, skip_leaf = cached
+            return self._prepare_tail(tdesc, leaves, tri, consts,
+                                      skip_leaf, aggs, exclude_words,
+                                      include_words)
 
         # --- host: stats pruning + constant preparation per leaf ---
         tri: list[TriState] = []
@@ -111,6 +130,15 @@ class SegmentScanner:
             consts.append([RW.leaf_group_consts(f, col, g)
                            for g in dcol.groups])
 
+        tri = [(jnp.asarray(t.all_), jnp.asarray(t.none)) for t in tri]
+        if akey is not None and len(self._acache) < 256:
+            self._acache[akey] = (tri, consts, skip_leaf)
+        return self._prepare_tail(tdesc, leaves, tri, consts, skip_leaf,
+                                  aggs, exclude_words, include_words)
+
+    def _prepare_tail(self, tdesc, leaves, overrides, consts, skip_leaf,
+                      aggs, exclude_words, include_words):
+        d = self.d
         agg_fields = sorted({a.field for a in aggs if a.field})
         filter_fields = sorted({f.field.name for f in leaves.values()})
         used = sorted(set(agg_fields) | set(filter_fields))
@@ -132,7 +160,6 @@ class SegmentScanner:
         fn, raw = pair
 
         arrays = d.arrays_pytree(used)
-        overrides = [(jnp.asarray(t.all_), jnp.asarray(t.none)) for t in tri]
         excl = (jnp.asarray(exclude_words),) if has_excl else ()
         if has_incl:
             excl = excl + (jnp.asarray(include_words),)

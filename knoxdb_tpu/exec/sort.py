@@ -214,8 +214,12 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
         fn = jax.jit(f)
         scanner._fns[sig] = fn
 
-    outs, keyparts, sel = fn(margs, arrays, jnp.asarray(cb_np),
-                             jnp.int32(k))
+    cb_key = ("topk-cb", order_field)
+    cb_dev = scanner._fns.get(cb_key)      # cache the H2D upload
+    if cb_dev is None:
+        cb_dev = jnp.asarray(cb_np)
+        scanner._fns[cb_key] = cb_dev
+    outs, keyparts, sel = fn(margs, arrays, cb_dev, jnp.int32(k))
     sel = np.asarray(sel)
     lo = np.asarray(keyparts[2])
     hi = np.asarray(keyparts[3])
