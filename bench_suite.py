@@ -226,8 +226,13 @@ def bench_config4(n_packs: int, rng):
            .add("big", FieldType.INT128)
            .add("val", FieldType.UINT64)
            .finish())
-    big = np.array([int(x) << 40 for x in
-                    rng.integers(-1 << 62, 1 << 62, n)], object)
+    # pack-clustered magnitudes (pk-ordered wide columns cluster per
+    # pack in practice) -> wide BITPACK planes -> the bit-descent radix
+    # select handles int128 directly (exec/sort._topk_bit_descent)
+    block = np.arange(n) // PACK
+    big = np.array([int(b) * (1 << 70) + (int(x) << 9) for b, x in
+                    zip(block, rng.integers(-1 << 50, 1 << 50, n))],
+                   object)   # per-pack range < 2^63 -> wide BITPACK
     data = {"id": np.arange(1, n + 1, dtype=np.uint64),
             "big": big,
             "val": rng.integers(0, 1 << 16, n, dtype=np.uint64)}

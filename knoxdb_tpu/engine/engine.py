@@ -290,6 +290,24 @@ class Engine:
             self.store.drop_bucket(f"table_{t.id}_segments")
         self._save_catalog()
 
+    def truncate_table(self, name: str) -> None:
+        """Drop all rows of a table, keeping its schema and indexes
+        (reference engine.TruncateTable)."""
+        self.table(name).truncate()
+
+    def compact_table(self, name: str) -> None:
+        """Force journal merge + segment compaction (reference
+        engine.CompactTable — merge IS the compaction here)."""
+        self.table(name).merge()
+
+    def alter_table(self, name: str, schema) -> None:
+        """Schema evolution — NOT IMPLEMENTED, matching the reference
+        exactly (engine/table.go:155-203 returns ErrNotImplemented with
+        the same documented change contract)."""
+        raise NotImplementedError(
+            "alter_table: not implemented (reference parity — "
+            "engine/table.go:202 ErrNotImplemented)")
+
     def table(self, name: str) -> Table:
         return self.tables[name]
 

@@ -1008,6 +1008,29 @@ class Table:
         self.engine.save_state(self)
         self._gc_blobs()
 
+    def truncate(self) -> None:
+        """Remove ALL rows; keep schema, indexes, pk/rid counters
+        (reference engine.TruncateTable, engine/table.go:257-287).
+        Follows the merge durability protocol: in-memory swap under the
+        table lock, empty manifest + checkpoint_lsn flipped in one
+        atomic catalog put, stale blobs GC'd after — a crash at any
+        point replays to either the old rows or none, never partial."""
+        with self._mu:
+            self.journal.clear()
+            self.segments = []
+            self._tomb_version += 1
+            self.state.epoch += 1
+            self.metrics.journal_tuples = 0
+        self._persist()
+        lsn = self.engine.wal.write_and_sync(
+            Record(RecordType.CHECKPOINT, self.id, 0,
+                   str(self.state.epoch).encode()))
+        self.state.checkpoint_lsn = lsn
+        for idx in self.indexes:
+            idx.rebuild(self)
+        self.engine.save_state(self)
+        self._gc_blobs()
+
     def _materialize_all(self, h: _SegHandle, alive: np.ndarray,
                          fields: list[str] | None = None) -> dict:
         """Row materialization of a segment (merge/index path, host).

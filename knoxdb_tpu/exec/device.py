@@ -454,6 +454,15 @@ def group_decode_limbs(g_sig: tuple, arrays: dict, W: int):
     if scheme == Scheme.DICT:
         codes = S.decode_bitplanes_u32(arrays["planes"], width).astype(jnp.int32)
         dv = arrays["values"].transpose(1, 0, 2)
+        if nlimbs <= 2 and dv.shape[2] <= _MXU_LOOKUP_MAX_K:
+            # MXU one-hot lookup (see group_decode_keys): take_along_axis
+            # at [Pg, N] is the ~30x gather pathology
+            u = _limbs_to_u64(arrays["values"])
+            keys = onehot_lookup_u64(codes, u)
+            halves = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+            if nlimbs == 1:
+                return halves[..., 0][None]
+            return jnp.stack([halves[..., 1], halves[..., 0]])
         return jnp.stack([jnp.take_along_axis(dv[l], codes, axis=1)
                           for l in range(nlimbs)])
     if scheme in (Scheme.BITPACK, Scheme.DELTA, Scheme.ALP):

@@ -472,23 +472,24 @@ _MXU_TILE = 8192     # rows per matmul step (15 * tile < 2^31: i32-exact;
 
 
 def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
-    """Per-group exact (count, sum) via INT8 ONE-HOT MXU MATMULS.
+    """Per-group exact (count, sum) via ONE-HOT MXU MATMULS (bf16).
 
     The sort-based path (group_aggregate) moves every row through a
     3-operand sort — correct but memory-bound at ~140 M rows/s. For
-    G <= MXU_MAX_G the systolic array wins: split each u64 value into
-    16 exact 4-bit nibbles, build an INT8 one-hot [G, T] per row tile,
-    and matmul partials [G, 17] (16 nibbles + count) with i32
-    accumulation — int8 halves the dominant cost (the materialized
-    one-hot = G bytes per row of HBM traffic; measured 302 M rows/s at
-    bf16/G=1000 on v5e round 2) and the i32 MACs are exact outright
-    (15 * 8192 < 2^31). Cross-tile accumulation is u64 ADDS only — the
-    x64-emulated u64 SHIFT/MULTIPLY lowering is wrong in some fusion
-    contexts on this stack (measured round 2), so nibble recombination
-    happens on the HOST with python ints (mxu_chunk_sums).
-    Returns (counts i64[G], chunks 16-tuple of u64[G], mn, mx) with
-    mn/mx EMPTY sentinels — callers choose this path only when no
-    min/max aggregate is requested; sum[g] = sum_c chunks[c][g] << 4c.
+    G <= MXU_MAX_G a [G, T] bf16 one-hot matmul per row tile computes
+    [G, 9] partials (8 exact byte chunks + count); per-tile f32
+    accumulations stay exact (255 * 8192 < 2^24) and cross-tile
+    accumulation is u64 ADDS only (the emulated u64 SHIFT/MULTIPLY
+    lowering is unreliable on this stack — measured round 2 — so byte
+    recombination happens on the HOST, mxu_chunk_sums).
+
+    Variants MEASURED on v5e at G=1000 (round 2): flat bf16 302 M
+    rows/s, flat int8 262 M, factored sqrt(G)-one-hot 168 M (32x32
+    output tiles use ~6% of the 128x128 systolic array). Flat bf16 won;
+    the cost floor is the materialized one-hot (G bytes/row of HBM
+    traffic). Returns (counts i64[G], chunks 8-tuple of u64[G], mn, mx)
+    with mn/mx EMPTY sentinels — callers choose this path only when no
+    min/max aggregate is requested; sum[g] = sum_c chunks[c][g] << 8c.
     """
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)
@@ -503,43 +504,43 @@ def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
         gid = jnp.concatenate([gid, jnp.full(pad, G, jnp.int32)])
         v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint64)])
 
-    # [B, T, 17] i8 nibble matrix (u32 halves via bitcast — no emulated
+    # [B, T, 9] bf16 byte matrix (u32 halves via bitcast — no emulated
     # 64-bit shifts) + a count column
     halves = jax.lax.bitcast_convert_type(v, jnp.uint32)      # [n, 2]
     chunks = []
-    for c in range(16):
-        h = halves[:, c // 8]
-        chunks.append(((h >> jnp.uint32(4 * (c % 8)))
-                       & jnp.uint32(0xF)).astype(jnp.int8))
-    chunks.append(jnp.where(gid < G, jnp.int8(1), jnp.int8(0)))
-    cm = jnp.stack(chunks, axis=-1).reshape(B, T, 17)
+    for c in range(8):
+        h = halves[:, c // 4]
+        chunks.append(((h >> jnp.uint32(8 * (c % 4)))
+                       & jnp.uint32(0xFF)).astype(jnp.bfloat16))
+    chunks.append(jnp.where(gid < G, jnp.bfloat16(1), jnp.bfloat16(0)))
+    cm = jnp.stack(chunks, axis=-1).reshape(B, T, 9)
     gm = gid.reshape(B, T)
     groups = jnp.arange(G, dtype=jnp.int32)
 
-    # TPU x64-emulation hazard (measured, see scan fused notes): the
-    # scan carry is a TUPLE of 1-D u64[G] vectors — each updated from a
-    # 1-D slice of the i32 matmul result (slice FIRST, then convert).
+    # TPU x64-emulation hazard: the scan carry is a TUPLE of 1-D u64
+    # vectors — each updated from a 1-D slice of the f32 matmul result
+    # (slice FIRST, then convert).
     def step(carry, xs):
         g_t, c_t = xs
-        oneh = (g_t[None, :] == groups[:, None]).astype(jnp.int8)
+        oneh = (g_t[None, :] == groups[:, None]).astype(jnp.bfloat16)
         part = jax.lax.dot_general(
             oneh, c_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)          # [G, 17] exact
+            preferred_element_type=jnp.float32)        # [G, 9] < 2^24
         new = tuple(carry[c]
                     + part[:, c].astype(jnp.uint32).astype(jnp.uint64)
-                    for c in range(17))
+                    for c in range(9))
         return new, None
 
     # init derives from the data so it carries the same varying-axes type
     # under shard_map (a plain zeros carry traces as unvarying and scan
     # rejects the carry-type mismatch)
     vzero = gm[0, 0].astype(jnp.uint64) & jnp.uint64(0)
-    acc0 = tuple(jnp.zeros(G, jnp.uint64) + vzero for _ in range(17))
+    acc0 = tuple(jnp.zeros(G, jnp.uint64) + vzero for _ in range(9))
     acc, _ = jax.lax.scan(step, acc0, (gm, cm))
-    counts = acc[16].astype(jnp.int64)
+    counts = acc[8].astype(jnp.int64)
     mn = jnp.full(G, 0xFFFFFFFFFFFFFFFF, jnp.uint64)
     mx = jnp.zeros(G, jnp.uint64)
-    return counts, acc[:16], mn, mx
+    return counts, acc[:8], mn, mx
 
 
 def mxu_chunk_sums(chunks) -> list:

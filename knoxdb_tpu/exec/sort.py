@@ -142,25 +142,34 @@ def segment_topk(scanner, tree, order_field: str, k: int,
 
 
 def _topk_fast_plan(d, col, order_field: str):
-    """Bit-descent eligibility: narrow single-group full-coverage BITPACK
-    order column. Returns (width_out, const_bits u32[wo, P] np, gmin) —
-    per-pack (min_key - gmin) bit masks computed on the HOST (device
-    64-bit shifts are off-limits, see ops/bitslice.add_const_planes)."""
+    """Bit-descent eligibility: single-group full-coverage BITPACK order
+    column (narrow AND wide int128/256 — the descent works at any
+    width). Returns (width_out, const_bits u32[wo, P] np, gmin) —
+    per-pack (base - gmin) bit masks computed on the HOST as python
+    ints (device 64-bit shifts are off-limits, see
+    ops/bitslice.add_const_planes)."""
     from ..encode.schemes import Scheme
-    if col.wide:
-        return None
     dcol = d.column(order_field)
-    if len(dcol.groups) != 1 or dcol.groups[0].npacks != d.P:
+    if any(g.scheme != Scheme.BITPACK for g in dcol.groups):
         return None
-    g = dcol.groups[0]
-    if g.scheme != Scheme.BITPACK:
+    if sum(g.npacks for g in dcol.groups) != d.P:
         return None
-    w = g.sig()[1]
-    mins = [int(p.min_key) for p in col.packs]
+    if col.wide and any(g.bases is None for g in dcol.groups):
+        return None
+    # per-PACK minimum bases in pack order (groups partition the packs;
+    # widths may differ per group — add_const_planes zero-extends)
+    mins = [0] * d.P
+    wmax = 0
+    for g in dcol.groups:
+        w = g.sig()[1]
+        wmax = max(wmax, w)
+        for j, pi in enumerate(np.asarray(g.idx)):
+            mins[int(pi)] = int(g.bases[j]) if col.wide \
+                else int(col.packs[int(pi)].min_key)
     gmin = min(mins)
-    rel_max = max(m - gmin for m in mins) + (1 << w) - 1
+    rel_max = max(m - gmin for m in mins) + (1 << wmax) - 1
     wo = max(1, rel_max.bit_length())
-    if wo > 64:
+    if wo > 272:
         return None
     cb = np.zeros((wo, d.P), np.uint32)
     for b in range(wo):
@@ -192,14 +201,25 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
 
         def f(margs, arrays, cb, kk):
             mask, _, _ = mask_raw(*margs)
-            g0 = arrays[order_field][0]
-            absp = BS.add_const_planes(g0["planes"], cb, wo)
-            th, tl, better, tie, nb = BS.topk_select(
+            groups = scanner.d.column(order_field).groups
+            if len(groups) == 1:
+                absp = BS.add_const_planes(arrays[order_field][0]["planes"],
+                                           cb, wo)
+            else:
+                # groups partition the packs: rebase each group's planes
+                # to width wo, scatter into pack order (P-scale move)
+                absp = jnp.zeros((d.P, wo, d.W), jnp.uint32)
+                for gi, g in enumerate(groups):
+                    idx = jnp.asarray(np.asarray(g.idx))
+                    part = BS.add_const_planes(
+                        arrays[order_field][gi]["planes"], cb[:, idx], wo)
+                    absp = absp.at[idx].set(part)
+            _tw, better, tie, nb = BS.topk_select(
                 absp, mask, kk, wo, want_max=desc)
             bi, _bc = C.first_k_indexes(better, kcap)
             ti, tc = C.first_k_indexes(tie, kcap)
             idx = jnp.concatenate([bi, ti])
-            lo, hi = C.gather_plane_values(absp, idx, d.N)
+            vwords = C.gather_plane_values(absp, idx, d.N)
             ar = jnp.arange(kcap, dtype=jnp.int32)
             # tie picks are bounded by BOTH the remaining quota and the
             # actual tie population (fewer matches than k)
@@ -209,7 +229,7 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
             for name in proj_cols:
                 lim = _flat_limbs(scanner, name, arrays, d.W)
                 outs[name] = jnp.take(lim, idx, axis=1)
-            return outs, (th, tl, lo, hi), sel
+            return outs, vwords, sel
 
         fn = jax.jit(f)
         scanner._fns[sig] = fn
@@ -219,12 +239,12 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
     if cb_dev is None:
         cb_dev = jnp.asarray(cb_np)
         scanner._fns[cb_key] = cb_dev
-    outs, keyparts, sel = fn(margs, arrays, cb_dev, jnp.int32(k))
+    outs, vwords, sel = fn(margs, arrays, cb_dev, jnp.int32(k))
     sel = np.asarray(sel)
-    lo = np.asarray(keyparts[2])
-    hi = np.asarray(keyparts[3])
+    vw = [np.asarray(x) for x in vwords]
     pick = np.flatnonzero(sel)
-    keys = [gmin + int(lo[i]) + (int(hi[i]) << 32) for i in pick]
+    keys = [gmin + sum(int(w[i]) << (32 * j) for j, w in enumerate(vw))
+            for i in pick]
     order = np.argsort(np.array(keys, object), kind="stable")
     if desc:
         order = order[::-1]

@@ -184,6 +184,11 @@ class TableHandle:
         automatically past the journal high-water mark)."""
         self._t.merge()
 
+    def truncate(self) -> None:
+        """Drop all rows, keep schema/indexes (reference
+        engine.TruncateTable)."""
+        self._t.truncate()
+
     def create_index(self, fields, kind=None, name: str = ""):
         """Secondary index: 'hash' (EQ/IN), 'int' (EQ..RANGE) or
         composite (multi-field prefix EQ)."""
@@ -234,11 +239,15 @@ class TableHandle:
             r = _csv.reader(src, dialect) if dialect else \
                 _csv.reader(src, delimiter=delimiter)
             header = next(r)
+            pk = self.schema.pk.name
             fields = [f for f in self.schema.with_meta().fields
                       if not f.is_meta]
             col_of = {}
             for f in fields:
                 if f.name not in header:
+                    if f.name == pk:
+                        col_of[f.name] = -1    # auto-assigned on insert
+                        continue
                     raise ValueError(f"csv: missing column {f.name}")
                 col_of[f.name] = header.index(f.name)
             total = 0
@@ -250,6 +259,9 @@ class TableHandle:
                     return
                 cols: dict = {}
                 for f in fields:
+                    if col_of[f.name] < 0:     # absent pk: auto-assign
+                        cols[f.name] = np.zeros(len(batch), np.uint64)
+                        continue
                     vals = [CS._parse(row[col_of[f.name]], f.type, f.scale)
                             for row in batch]
                     if f.type.is_bytes_like or f.type.nlimbs > 2 or f.scale:

@@ -306,15 +306,16 @@ def topk_select(planes, mask_words, k, width: int, want_max: bool):
     planes must be in a COMPARABLE domain across packs (absolute keys
     minus a global base — see add_const_planes). k is a traced i32.
 
-    Returns (t_hi u32, t_lo u32, better u32[P, W], tie u32[P, W],
-    n_better i32): `better` rows beat the threshold T = (t_hi<<32)|t_lo
-    strictly, ties equal it; the top-k set = better + any (k - n_better)
-    tie rows."""
+    Returns (t_words tuple of u32 scalars LSW-first, better u32[P, W],
+    tie u32[P, W], n_better i32): `better` rows beat the threshold
+    T = sum_j t_words[j] << 32j strictly, ties equal it; the top-k set =
+    better + any (k - n_better) tie rows. Works at ANY width (wide
+    int128/256 keyform planes included)."""
     P, _, W = planes.shape
+    nw = -(-width // 32)
     pm = mask_words                      # rows still matching the prefix
     better = jnp.zeros((P, W), jnp.uint32)
-    t_hi = jnp.uint32(0)
-    t_lo = jnp.uint32(0)
+    t_words = [jnp.uint32(0)] * nw
     k_rem = k.astype(jnp.int32)
     for b in range(width - 1, -1, -1):
         x = planes[:, b, :]
@@ -327,10 +328,7 @@ def topk_select(planes, mask_words, k, width: int, want_max: bool):
         better = jnp.where(take, better, better | pref)
         k_rem = jnp.where(take, k_rem, k_rem - c)
         tbit = jnp.where(take == want_max, jnp.uint32(1), jnp.uint32(0))
-        if b >= 32:
-            t_hi = t_hi | (tbit << jnp.uint32(b - 32))
-        else:
-            t_lo = t_lo | (tbit << jnp.uint32(b))
+        t_words[b // 32] = t_words[b // 32] | (tbit << jnp.uint32(b % 32))
     n_better = jnp.sum(jax.lax.population_count(better).astype(jnp.int32),
                        dtype=jnp.int32)
-    return t_hi, t_lo, better, pm, n_better
+    return tuple(t_words), better, pm, n_better

@@ -101,8 +101,8 @@ def first_k_indexes(mask_words, kcap: int):
 
 
 def gather_plane_values(planes, idx, N: int):
-    """Bit-sliced u32[P, w, W] planes + flat row ids i32[K] ->
-    (lo u32[K], hi u32[K]) of each row's value (hi = bits 32..63).
+    """Bit-sliced u32[P, w, W] planes + flat row ids i32[K] -> tuple of
+    u32[K] value words, LSW-first (any width incl. wide 128/256-bit).
 
     Pure 32-bit gathers/shifts (no device u64 arithmetic — see the
     x64-emulation notes); K is top-k-small so the [K, w] gather is
@@ -113,11 +113,8 @@ def gather_plane_values(planes, idx, N: int):
     bit = (idx % 32).astype(jnp.uint32)
     words = planes[pk, :, wd]                 # [K, w]
     bits = (words >> bit[:, None]) & jnp.uint32(1)
-    lo = jnp.zeros(idx.shape[0], jnp.uint32)
-    hi = jnp.zeros(idx.shape[0], jnp.uint32)
+    nw = -(-w // 32)
+    out = [jnp.zeros(idx.shape[0], jnp.uint32) for _ in range(nw)]
     for b in range(w):
-        if b < 32:
-            lo = lo | (bits[:, b] << jnp.uint32(b))
-        else:
-            hi = hi | (bits[:, b] << jnp.uint32(b - 32))
-    return lo, hi
+        out[b // 32] = out[b // 32] | (bits[:, b] << jnp.uint32(b % 32))
+    return tuple(out)

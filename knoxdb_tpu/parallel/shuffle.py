@@ -39,16 +39,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["shuffle_join_rows", "shuffle_join", "SKEW_FACTOR"]
 
 SKEW_FACTOR = 4.0      # bucket is heavy above this multiple of the mean
-_MIX = 0x9E3779B97F4A7C15
 _SENT = 0xFFFFFFFFFFFFFFFF
 
 
 def _bucket(keys, ndev: int):
     """Decorrelated bucket id (mix then mod; key % ndev correlates with
-    the low bits of sequential pks)."""
-    h = keys * jnp.uint64(_MIX)
-    h = h ^ (h >> jnp.uint64(29))
-    return (h % jnp.uint64(ndev)).astype(jnp.int32)
+    the low bits of sequential pks). 32-BIT mixing only: the emulated
+    u64 multiply/shift lowering is unreliable on the TPU stack
+    (CLAUDE.md x64 hazard) — split the key into u32 halves via bitcast
+    and murmur-mix those."""
+    halves = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+    h = halves[..., 0] ^ (halves[..., 1] * jnp.uint32(0x85EBCA6B))
+    h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(13))
+    return (h % jnp.uint32(ndev)).astype(jnp.int32)
 
 
 def _bucketize(keys, pos, valid, dest, ndev: int, cap: int,

@@ -64,8 +64,16 @@ def run_scenario(seed: int, path: str, steps: int = 60,
     model: dict[int, tuple[int, int]] = {}   # pk -> (grp, val)
 
     for step in range(cfg.steps):
-        op = rng.choice(["insert", "insert", "insert", "update", "delete",
-                         "merge", "reopen", "query", "tear"])
+        op = rng.choice(["insert", "insert", "insert", "insert", "update",
+                         "update", "delete", "delete", "merge", "merge",
+                         "reopen", "reopen", "query", "query", "tear",
+                         "tear", "truncate"])   # truncate is rare (1/17)
+        if op == "truncate":
+            t.truncate()
+            model.clear()
+            A.reachable("op.truncate")
+            _check(t, model)
+            continue
         if op == "insert":
             n = int(rng.integers(1, cfg.max_batch))
             grp = rng.integers(0, 10, n).astype(np.uint16)
@@ -95,7 +103,8 @@ def run_scenario(seed: int, path: str, steps: int = 60,
             A.sometimes(n > 0, "delete.nonempty")
         elif op == "merge":
             t.merge()
-            A.sometimes(len(t._t.segments) > 0, "merge.sealed")
+            if model:     # an empty table (e.g. post-truncate) seals
+                A.sometimes(len(t._t.segments) > 0, "merge.sealed")
             A.reachable("op.merge")
         elif op == "reopen" and reopen:
             db.close()

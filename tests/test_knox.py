@@ -259,3 +259,36 @@ def test_import_union_describe(rng, tmp_path):
     assert any(f["name"] == "k" for f in d["fields"])
     assert d["fields"][0]["pk"] is True
     db.close()
+
+
+def test_truncate_table(rng, tmp_path):
+    """TruncateTable parity: all rows gone, schema/indexes stay,
+    survives reopen (crash-safe like merge)."""
+    import knoxdb_tpu.knox as knox
+    from dataclasses import dataclass
+
+    @dataclass
+    class TR:
+        id: int = 0
+        k: int = 0
+
+    db = knox.create_database("trunc", driver="file",
+                              path=str(tmp_path), pack_size=256,
+                              background_merge=False)
+    t = db.create_table(TR)
+    t.create_index(["k"], kind="int")
+    t.insert({"id": np.zeros(500, np.uint64),
+              "k": rng.integers(0, 50, 500)})
+    t.merge()
+    t.insert([TR(k=7)])                      # journal rows too
+    assert t.count() == 501
+    t.truncate()
+    assert t.count() == 0
+    assert t.query().where(k__ge=0).count() == 0
+    t.insert([TR(k=1)])                      # still writable, index alive
+    assert t.query().where(k=1).count() == 1
+    db.close()
+    db2 = knox.open_database("trunc", driver="file", path=str(tmp_path),
+                             background_merge=False)
+    assert db2.table("tr").count() == 1      # truncation is durable
+    db2.close()

@@ -53,9 +53,9 @@ def test_topk_select(rng, want_max, k):
     mask = rng.random((P, N)) < 0.8
     planes = _mk_planes(vals, w)
     mw = np.stack([bs.np_pack_mask(mask[p]) for p in range(P)])
-    th, tl, better, tie, nb = BS.topk_select(
+    tw, better, tie, nb = BS.topk_select(
         jnp.asarray(planes), jnp.asarray(mw), jnp.int32(k), w, want_max)
-    T = (int(th) << 32) | int(tl)
+    T = sum(int(x) << (32 * j) for j, x in enumerate(tw))
     sel = np.sort(vals[mask])
     sel = sel[::-1] if want_max else sel
     kk = min(k, len(sel))
@@ -75,3 +75,32 @@ def test_topk_select(rng, want_max, k):
     np.testing.assert_array_equal(tiem, flat_m & (flat_v == T))
     assert int(nb) == int(bet.sum())
     assert int(nb) + int(tiem.sum()) >= kk
+
+
+def test_wide_int128_bit_descent(rng):
+    """End-to-end wide top-k through the bit-descent fast path
+    (clustered int128 -> wide BITPACK planes; exec/sort)."""
+    import numpy as np
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import SegmentScanner
+    from knoxdb_tpu.exec import sort as SRT
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+    n = 4096
+    sch = Builder("w").pk("id").add("big", FieldType.INT128).finish()
+    block = np.arange(n) // 512
+    big = np.array([int(b) * (1 << 70) + (int(x) << 9) for b, x in
+                    zip(block, rng.integers(-1 << 50, 1 << 50, n))],
+                   object)
+    seg = build_segment(sch, {"id": np.arange(1, n + 1, dtype=np.uint64),
+                              "big": big}, pack_size=512)
+    sc = SegmentScanner(DeviceSegment(seg))
+    assert SRT._topk_fast_plan(sc.d, sc.d.seg.columns["big"],
+                               "big") is not None
+    for desc in (True, False):
+        keys, rows, nv = SRT.segment_topk(sc, None, "big", 25, desc=desc,
+                                          project=["id"])
+        want = sorted(big.tolist(), reverse=desc)[:25]
+        assert [int(k) - (1 << 127) for k in keys] == want
+        assert nv == 25 and rows["id"].shape[-1] == 25
