@@ -31,10 +31,13 @@ import numpy as np
 PACK = 1 << 16
 
 
-def _marginal(run, k_lo=1, k_hi=129, reps=3):
-    t_lo = min(_time(run, k_lo) for _ in range(reps))
-    t_hi = min(_time(run, k_hi) for _ in range(reps))
-    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+def _marginal(run, k_lo=1, k_hi=129, reps=5):
+    """MEDIAN of `reps` independent marginal estimates (medians, not
+    best-of — VERDICT r1 methodology note)."""
+    margs = sorted(
+        max((_time(run, k_hi) - _time(run, k_lo)) / (k_hi - k_lo), 1e-9)
+        for _ in range(reps))
+    return margs[len(margs) // 2]
 
 
 def _time(fn, *a):
@@ -212,7 +215,11 @@ def bench_config3(n_packs: int, rng):
 
 def bench_config4(n_packs: int, rng):
     """Top-k over an int128 column under a filter (BASELINE config #4).
-    End-to-end latency (host merge + relay included)."""
+    End-to-end latency (host merge + relay included). The kernel packs
+    every output into ONE u32 buffer so each call pays the relay's flat
+    ~25-30 ms once; 4x the suite's base rows amortizes that flat cost
+    into a meaningful throughput."""
+    n_packs *= 4
     from knoxdb_tpu.exec.device import DeviceSegment
     from knoxdb_tpu.exec.scan import SegmentScanner
     from knoxdb_tpu.exec.sort import segment_topk
@@ -247,9 +254,10 @@ def bench_config4(n_packs: int, rng):
     got = [int(k) - (1 << 127) for k in keys]
     assert got == want, f"config4 top-k mismatch {got[:3]} {want[:3]}"
 
-    lat = min(_time(lambda: segment_topk(sc, tree, "big", 100, desc=True,
-                                         project=["id"]))
-              for _ in range(5))
+    lats = sorted(_time(lambda: segment_topk(sc, tree, "big", 100,
+                                             desc=True, project=["id"]))
+                  for _ in range(5))
+    lat = lats[len(lats) // 2]
     _emit("topk_int128_rows_per_s", n / lat, 11e9)
 
     # narrow u64 order column -> the bit-descent radix-select kernel
@@ -258,9 +266,10 @@ def bench_config4(n_packs: int, rng):
     m2 = sorted(data["val"][m].tolist(), reverse=True)[:100]
     assert [int(x) for x in keys2] == [int(x) for x in m2], \
         "config4 u64 top-k mismatch"
-    lat2 = min(_time(lambda: segment_topk(sc, tree, "val", 100, desc=True,
-                                          project=["id"]))
-               for _ in range(5))
+    lats2 = sorted(_time(lambda: segment_topk(sc, tree, "val", 100,
+                                              desc=True, project=["id"]))
+                   for _ in range(5))
+    lat2 = lats2[len(lats2) // 2]
     _emit("topk_u64_bitdescent_rows_per_s", n / lat2, 11e9)
 
 
@@ -316,10 +325,17 @@ def bench_config5(n_packs: int, rng):
 
 
 def main():
-    n_packs = int(os.environ.get("KNOX_BENCH_PACKS",
-                                 sys.argv[1] if len(sys.argv) > 1 else 64))
+    import argparse
+    ap = argparse.ArgumentParser("bench_suite")
+    ap.add_argument("configs", nargs="?",
+                    default=os.environ.get("KNOX_BENCH_CONFIGS", "2,3,4,5"),
+                    help="comma list of configs to run, e.g. 3,5")
+    ap.add_argument("--packs", type=int,
+                    default=int(os.environ.get("KNOX_BENCH_PACKS", 64)))
+    args = ap.parse_args()
+    n_packs = args.packs
     rng = np.random.default_rng(0xC0FFEE)
-    which = os.environ.get("KNOX_BENCH_CONFIGS", "2,3,4,5").split(",")
+    which = args.configs.split(",")
     for w in which:
         t0 = time.perf_counter()
         {"2": bench_config2, "3": bench_config3,

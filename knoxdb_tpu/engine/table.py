@@ -1014,12 +1014,19 @@ class Table:
         Follows the merge durability protocol: in-memory swap under the
         table lock, empty manifest + checkpoint_lsn flipped in one
         atomic catalog put, stale blobs GC'd after — a crash at any
-        point replays to either the old rows or none, never partial."""
+        point replays to either the old rows or none, never partial.
+        Serialized against merges (_merge_mu): a merge mid-build would
+        otherwise swap its pre-truncate segment back in (resurrection)."""
+        with self._merge_mu:
+            self._truncate_serialized()
+
+    def _truncate_serialized(self) -> None:
         with self._mu:
             self.journal.clear()
             self.segments = []
             self._tomb_version += 1
             self.state.epoch += 1
+            self.state.n_rows = 0
             self.metrics.journal_tuples = 0
         self._persist()
         lsn = self.engine.wal.write_and_sync(

@@ -147,6 +147,53 @@ def _ranks_by_cosort(bkeys_hi, bkeys_lo, qk_hi, qk_lo, q_first: bool):
     return ranks[:Nq]
 
 
+def _probe_bounds_merged(rs_hi, rs_lo, qk_hi, qk_lo):
+    """BOTH probe bounds (lo = builds strictly below, hi = builds <=)
+    from ONE merged co-sort + one restore sort — halves the rank-phase
+    sort count vs two _ranks_by_cosort calls (sorts dominate the join;
+    measured ~20 ms per 2M-row 4-operand sort on v5e).
+
+    Builds sort before equal-key queries, so at a query's slot the
+    exclusive build count IS hi; lo is the build count at the slot's
+    key-run START, forward-filled through the run with a cummax (run
+    starts carry non-decreasing build counts). Returns (lo, hi) i32[Nq]
+    in query order."""
+    import jax
+    import jax.numpy as jnp
+    Nb = rs_hi.shape[0]
+    Nq = qk_hi.shape[0]
+    M = Nb + Nq
+    kh = jnp.concatenate([rs_hi, qk_hi])
+    kl = jnp.concatenate([rs_lo, qk_lo])
+    tag = jnp.concatenate([jnp.zeros(Nb, jnp.int32),
+                           jnp.ones(Nq, jnp.int32)])
+    oid = jnp.concatenate([jnp.full(Nb, Nq, jnp.int32),
+                           jnp.arange(Nq, dtype=jnp.int32)])
+    kh_s, kl_s, tag_s, oid_s = jax.lax.sort((kh, kl, tag, oid),
+                                            dimension=0, num_keys=3)
+    is_q = tag_s == 1
+    pos = jnp.arange(M, dtype=jnp.int32)
+    cq = jnp.cumsum(is_q.astype(jnp.int32))          # inclusive
+    bb = pos + 1 - cq - (1 - is_q.astype(jnp.int32))  # builds before slot
+    start = (pos == 0) | (kh_s != jnp.roll(kh_s, 1)) \
+        | (kl_s != jnp.roll(kl_s, 1))
+    # forward-fill run-start build counts via log-doubling max:
+    # lax.cummax lowers to a 128-window reduce-window that overflows the
+    # 16 MB scoped-vmem limit on this libtpu (measured: compile fails at
+    # ANY length); ~log2(M) elementwise maximum passes stay at bandwidth
+    lo_all = jnp.where(start, bb, 0)
+    sh = 1
+    while sh < M:
+        lo_all = jnp.maximum(
+            lo_all,
+            jnp.concatenate([jnp.zeros(sh, lo_all.dtype), lo_all[:-sh]]))
+        sh <<= 1
+    key2 = jnp.where(is_q, oid_s, jnp.int32(Nq))     # queries first, unique
+    _k2, lo_q, hi_q = jax.lax.sort((key2, lo_all, bb), dimension=0,
+                                   num_keys=1)
+    return lo_q[:Nq], hi_q[:Nq]
+
+
 def join_pairs_core(lkeys, rkeys, cap: int,
                     how: JoinType = JoinType.INNER):
     """Pure jittable sort-probe join with duplicate expansion at a
@@ -156,9 +203,10 @@ def join_pairs_core(lkeys, rkeys, cap: int,
     final columns cross the relay — it moves ~45 MB/s).
 
     SORT-ONLY formulation: probe bounds and the slot->probe expansion
-    both use the co-sort rank trick (_ranks_by_cosort) instead of
-    searchsorted — measured 1.6 s/join at 1M x 1M with searchsorteds
-    (three ~20-gather-pass binary searches), sorts cut that ~10x."""
+    both use co-sort rank tricks (_probe_bounds_merged,
+    _ranks_by_cosort) instead of searchsorted — measured 1.6 s/join at
+    1M x 1M with searchsorteds (three ~20-gather-pass binary searches),
+    sorts cut that ~10x; the merged-bounds form cuts 7 sorts to 5."""
     import jax
     import jax.numpy as jnp
     Nl = lkeys.shape[0]
@@ -169,22 +217,42 @@ def join_pairs_core(lkeys, rkeys, cap: int,
     lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)  # [Nl, 2]
     rs_hi, rs_lo = rh[:, 1], rh[:, 0]
     lk_hi, lk_lo = lh[:, 1], lh[:, 0]
-    lo = _ranks_by_cosort(rs_hi, rs_lo, lk_hi, lk_lo, True) \
-        .astype(jnp.int64)
-    hi = _ranks_by_cosort(rs_hi, rs_lo, lk_hi, lk_lo, False) \
-        .astype(jnp.int64)
+    lo32, hi32 = _probe_bounds_merged(rs_hi, rs_lo, lk_hi, lk_lo)
+    lo = lo32.astype(jnp.int64)
+    hi = hi32.astype(jnp.int64)
     counts = hi - lo
     eff = jnp.maximum(counts, 1) if how == JoinType.LEFT else counts
     offs = jnp.cumsum(eff)
     total = offs[-1]
 
-    # slot -> probe row: #offs <= t per output slot (same co-sort trick;
-    # offs and t fit u32 at these sizes)
+    # slot -> probe row: #offs <= t per output slot. Specialized co-sort:
+    # offs and t fit 31 bits here, so key and tie-break tag fold into ONE
+    # u32 composite (v << 1 | tag; u32 shifts are trusted, unlike u64 —
+    # CLAUDE.md x64 hazard) — the rank sort carries 2 operands instead of
+    # _ranks_by_cosort's 4 (bitonic sort traffic is linear in operands).
     t = jnp.arange(cap, dtype=jnp.int64)
-    zero32 = jnp.zeros(Nl, jnp.uint32)
-    i = _ranks_by_cosort(zero32, offs.astype(jnp.uint32),
-                         jnp.zeros(cap, jnp.uint32), t.astype(jnp.uint32),
-                         False).astype(jnp.int64)
+    if (Nl + cap) < (1 << 31) and cap < (1 << 30):
+        comp = jnp.concatenate([
+            (offs.astype(jnp.uint32) << jnp.uint32(1)),          # tag 0
+            (t.astype(jnp.uint32) << jnp.uint32(1)) | jnp.uint32(1)])
+        c_s, = jax.lax.sort((comp,), dimension=0, num_keys=1)
+        is_q = (c_s & jnp.uint32(1)) == 1
+        pos = jnp.arange(Nl + cap, dtype=jnp.int32)
+        q_rank = jnp.cumsum(is_q.astype(jnp.int32)) - 1
+        nb_before = pos - q_rank
+        # query slots exit the sort already in t order (t is an iota) —
+        # restore = one 2-operand sort pushing build slots to the tail
+        key2 = jnp.where(is_q, (c_s >> jnp.uint32(1)).astype(jnp.int32),
+                         jnp.int32(cap))
+        _k2, i32r = jax.lax.sort((key2, nb_before), dimension=0,
+                                 num_keys=1)
+        i = i32r[:cap].astype(jnp.int64)
+    else:
+        zero32 = jnp.zeros(Nl, jnp.uint32)
+        i = _ranks_by_cosort(zero32, offs.astype(jnp.uint32),
+                             jnp.zeros(cap, jnp.uint32),
+                             t.astype(jnp.uint32),
+                             False).astype(jnp.int64)
     ic = jnp.minimum(i, Nl - 1).astype(jnp.int32)
     prev = jnp.where(ic > 0, jnp.take(offs, jnp.maximum(ic - 1, 0)),
                      jnp.int64(0))

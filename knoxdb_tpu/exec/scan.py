@@ -100,9 +100,8 @@ class SegmentScanner:
         # flat ~25-30 ms per transfer (measured: repeated top-k calls
         # spent 100+ ms re-uploading identical constants)
         try:
-            akey = (tdesc, tuple(
-                (f.field.name, int(f.mode), repr(f.value))
-                for f in leaves.values()))
+            akey = (tdesc, tuple(_leaf_cache_key(f)
+                                 for f in leaves.values()))
         except Exception:
             akey = None
         cached = self._acache.get(akey) if akey is not None else None
@@ -864,6 +863,26 @@ def _mode_to_range(mode: FilterMode, consts: dict):
         return (jnp.where(wrap, jnp.uint64(1), Z),
                 jnp.where(wrap, Z, lo - jnp.uint64(1)))
     raise ValueError(f"_mode_to_range: {mode}")
+
+
+def _leaf_cache_key(f: Filter) -> tuple:
+    """Hashable EXACT identity of a leaf's constants for the upload
+    cache. Built from the canonical keyform attributes — never repr():
+    numpy's repr truncates long IN lists ('...'), which would collide
+    two different queries onto one cached constant set."""
+    ks = getattr(f, "keys", None)
+    if ks is not None:
+        ks = tuple(int(k) for k in ks)
+    vb = getattr(f, "value_bytes", None)
+    if vb is not None:
+        if hasattr(vb, "pattern"):              # compiled REGEXP
+            vb = ("re", vb.pattern)
+        elif isinstance(vb, (list, tuple, np.ndarray)):
+            vb = tuple(bytes(x) for x in vb)
+        else:
+            vb = bytes(vb)
+    return (f.field.name, int(f.mode),
+            getattr(f, "key", None), getattr(f, "key_hi", None), ks, vb)
 
 
 def _key_to_value(key: int, ft: FieldType):

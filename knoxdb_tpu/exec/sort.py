@@ -68,7 +68,15 @@ def segment_topk(scanner, tree, order_field: str, k: int,
     _fn, margs, mask_raw = scanner.prepare(tree, [], exclude_words)
     arrays = d.arrays_pytree(used)
 
-    fast = _topk_fast_plan(d, col, order_field)
+    # the plan builds per-pack const-bit masks with a host loop over
+    # wo*P bits — O(100k) python steps at 1000 packs; cache per field
+    # (segments are immutable, scanner._fns dies with the segment)
+    fp_key = ("topk-fastplan", order_field)
+    if fp_key in scanner._fns:
+        fast = scanner._fns[fp_key]
+    else:
+        fast = _topk_fast_plan(d, col, order_field)
+        scanner._fns[fp_key] = fast
     if fast is not None:
         return _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
                                  order_field, k, desc, project,
@@ -196,8 +204,10 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
     sig = ("topk-bd", d.sig(used), order_field, kcap, desc,
            tuple(project), has_excl)
     fn = scanner._fns.get(sig)
+    nw = -(-wo // 32)
+    proj_cols = list(project)
+    proj_limbs = [d.seg.columns[nm].nlimbs for nm in proj_cols]
     if fn is None:
-        proj_cols = list(project)
 
         def f(margs, arrays, cb, kk):
             mask, _, _ = mask_raw(*margs)
@@ -225,11 +235,15 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
             # actual tie population (fewer matches than k)
             sel = jnp.concatenate(
                 [ar < nb, (ar < (kk - nb)) & (ar < tc.astype(jnp.int32))])
-            outs = {"__idx": idx}
+            # ONE packed u32 buffer -> ONE host fetch: every synchronized
+            # fetch pays the relay's flat ~25-30 ms, and this path's
+            # latency was fetch-bound, not compute-bound (round 2)
+            parts = [sel.astype(jnp.uint32), idx.astype(jnp.uint32)]
+            parts.extend(vwords)
             for name in proj_cols:
                 lim = _flat_limbs(scanner, name, arrays, d.W)
-                outs[name] = jnp.take(lim, idx, axis=1)
-            return outs, vwords, sel
+                parts.append(jnp.take(lim, idx, axis=1).reshape(-1))
+            return jnp.concatenate(parts)
 
         fn = jax.jit(f)
         scanner._fns[sig] = fn
@@ -239,9 +253,16 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
     if cb_dev is None:
         cb_dev = jnp.asarray(cb_np)
         scanner._fns[cb_key] = cb_dev
-    outs, vwords, sel = fn(margs, arrays, cb_dev, jnp.int32(k))
-    sel = np.asarray(sel)
-    vw = [np.asarray(x) for x in vwords]
+    buf = np.asarray(fn(margs, arrays, cb_dev, jnp.int32(k)))
+    K2 = 2 * kcap
+    sel = buf[:K2] != 0
+    idx_np = buf[K2:2 * K2].astype(np.int64)
+    vw = [buf[(2 + j) * K2:(3 + j) * K2] for j in range(nw)]
+    off = (2 + nw) * K2
+    outs = {"__idx": idx_np}
+    for name, L in zip(proj_cols, proj_limbs):
+        outs[name] = buf[off:off + L * K2].reshape(L, K2)
+        off += L * K2
     pick = np.flatnonzero(sel)
     keys = [gmin + sum(int(w[i]) << (32 * j) for j, w in enumerate(vw))
             for i in pick]

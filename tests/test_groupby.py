@@ -125,6 +125,30 @@ def test_mxu_group_aggregate_matches_sort(rng):
     assert s1 == s2
 
 
+def test_mxu_factored_matches_sort(rng):
+    """Two-level factored MXU kernel (G >= _MXU_FACTORED_MIN_G) == sort
+    kernel, at G values that stress the hi/lo split edges: G just past
+    the threshold, an exact H*L multiple, and a ragged last hi row."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec import groupby as GB
+    from knoxdb_tpu.ops import bitset as bs
+    P, N = 4, 2048
+    for G in (GB._MXU_FACTORED_MIN_G, 1000, 1024):
+        gids = jnp.asarray(rng.integers(-1, G + 2, (P, N)).astype(np.int32))
+        vals = rng.integers(0, 1 << 63, (P, N), dtype=np.uint64)
+        vals[0, :10] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        vals_j = jnp.asarray(vals)
+        mask = rng.random((P, N)) < 0.7
+        mw = jnp.asarray(np.stack([bs.np_pack_mask(mask[p])
+                                   for p in range(P)]))
+        c1, lo1, hi1, _, _ = GB.group_aggregate(gids, mw, vals_j, G)
+        c2, chunks, _, _ = GB._group_mxu_factored(gids, mw, vals_j, G)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        s1 = [int(l) + (int(h) << 32) for l, h in zip(np.asarray(lo1),
+                                                      np.asarray(hi1))]
+        assert s1 == GB.mxu_chunk_sums(chunks), f"G={G}"
+
+
 def test_group_query_sum_only_uses_mxu(rng):
     """count/sum group query must produce identical results through the
     MXU path (engine chooses it when no min/max is requested)."""

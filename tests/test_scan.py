@@ -211,3 +211,32 @@ def test_bloom_pruning_stats(db):
     tree = leaf(Filter(sch.field("cat"), FilterMode.EQ, 12345)).optimize()
     res = sc.scan(tree, [AggSpec("count")])
     assert res.count == 0
+
+
+def test_long_in_lists_do_not_collide_in_upload_cache(rng):
+    """Two IN queries whose numpy reprs truncate identically ('...')
+    must not share cached constants (exec/scan._leaf_cache_key)."""
+    import knoxdb_tpu.knox as knox
+    from dataclasses import dataclass
+
+    @dataclass
+    class R:
+        id: int = 0
+        v: int = 0
+
+    db = knox.create_database("incache", driver="mem", pack_size=256,
+                              background_merge=False)
+    t = db.create_table(R)
+    n = 4000
+    v = rng.integers(0, 100_000, n)
+    t.insert({"id": np.zeros(n, np.uint64), "v": v})
+    t.merge()
+    keys1 = np.unique(rng.choice(100_000, 2000, replace=False))
+    keys2 = keys1.copy()
+    keys2[1000] = (keys2[1000] + 1) % 100_000   # differs mid-array only
+    keys2 = np.unique(keys2)
+    c1 = t.query().where(v__in=[int(x) for x in keys1]).count()
+    c2 = t.query().where(v__in=[int(x) for x in keys2]).count()
+    assert c1 == int(np.isin(v, keys1).sum())
+    assert c2 == int(np.isin(v, keys2).sum())
+    db.close()
