@@ -51,6 +51,13 @@ def numpy_dtype(ft: FieldType):
 
 
 def _float_to_key_bits(bits: np.ndarray, sign_mask: int, full: int) -> np.ndarray:
+    # IEEE: -0.0 == 0.0, but the order-preserving bit map would give the
+    # two zeros ADJACENT keys (so `x < 0.0` matched -0.0 rows, diverging
+    # from the reference's IEEE compares). Canonicalize the -0.0 pattern
+    # to +0.0 before mapping; -0.0 therefore materializes as +0.0 —
+    # numerically equal, documented deviation.
+    bits = np.where(bits == np.array(sign_mask, bits.dtype),
+                    np.zeros((), bits.dtype), bits)
     neg = (bits & sign_mask) != 0
     return np.where(neg, bits ^ np.array(full, bits.dtype),
                     bits | np.array(sign_mask, bits.dtype))

@@ -69,6 +69,27 @@ class Record:
         return hdr + self.data
 
 
+def _resync(fh, start: int):
+    """Scan forward from `start` for the next plausible record boundary:
+    a header whose type is legal and whose body crc32 verifies. The crc
+    check makes a false positive on arbitrary damage bytes vanishingly
+    unlikely; segments are bounded (16 MiB default) so the one-shot tail
+    read is cheap. Returns the absolute offset or None."""
+    fh.seek(start)
+    buf = fh.read()
+    hs = _HDR.size
+    for i in range(len(buf) - hs + 1):
+        rt = buf[i]
+        if rt == 0 or rt > 6:
+            continue
+        _, _, _, _, blen, crc = _HDR.unpack_from(buf, i)
+        if blen > len(buf) - i - hs:
+            continue
+        if zlib.crc32(buf[i + hs:i + hs + blen]) == crc:
+            return start + i
+    return None
+
+
 class SyncFuture:
     """Resolves when the WAL has fsynced past a target LSN (reference
     pkg/util/future.go used by the delayed-sync commit path)."""
@@ -212,6 +233,16 @@ class Wal:
                     body = fh.read(blen)
                     if len(body) < blen or zlib.crc32(body) != crc or \
                             rt == 0 or rt > 6:
+                        if mode == RecoveryMode.SKIP:
+                            # true record-level repair (reference
+                            # wal.go:33-40 skip mode): resync to the next
+                            # crc-valid record instead of abandoning the
+                            # rest of the segment
+                            nxt = _resync(fh, pos + 1)
+                            if nxt is None:
+                                break
+                            fh.seek(nxt)
+                            continue
                         self._damaged(seg_path, pos, mode, "bad record")
                         break
                     if entity is not None and ent != entity:
