@@ -235,3 +235,40 @@ def test_distributed_engine_join_1m():
                   for a, k in zip(amt[m], aid[m]) if k <= na)
     assert got == want
     db.close()
+
+
+def test_group_by_high_cardinality_factored_mxu(tmp_path):
+    """G >= _MXU_FACTORED_MIN_G routes through the two-level factored
+    MXU kernel — must compile under shard_map and stay bit-identical to
+    single-device (the low-G tests never reach that kernel)."""
+    from knoxdb_tpu.exec import groupby as GB
+
+    @dataclass
+    class HG:
+        id: int = 0
+        g: int = 0
+        v: int = 0
+
+    G = max(1000, GB._MXU_FACTORED_MIN_G + 8)
+    rng1 = np.random.default_rng(11)
+    rng2 = np.random.default_rng(11)
+    out = []
+    for name, mesh in (("hg_s", None), ("hg_m", make_mesh(8))):
+        rng = rng1 if mesh is None else rng2
+        db = knox.create_database(name, driver="mem", pack_size=512,
+                                  background_merge=False, mesh=mesh)
+        t = db.create_table(HG)
+        n = 16_000
+        t.insert({"id": np.zeros(n, np.uint64),
+                  "g": rng.integers(0, G, n),
+                  "v": rng.integers(-1 << 40, 1 << 40, n)})
+        t.merge()
+        # count/sum only -> MXU path -> factored kernel at this G
+        out.append(t.query().where(F("v") != 0).group_by("g")
+                   .aggregate(("count", ""), ("sum", "v")))
+        db.close()
+    ga, gb = out
+    np.testing.assert_array_equal(ga["keys"], gb["keys"])
+    np.testing.assert_array_equal(ga["count"], gb["count"])
+    np.testing.assert_array_equal(np.asarray(ga[("sum", "v")], object),
+                                  np.asarray(gb[("sum", "v")], object))
