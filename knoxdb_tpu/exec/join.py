@@ -5,9 +5,10 @@ fetch (/root/reference/internal/operator/join/join.go:380-427,536-556)
 and leaves hash join TODO (join.go:6-9,825). Here the single-chip path is
 a sort+probe join in the keyform domain:
 
-- build side sorted once (device argsort / host for tiny sides)
-- probe side binary-searches lower/upper bounds (vectorized searchsorted)
-- duplicate build keys expand via bounded per-probe fanout
+- build side sorted once (payload co-sort / host for tiny sides)
+- probe bounds, duplicate expansion and rank->row translation are ALL
+  payload-carrying co-sorts + log-doubling forward fills — zero gathers
+  and zero searchsorteds (both are far below bandwidth on TPU)
 
 The multi-chip path (parallel/shuffle.py) hash-partitions both sides by
 key over the mesh with all_to_all and runs this same kernel per shard.
@@ -78,9 +79,9 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
     (lidx i64[M], ridx i64[M]) host arrays of matched index pairs into
     the input arrays; LEFT-join misses emit ridx == -1. The expansion is
     two-phase: count matches per probe row on device, fetch the scalar
-    total, then materialize pairs at a static pow2 cap — sorts,
-    searchsorteds and output-sized gathers only (no [rows]-scale host
-    fetch; reference merge-join semantics, join.go:536-556)."""
+    total, then materialize pairs at a static pow2 cap — gather-free
+    co-sorts only (no [rows]-scale host fetch; reference merge-join
+    semantics, join.go:536-556)."""
     import jax.numpy as jnp
 
     Nl = int(lkeys.shape[0])
@@ -105,52 +106,53 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
 
 
 def join_count_device(lkeys, rkeys, how: JoinType = JoinType.INNER):
-    """Match-pair count (phase 1; one scalar host fetch)."""
+    """Match-pair count (phase 1; one scalar host fetch). Sort-only:
+    searchsorted is ~20 gather passes and a 1M-row gather costs ~26 ms
+    on this stack (TPU-profiled round 2) vs ~1-4 ms per co-sort."""
+    import jax
     import jax.numpy as jnp
-    order = jnp.argsort(rkeys)
-    rs = jnp.take(rkeys, order)
-    lo = jnp.searchsorted(rs, lkeys, side="left").astype(jnp.int64)
-    hi = jnp.searchsorted(rs, lkeys, side="right").astype(jnp.int64)
-    counts = hi - lo
+    rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)
+    lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)
+    rs_hi, rs_lo = jax.lax.sort((rh[:, 1], rh[:, 0]), dimension=0,
+                                num_keys=2)
+    lo, hi = _probe_bounds_merged(rs_hi, rs_lo, lh[:, 1], lh[:, 0])
+    counts = (hi - lo).astype(jnp.int64)
     eff = jnp.maximum(counts, 1) if how == JoinType.LEFT else counts
     return eff.sum()
 
 
-def _ranks_by_cosort(bkeys_hi, bkeys_lo, qk_hi, qk_lo, q_first: bool):
-    """#build keys before each query key, via ONE co-sort + restore sort
-    (NO searchsorted: vectorized binary search is ~20 gather passes and
-    gathers run ~30x below bandwidth on TPU — CLAUDE.md perf rules).
-    Tie order: q_first=True counts builds STRICTLY below (side='left'),
-    else builds <= query (side='right'). Returns i32[Nq]."""
-    import jax
+def _fill_forward_max(vals):
+    """Inclusive running maximum via log-doubling elementwise maximum
+    (lax.cummax's reduce-window lowering overflows scoped vmem on this
+    libtpu — CLAUDE.md)."""
     import jax.numpy as jnp
-    Nb = bkeys_hi.shape[0]
-    Nq = qk_hi.shape[0]
-    kh = jnp.concatenate([bkeys_hi, qk_hi])
-    kl = jnp.concatenate([bkeys_lo, qk_lo])
-    tag = jnp.concatenate([
-        jnp.full(Nb, 1 if q_first else 0, jnp.int32),
-        jnp.full(Nq, 0 if q_first else 1, jnp.int32)])
-    oid = jnp.concatenate([jnp.full(Nb, Nq, jnp.int32),
-                           jnp.arange(Nq, dtype=jnp.int32)])
-    kh_s, kl_s, tag_s, oid_s = jax.lax.sort((kh, kl, tag, oid),
-                                            dimension=0, num_keys=3)
-    is_q = oid_s < Nq
-    pos = jnp.arange(Nb + Nq, dtype=jnp.int32)
-    q_rank = jnp.cumsum(is_q.astype(jnp.int32)) - 1   # inclusive -> 0-based
-    nb_before = pos - q_rank                          # builds before slot
-    # restore query order: sort by (is_build, orig idx); queries first
-    key2 = jnp.where(is_q, oid_s, jnp.int32(Nq))
-    _k2, ranks = jax.lax.sort(
-        (key2, jnp.where(is_q, nb_before, 0)), dimension=0, num_keys=1,
-        is_stable=True)
-    return ranks[:Nq]
+    n = vals.shape[0]
+    sh = 1
+    while sh < n:
+        vals = jnp.maximum(
+            vals, jnp.concatenate([jnp.zeros(sh, vals.dtype), vals[:-sh]]))
+        sh <<= 1
+    return vals
+
+
+def _fill_forward_last(vals, sent):
+    """Forward-fill: each position takes the nearest preceding (or own)
+    value != sent; positions with no predecessor keep sent. Log-doubling
+    — after pass k every gap up to 2^k is filled."""
+    import jax.numpy as jnp
+    n = vals.shape[0]
+    sh = 1
+    while sh < n:
+        prev = jnp.concatenate([jnp.full(sh, sent, vals.dtype), vals[:-sh]])
+        vals = jnp.where(vals == sent, prev, vals)
+        sh <<= 1
+    return vals
 
 
 def _probe_bounds_merged(rs_hi, rs_lo, qk_hi, qk_lo):
     """BOTH probe bounds (lo = builds strictly below, hi = builds <=)
     from ONE merged co-sort + one restore sort — halves the rank-phase
-    sort count vs two _ranks_by_cosort calls (sorts dominate the join;
+    sort count vs two separate rank co-sorts (sorts dominate the join;
     measured ~20 ms per 2M-row 4-operand sort on v5e).
 
     Builds sort before equal-key queries, so at a query's slot the
@@ -202,67 +204,112 @@ def join_pairs_core(lkeys, rkeys, cap: int,
     keep the pairs on device (projection gathers run device-side; only
     final columns cross the relay — it moves ~45 MB/s).
 
-    SORT-ONLY formulation: probe bounds and the slot->probe expansion
-    both use co-sort rank tricks (_probe_bounds_merged,
-    _ranks_by_cosort) instead of searchsorted — measured 1.6 s/join at
-    1M x 1M with searchsorteds (three ~20-gather-pass binary searches),
-    sorts cut that ~10x; the merged-bounds form cuts 7 sorts to 5."""
+    GATHER-FREE formulation (round-2 TPU profile: the previous version
+    spent 220 ms of a 260 ms 1M x 1M join in four output-scale takes —
+    a 1M-row gather costs ~26 ms on this stack while a 1M-row sort
+    operand costs ~1-4 ms). Every cross-array lookup is a payload-
+    carrying co-sort + log-doubling forward fill:
+
+      1. build sort     (kh, kl, iota)            -> sorted keys + order
+      2. probe bounds   _probe_bounds_merged      -> lo/hi per probe
+      3. expansion      (offs ∪ slot) stable sort; probe index = count
+         of offs-entries before the slot (position arithmetic), probe
+         lo / count ride as shifted payloads, prev-offset = forward-max
+         of the offs values themselves
+      4. slot restore   pushes offs-entries to the tail -> per-slot
+         (probe, rank, miss) in slot order
+      5. rank->build-id merge (rank ∪ build-rank) + forward fill + one
+         restore — replaces take(order, rank)
+
+    All composites are 32-bit (u64 shifts are unreliable on this stack;
+    cap < 2^30 and Nl, Nr < 2^30 always hold for per-chip shards).
+    Reference semantics: merge join join.go:536-556 with dup expansion."""
     import jax
     import jax.numpy as jnp
     Nl = lkeys.shape[0]
     Nr = rkeys.shape[0]
-    order = jnp.argsort(rkeys)
-    rs = jnp.take(rkeys, order)
-    rh = jax.lax.bitcast_convert_type(rs, jnp.uint32)     # [Nr, 2]
+    assert (Nl + cap) < (1 << 31) and cap < (1 << 30) and Nr < (1 << 30)
+    left = how == JoinType.LEFT
+    U1 = jnp.uint32(1)
+    SENT = jnp.uint32(0xFFFFFFFF)
+
+    rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)  # [Nr, 2]
     lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)  # [Nl, 2]
-    rs_hi, rs_lo = rh[:, 1], rh[:, 0]
-    lk_hi, lk_lo = lh[:, 1], lh[:, 0]
-    lo32, hi32 = _probe_bounds_merged(rs_hi, rs_lo, lk_hi, lk_lo)
-    lo = lo32.astype(jnp.int64)
-    hi = hi32.astype(jnp.int64)
-    counts = hi - lo
-    eff = jnp.maximum(counts, 1) if how == JoinType.LEFT else counts
-    offs = jnp.cumsum(eff)
+    rs_hi, rs_lo, order_s = jax.lax.sort(
+        (rh[:, 1], rh[:, 0], jnp.arange(Nr, dtype=jnp.uint32)),
+        dimension=0, num_keys=2)                # sorted keys AND order
+    lo32, hi32 = _probe_bounds_merged(rs_hi, rs_lo, lh[:, 1], lh[:, 0])
+    counts = hi32 - lo32
+    eff = jnp.maximum(counts, 1) if left else counts
+    offs = jnp.cumsum(eff)                      # inclusive, i32
     total = offs[-1]
 
-    # slot -> probe row: #offs <= t per output slot. Specialized co-sort:
-    # offs and t fit 31 bits here, so key and tie-break tag fold into ONE
-    # u32 composite (v << 1 | tag; u32 shifts are trusted, unlike u64 —
-    # CLAUDE.md x64 hazard) — the rank sort carries 2 operands instead of
-    # _ranks_by_cosort's 4 (bitonic sort traffic is linear in operands).
-    t = jnp.arange(cap, dtype=jnp.int64)
-    if (Nl + cap) < (1 << 31) and cap < (1 << 30):
-        comp = jnp.concatenate([
-            (offs.astype(jnp.uint32) << jnp.uint32(1)),          # tag 0
-            (t.astype(jnp.uint32) << jnp.uint32(1)) | jnp.uint32(1)])
-        c_s, = jax.lax.sort((comp,), dimension=0, num_keys=1)
-        is_q = (c_s & jnp.uint32(1)) == 1
-        pos = jnp.arange(Nl + cap, dtype=jnp.int32)
-        q_rank = jnp.cumsum(is_q.astype(jnp.int32)) - 1
-        nb_before = pos - q_rank
-        # query slots exit the sort already in t order (t is an iota) —
-        # restore = one 2-operand sort pushing build slots to the tail
-        key2 = jnp.where(is_q, (c_s >> jnp.uint32(1)).astype(jnp.int32),
-                         jnp.int32(cap))
-        _k2, i32r = jax.lax.sort((key2, nb_before), dimension=0,
-                                 num_keys=1)
-        i = i32r[:cap].astype(jnp.int64)
+    # --- expansion: offs-entries ∪ slot-entries, key = (value<<1)|tag.
+    # Slot t belongs to probe i  <=>  offs[i-1] <= t < offs[i]; the
+    # number of offs-entries sorting before slot t is exactly i. STABLE
+    # sort so equal offs values (empty probes) keep probe order and the
+    # nearest preceding payload is probe i's (shifted) lo/count.
+    tl = jnp.arange(cap, dtype=jnp.uint32)
+    comp = jnp.concatenate([offs.astype(jnp.uint32) << U1,
+                            (tl << U1) | U1])
+    pay_lo = jnp.concatenate([
+        jnp.concatenate([lo32[1:].astype(jnp.uint32),
+                         jnp.full(1, SENT, jnp.uint32)]),
+        jnp.full(cap, SENT, jnp.uint32)])       # offs-entry i: lo[i+1]
+    ops = [comp, pay_lo]
+    if left:
+        pay_cnt = jnp.concatenate([
+            jnp.concatenate([counts[1:].astype(jnp.uint32),
+                             jnp.full(1, SENT, jnp.uint32)]),
+            jnp.full(cap, SENT, jnp.uint32)])
+        ops.append(pay_cnt)
+    srt = jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
+                       is_stable=True)
+    c_s, pay_lo_s = srt[0], srt[1]
+    is_t = (c_s & U1) == U1
+    pos = jnp.arange(Nl + cap, dtype=jnp.int32)
+    ct = jnp.cumsum(is_t.astype(jnp.int32))     # inclusive slot count
+    ic = pos + 1 - ct                           # probe index at slots
+    prevv = _fill_forward_max(
+        jnp.where(is_t, jnp.uint32(0), c_s >> U1))       # offs[ic-1]
+    lof = _fill_forward_last(pay_lo_s, SENT)
+    lof = jnp.where(lof == SENT, lo32[0].astype(jnp.uint32), lof)
+    k = (c_s >> U1).astype(jnp.int32) - prevv.astype(jnp.int32)
+    j = lof.astype(jnp.int32) + k               # build RANK per slot
+    if left:
+        cntf = _fill_forward_last(srt[2], SENT)
+        cntf = jnp.where(cntf == SENT, counts[0].astype(jnp.uint32), cntf)
+        miss = k >= cntf.astype(jnp.int32)
+        ic_h = ic.astype(jnp.uint32) | jnp.where(
+            miss, jnp.uint32(1) << 31, jnp.uint32(0))
     else:
-        zero32 = jnp.zeros(Nl, jnp.uint32)
-        i = _ranks_by_cosort(zero32, offs.astype(jnp.uint32),
-                             jnp.zeros(cap, jnp.uint32),
-                             t.astype(jnp.uint32),
-                             False).astype(jnp.int64)
-    ic = jnp.minimum(i, Nl - 1).astype(jnp.int32)
-    prev = jnp.where(ic > 0, jnp.take(offs, jnp.maximum(ic - 1, 0)),
-                     jnp.int64(0))
-    k = t - prev
-    has = jnp.take(counts, ic) > 0
-    j = jnp.take(lo, ic) + k
-    jc = jnp.clip(j, 0, Nr - 1).astype(jnp.int32)
-    ridx = jnp.where(has, jnp.take(order, jc).astype(jnp.int32),
-                     jnp.int32(-1))
-    valid = t < total
-    lidx = jnp.where(valid, ic, jnp.int32(-2))
-    ridx = jnp.where(valid, ridx, jnp.int32(-2))
-    return lidx, ridx, total
+        ic_h = ic.astype(jnp.uint32)
+
+    # --- restore to slot order (offs-entries -> tail)
+    key3 = jnp.where(is_t, c_s >> U1, SENT)
+    _k3, ic_r, j_r = jax.lax.sort(
+        (key3, ic_h, j.astype(jnp.uint32)), dimension=0, num_keys=1)
+    ic_slot = ic_r[:cap]
+    j_slot = j_r[:cap]
+
+    # --- rank -> build original index: merge slots (key rank|1) with
+    # build entries (key rank|0 carrying order payload), forward-fill.
+    key_m = jnp.concatenate([
+        jnp.arange(Nr, dtype=jnp.uint32) << U1, (j_slot << U1) | U1])
+    pay_oid = jnp.concatenate([order_s, jnp.full(cap, SENT, jnp.uint32)])
+    slot_id = jnp.concatenate([jnp.full(Nr, SENT, jnp.uint32), tl])
+    km_s, oid_m, slot_m = jax.lax.sort((key_m, pay_oid, slot_id),
+                                       dimension=0, num_keys=1)
+    oid_f = _fill_forward_last(
+        jnp.where((km_s & U1) == 0, oid_m, SENT), SENT)
+    _sl, ridx_u = jax.lax.sort((slot_m, oid_f), dimension=0, num_keys=1)
+    ridx0 = ridx_u[:cap].astype(jnp.int32)
+
+    tt = jnp.arange(cap, dtype=jnp.int32)
+    valid = tt < total
+    lidx = jnp.where(valid, (ic_slot & jnp.uint32(0x7FFFFFFF))
+                     .astype(jnp.int32), jnp.int32(-2))
+    if left:
+        ridx0 = jnp.where((ic_slot >> 31) == 1, jnp.int32(-1), ridx0)
+    ridx = jnp.where(valid, ridx0, jnp.int32(-2))
+    return lidx, ridx, total.astype(jnp.int64)

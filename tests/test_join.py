@@ -152,3 +152,34 @@ def test_device_join_no_wholesale_fetch(db, rng):
     fetched = txns._t.metrics.queried_tuples - before
     assert out["__n"] == int(m.sum())
     assert fetched <= int(m.sum()) + 64, (fetched, int(m.sum()))
+
+
+@pytest.mark.parametrize("how", [JoinType.INNER, JoinType.LEFT])
+@pytest.mark.parametrize("nl,nr,krange", [
+    (257, 129, 40),      # heavy dups, ragged sizes
+    (64, 512, 1000),     # sparse matches (leading/trailing empty probes)
+    (100, 100, 1),       # single key: full cross fanout
+])
+def test_join_pairs_core_oracle(rng, how, nl, nr, krange):
+    """Gather-free join core vs host oracle: pair SETS equal (device
+    order is key-clustered, not probe-stable), LEFT misses included."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec.join import (join_count_device, join_pairs_core,
+                                      join_keys_np)
+    lkeys = rng.integers(0, krange, nl, dtype=np.uint64)
+    rkeys = rng.integers(0, krange, nr, dtype=np.uint64)
+    lkeys[0] = krange + 5          # probe miss at index 0
+    want = join_keys_np(lkeys, rkeys, how)
+    total = int(join_count_device(jnp.asarray(lkeys), jnp.asarray(rkeys),
+                                  how))
+    assert total == want.n
+    cap = 1 << max(0, (total - 1).bit_length() + 1)   # slack past total
+    lidx, ridx, tot = join_pairs_core(jnp.asarray(lkeys),
+                                      jnp.asarray(rkeys), cap, how)
+    assert int(tot) == total
+    li = np.asarray(lidx)
+    ri = np.asarray(ridx)
+    assert (li[total:] == -2).all() and (ri[total:] == -2).all()
+    li, ri = li[:total], ri[:total]
+    assert sorted(zip(li.tolist(), ri.tolist())) == \
+        sorted(zip(want.lidx.tolist(), want.ridx.tolist()))
