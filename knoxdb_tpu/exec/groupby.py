@@ -479,7 +479,27 @@ _MXU_H = 128         # factored hi-bin count = MXU output tile rows
 _MXU_FTILE = int(__import__("os").environ.get("KNOX_MXU_FTILE", "65536"))
 
 
-def _group_mxu_factored(gids, mask_words, value_keys, G: int):
+def chunk_plan(fstats) -> tuple[int, int]:
+    """(n_chunks, bias) for the MXU group kernels from a column's zone
+    maps: values rebased by `bias` fit n_chunks*8 bits, so the one-hot
+    chunk matrix shrinks from 8 byte columns to n_chunks (one-hot HBM
+    traffic and MXU MACs scale with it — signed keyforms carry a 2^63
+    offset that otherwise forces all 8). Host combine restores exact
+    sums via sum += bias * count. Falls back to (8, 0) when stats are
+    missing or wide (object min/max)."""
+    if fstats is None or fstats.min_key.dtype == object:
+        return 8, 0
+    gmin = int(fstats.min_key.min())
+    gmax = int(fstats.max_key.max())
+    c0 = max(1, -(-gmax.bit_length() // 8))
+    cb = max(1, -(-(gmax - gmin).bit_length() // 8))
+    if cb < min(c0, 8):
+        return cb, gmin
+    return min(c0, 8), 0
+
+
+def _group_mxu_factored(gids, mask_words, value_keys, G: int,
+                        n_chunks: int = 8, bias=None):
     """Two-level one-hot MXU group (count, sum): gid = hi*L + lo.
 
     The flat kernel's floor is the materialized [T, G] one-hot — 2*G
@@ -504,10 +524,13 @@ def _group_mxu_factored(gids, mask_words, value_keys, G: int):
     shift = L.bit_length() - 1
     SENT = H * L                 # >= G: hi == H -> all-zero one-hot col
 
+    C = n_chunks
+    NC = C + 1
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)
     gid = jnp.where(ok, gids, SENT).reshape(-1)
-    v = jnp.where(ok, value_keys, jnp.uint64(0)).reshape(-1)
+    vk = value_keys if bias is None else value_keys - bias
+    v = jnp.where(ok, vk, jnp.uint64(0)).reshape(-1)
 
     n = gid.shape[0]
     T = min(_MXU_FTILE, n)
@@ -524,40 +547,74 @@ def _group_mxu_factored(gids, mask_words, value_keys, G: int):
     def step(carry, xs):
         g_t, v_t = xs
         # chunk matrix built IN the body from 12 B/row of inputs — the
-        # [T, L*9] expansion is elementwise and can fuse into the
+        # [T, L*NC] expansion is elementwise and can fuse into the
         # matmul's operand load
         halves = jax.lax.bitcast_convert_type(v_t, jnp.uint32)  # [T, 2]
         cols = []
-        for c in range(8):
+        for c in range(C):
             h = halves[:, c // 4]
             cols.append(((h >> jnp.uint32(8 * (c % 4)))
                          & jnp.uint32(0xFF)).astype(jnp.bfloat16))
         cols.append(jnp.ones(g_t.shape, jnp.bfloat16))      # count col
-        cm = jnp.stack(cols, axis=-1)                       # [T, 9]
+        cm = jnp.stack(cols, axis=-1)                       # [T, NC]
         lo_oh = (jnp.bitwise_and(g_t, L - 1)[:, None]
                  == lrange[None, :]).astype(jnp.bfloat16)   # [T, L]
-        m_t = (lo_oh[:, :, None] * cm[:, None, :]).reshape(T, L * 9)
+        m_t = (lo_oh[:, :, None] * cm[:, None, :]).reshape(T, L * NC)
         hi_oh = ((g_t >> shift)[None, :]
                  == hrange[:, None]).astype(jnp.bfloat16)   # [H, T]
         part = jax.lax.dot_general(
             hi_oh, m_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [H, L*9]
+            preferred_element_type=jnp.float32)             # [H, L*NC]
         return carry + part.astype(jnp.uint32).astype(jnp.uint64), None
 
     # init derives from the data so it carries the same varying-axes type
     # under shard_map (see group_aggregate_mxu)
     vzero = gm[0, 0].astype(jnp.uint64) & jnp.uint64(0)
-    acc0 = jnp.zeros((H, L * 9), jnp.uint64) + vzero
+    acc0 = jnp.zeros((H, L * NC), jnp.uint64) + vzero
     acc, _ = jax.lax.scan(step, acc0, (gm, vm))
-    acc3 = acc.reshape(H, L, 9)
-    counts = acc3[:, :, 8].reshape(H * L)[:G].astype(jnp.int64)
-    chunks = tuple(acc3[:, :, c].reshape(H * L)[:G] for c in range(8))
+    acc3 = acc.reshape(H, L, NC)
+    counts = acc3[:, :, C].reshape(H * L)[:G].astype(jnp.int64)
+    chunks = tuple(acc3[:, :, c].reshape(H * L)[:G] for c in range(C))
     mn = jnp.full(G, 0xFFFFFFFFFFFFFFFF, jnp.uint64)
     mx = jnp.zeros(G, jnp.uint64)
     return counts, chunks, mn, mx
 
 
-def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
+def _group_pallas(gids, mask_words, value_keys, G: int,
+                  n_chunks: int = 8, bias=None):
+    """Pallas fused factored group kernel (ops/pallas_group.py): one-hot
+    operands built IN VMEM, f32 tile partials out; u64-add accumulation
+    here. Same (counts, chunks, mn, mx) contract as the MXU paths."""
+    from ..config import is_tpu
+    from ..ops import pallas_group as PG
+    C = n_chunks
+    L = 1
+    while PG.H_BINS * L < G:
+        L <<= 1
+    shift = L.bit_length() - 1
+    SENT = PG.H_BINS * L
+
+    mask = bs.unpack_mask(mask_words)
+    ok = mask & (gids >= 0) & (gids < G)
+    gid = jnp.where(ok, gids, SENT).reshape(-1).astype(jnp.int32)
+    vk = value_keys if bias is None else value_keys - bias
+    v = jnp.where(ok, vk, jnp.uint64(0)).reshape(-1)
+    halves = jax.lax.bitcast_convert_type(v, jnp.uint32)   # [n, 2]
+    parts = PG.fused_group_partials(gid, halves[:, 0], halves[:, 1], G,
+                                    L, shift, n_chunks=C,
+                                    interpret=not is_tpu())
+    acc = parts.astype(jnp.uint32).astype(jnp.uint64).sum(axis=0)
+    acc3 = acc.reshape(PG.H_BINS, L, C + 1)
+    counts = acc3[:, :, C].reshape(-1)[:G].astype(jnp.int64)
+    chunks = tuple(acc3[:, :, c].reshape(-1)[:G] for c in range(C))
+    mn = jnp.full(G, 0xFFFFFFFFFFFFFFFF, jnp.uint64)
+    mx = jnp.zeros(G, jnp.uint64)
+    return counts, chunks, mn, mx
+
+
+def group_aggregate_mxu(gids, mask_words, value_keys, G: int,
+                        allow_pallas: bool = True, n_chunks: int = 8,
+                        bias=None):
     """Per-group exact (count, sum) via ONE-HOT MXU MATMULS (bf16).
 
     The sort-based path (group_aggregate) moves every row through a
@@ -567,7 +624,9 @@ def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
     accumulations stay exact (255 * 8192 < 2^24) and cross-tile
     accumulation is u64 ADDS only (the emulated u64 SHIFT/MULTIPLY
     lowering is unreliable on this stack — measured round 2 — so byte
-    recombination happens on the HOST, mxu_chunk_sums).
+    recombination happens on the HOST, mxu_chunk_sums). n_chunks/bias
+    (from chunk_plan zone-map stats) shrink the chunk matrix when the
+    column's rebased range fits fewer than 8 bytes.
 
     Variants MEASURED on v5e at G=1000 (round 2): flat bf16 302 M
     rows/s, flat int8 262 M, factored sqrt(G)-one-hot 168 M (32x32
@@ -578,14 +637,24 @@ def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
     min/max aggregate is requested; sum[g] = sum_c chunks[c][g] << 8c.
 
     For G >= _MXU_FACTORED_MIN_G the two-level factored kernel
-    (_group_mxu_factored) moves ~5x less HBM traffic and takes over.
+    (_group_mxu_factored) moves ~5x less HBM traffic and takes over;
+    under KNOX_PALLAS=1 (and outside shard_map — callers pass
+    allow_pallas=False there) the Pallas VMEM-one-hot kernel replaces
+    it (ops/pallas_group.py).
     """
     if G >= _MXU_FACTORED_MIN_G:
-        return _group_mxu_factored(gids, mask_words, value_keys, G)
+        from ..config import use_pallas
+        if allow_pallas and use_pallas():
+            return _group_pallas(gids, mask_words, value_keys, G,
+                                 n_chunks, bias)
+        return _group_mxu_factored(gids, mask_words, value_keys, G,
+                                   n_chunks, bias)
+    C = n_chunks
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)
     gid = jnp.where(ok, gids, G).reshape(-1)          # bin G never one-hots
-    v = jnp.where(ok, value_keys, jnp.uint64(0)).reshape(-1)
+    vk = value_keys if bias is None else value_keys - bias
+    v = jnp.where(ok, vk, jnp.uint64(0)).reshape(-1)
 
     n = gid.shape[0]
     T = min(_MXU_TILE, n)
@@ -595,16 +664,16 @@ def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
         gid = jnp.concatenate([gid, jnp.full(pad, G, jnp.int32)])
         v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint64)])
 
-    # [B, T, 9] bf16 byte matrix (u32 halves via bitcast — no emulated
+    # [B, T, C+1] bf16 byte matrix (u32 halves via bitcast — no emulated
     # 64-bit shifts) + a count column
     halves = jax.lax.bitcast_convert_type(v, jnp.uint32)      # [n, 2]
     chunks = []
-    for c in range(8):
+    for c in range(C):
         h = halves[:, c // 4]
         chunks.append(((h >> jnp.uint32(8 * (c % 4)))
                        & jnp.uint32(0xFF)).astype(jnp.bfloat16))
     chunks.append(jnp.where(gid < G, jnp.bfloat16(1), jnp.bfloat16(0)))
-    cm = jnp.stack(chunks, axis=-1).reshape(B, T, 9)
+    cm = jnp.stack(chunks, axis=-1).reshape(B, T, C + 1)
     gm = gid.reshape(B, T)
     groups = jnp.arange(G, dtype=jnp.int32)
 
@@ -616,28 +685,29 @@ def group_aggregate_mxu(gids, mask_words, value_keys, G: int):
         oneh = (g_t[None, :] == groups[:, None]).astype(jnp.bfloat16)
         part = jax.lax.dot_general(
             oneh, c_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [G, 9] < 2^24
+            preferred_element_type=jnp.float32)        # [G, C+1] < 2^24
         new = tuple(carry[c]
                     + part[:, c].astype(jnp.uint32).astype(jnp.uint64)
-                    for c in range(9))
+                    for c in range(C + 1))
         return new, None
 
     # init derives from the data so it carries the same varying-axes type
     # under shard_map (a plain zeros carry traces as unvarying and scan
     # rejects the carry-type mismatch)
     vzero = gm[0, 0].astype(jnp.uint64) & jnp.uint64(0)
-    acc0 = tuple(jnp.zeros(G, jnp.uint64) + vzero for _ in range(9))
+    acc0 = tuple(jnp.zeros(G, jnp.uint64) + vzero for _ in range(C + 1))
     acc, _ = jax.lax.scan(step, acc0, (gm, cm))
-    counts = acc[8].astype(jnp.int64)
+    counts = acc[C].astype(jnp.int64)
     mn = jnp.full(G, 0xFFFFFFFFFFFFFFFF, jnp.uint64)
     mx = jnp.zeros(G, jnp.uint64)
-    return counts, acc[:8], mn, mx
+    return counts, acc[:C], mn, mx
 
 
 def mxu_chunk_sums(chunks) -> list:
     """Host recombination of group_aggregate_mxu chunk partials:
-    exact python-int keyform sums [G]. chunks: 16 nibble (or 8 byte,
-    legacy) arrays u64[G]."""
+    exact python-int keyform sums [G]. chunks: 16 nibble or 1..8 byte
+    arrays u64[G] (byte count set by chunk_plan; a chunk_plan bias is
+    the CALLER's to add back: sum += bias * count)."""
     cs = [np.asarray(c).astype(object) for c in chunks]
     shift = 4 if len(cs) == 16 else 8
     out = cs[0].copy()

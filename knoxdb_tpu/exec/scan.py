@@ -246,15 +246,19 @@ class SegmentScanner:
                         for gi, g in enumerate(d.column(f).groups)]
                     for f in agg_fields}
         gconsts = GB.gid_consts(gplan)
+        # stats-driven chunk shrink for the MXU kernels: n_chunks is a
+        # STATIC program shape (part of sig); the rebase bias is TRACED
+        # (constants are never baked into the graph — CLAUDE.md)
+        cplan = {f: (GB.chunk_plan(d.seg.stats.fields.get(f))
+                     if use_mxu else (8, 0)) for f in agg_fields}
+        biases = {f: jnp.uint64(cplan[f][1]) for f in agg_fields}
 
         sig = ("group", d.sig(used), group_field, tuple(agg_fields),
-               mode_tags, gplan.G, exclude_words is not None, use_mxu)
+               mode_tags, gplan.G, exclude_words is not None, use_mxu,
+               tuple(cplan[f][0] for f in agg_fields))
         gfn = self._fns.get(sig)
         if gfn is None:
-            agg_kernel = GB.group_aggregate_mxu if use_mxu \
-                else GB.group_aggregate
-
-            def gf(margs, garrays, gconsts):
+            def gf(margs, garrays, gconsts, biases):
                 mask, _, _ = mask_raw(*margs)
                 gids = GB.row_gids(mode_tags, gsigs, gidxs,
                                    garrays[group_field], gconsts, d.W)
@@ -271,19 +275,29 @@ class SegmentScanner:
                             keys = D.group_decode_keys(
                                 gsig_, garrays[f][gi_], d.W)
                             dec = dec.at[gidx_].set(keys)
-                    out[f] = agg_kernel(gids, mask, dec, gplan.G)
+                    if use_mxu:
+                        out[f] = GB.group_aggregate_mxu(
+                            gids, mask, dec, gplan.G,
+                            n_chunks=cplan[f][0], bias=biases[f])
+                    else:
+                        out[f] = GB.group_aggregate(gids, mask, dec,
+                                                    gplan.G)
                 return out
 
             gfn = (jax.jit(gf), gf)
             self._fns[sig] = gfn
 
-        out = gfn[0](margs, garrays, gconsts)
+        out = gfn[0](margs, garrays, gconsts, biases)
         results = {}
         counts = None
         for f in agg_fields:
             if use_mxu:
                 c, chunks, mn, mx = out[f]
                 sums = GB.mxu_chunk_sums(chunks)
+                b = cplan[f][1]
+                if b:
+                    sums = [s + b * int(cc)
+                            for s, cc in zip(sums, np.asarray(c))]
             else:
                 c, slo, shi, mn, mx = out[f]
                 sums = [int(l) + (int(h) << 32)

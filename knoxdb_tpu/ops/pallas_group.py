@@ -1,0 +1,116 @@
+"""Pallas TPU kernel: fused factored one-hot group-by (count + exact sum).
+
+The XLA factored MXU kernel (exec/groupby._group_mxu_factored) is bound
+at ~470 M rows/s by the HBM materialization of its one-hot operands
+(~400 B/row written + read around each dot). This kernel builds the
+one-hots IN VMEM per tile — HBM traffic drops to the 12 B/row of
+(gid, value) inputs plus ~2.3 B/row of f32 partials out, putting the
+roofline in the multi-G rows/s range (MXU-bound: ~9.2 kMAC/row).
+
+Decomposition (same as the XLA kernel): gid = hi*L + lo over a fixed
+H=128 hi axis (fills the MXU output tile) and L = 2^ceil(log2(G/H)).
+Per grid step over 8192-row tiles, one batched lane-contracting matmul
+
+    part[s, h, j] = sum_t hi_oh[s, h, t] * m2[s, j, t]     (s = sublane
+    row of 8, t = 1024 lanes, j = l*9 + c over 8 value byte-chunks + a
+    count column)
+
+accumulates a [H, L*9] f32 partial whose entries stay < 2^24 (255 *
+8192), so f32 is EXACT; cross-tile accumulation happens OUTSIDE the
+kernel with u64 ADDS only (u64 shifts/multiplies are unreliable on this
+stack — CLAUDE.md; final byte recombination is host-side python ints,
+exec/groupby.mxu_chunk_sums).
+
+Both dot operands keep rows in the LANE dim (contracting dim (2, 2)) —
+no lane->sublane relayouts, which Mosaic handles poorly.
+
+Layout rules honored (CLAUDE.md Pallas notes): block last-two dims are
+(8, 1024) / equal to array dims; no 64-bit dtypes in-kernel (values
+arrive pre-split as u32 lo/hi words); no traced module constants.
+
+OPT-IN like ops/pallas_scan.py (KNOX_PALLAS=1): repeat Mosaic
+executions wedge this harness's TPU grant; interpret mode covers the
+kernel in tests. Reference analog: none (the reference has no group-by
+operator, internal/query/plan.go:26-34).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["fused_group_partials", "H_BINS"]
+
+H_BINS = 128          # hi-axis bins == MXU output tile rows
+_T8 = 1024            # lanes per sublane row; tile rows = 8 * _T8
+_Z = np.int32(0)      # index-map zero (python 0 traces i64 under x64)
+
+
+def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, L: int, shift: int,
+            C: int):
+    g = gid_ref[0]                     # [8, T8] i32
+    vlo = vlo_ref[0]                   # [8, T8] u32
+    vhi = vhi_ref[0]
+    hi = g >> shift                    # i32 shifts are fine (32-bit)
+    lo = g & (L - 1)
+
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (8, H_BINS, _T8), 1)
+    hi_oh = (hi[:, None, :] == iota_h).astype(jnp.bfloat16)
+
+    cols = []
+    for c in range(C):
+        w = vlo if c < 4 else vhi
+        cols.append(((w >> np.uint32(8 * (c % 4))) & np.uint32(0xFF))
+                    .astype(jnp.bfloat16))
+    cols.append(jnp.ones(g.shape, jnp.bfloat16))        # count column
+    rows = []
+    for l in range(L):
+        lm = (lo == l).astype(jnp.bfloat16)
+        for c in range(C + 1):
+            rows.append(lm * cols[c])
+    m2 = jnp.stack(rows, axis=1)       # [8, L*(C+1), T8]
+
+    part = jax.lax.dot_general(
+        hi_oh, m2, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # [8, H, L*(C+1)]
+    out_ref[0] = jnp.sum(part, axis=0)
+
+
+def fused_group_partials(gid, vlo, vhi, G: int, L: int, shift: int,
+                         n_chunks: int = 8, interpret: bool = False):
+    """gid i32[n] with invalid rows set to H_BINS*L; vlo/vhi u32[n] value
+    words. Returns f32[B, H_BINS, L*(C+1)] per-tile partials (entry
+    (h, l*(C+1)+c) = chunk-c byte sum of rows with gid == h*L + l; c == C
+    is the count; C = n_chunks shrinks with the column's stats range —
+    exec/groupby.chunk_plan). Cross-tile accumulation is the CALLER's
+    job (u64 adds)."""
+    C = n_chunks
+    n = gid.shape[0]
+    T = 8 * _T8
+    B = -(-n // T)
+    pad = B * T - n
+    SENT = H_BINS * L
+    if pad:
+        gid = jnp.concatenate([gid, jnp.full(pad, SENT, jnp.int32)])
+        vlo = jnp.concatenate([vlo, jnp.zeros(pad, jnp.uint32)])
+        vhi = jnp.concatenate([vhi, jnp.zeros(pad, jnp.uint32)])
+    g3 = gid.reshape(B, 8, _T8)
+    lo3 = vlo.reshape(B, 8, _T8)
+    hi3 = vhi.reshape(B, 8, _T8)
+    NC = C + 1
+    return pl.pallas_call(
+        partial(_kernel, L=L, shift=shift, C=C),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 8, _T8), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((1, 8, _T8), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((1, 8, _T8), lambda i: (i, _Z, _Z)),
+        ],
+        out_specs=pl.BlockSpec((1, H_BINS, L * NC), lambda i: (i, _Z, _Z)),
+        out_shape=jax.ShapeDtypeStruct((B, H_BINS, L * NC), jnp.float32),
+        interpret=interpret,
+    )(g3, lo3, hi3)

@@ -178,15 +178,17 @@ class ShardedScanner(SegmentScanner):
         gconsts = GB.gid_consts(gplan)
 
         use_mxu = (not minmax) and gplan.G <= GB.MXU_MAX_G
+        cplan = {f: (GB.chunk_plan(d.seg.stats.fields.get(f))
+                     if use_mxu else (8, 0)) for f in agg_fields}
+        biases = {f: jnp.uint64(cplan[f][1]) for f in agg_fields}
         sig = ("group-spmd", d.sig(used), group_field, tuple(agg_fields),
-               mode_tags, gplan.G, exclude_words is not None, use_mxu)
+               mode_tags, gplan.G, exclude_words is not None, use_mxu,
+               tuple(cplan[f][0] for f in agg_fields))
         gfn = self._fns.get(sig)
         if gfn is None:
             W = d.W
-            agg_kernel = GB.group_aggregate_mxu if use_mxu \
-                else GB.group_aggregate
 
-            def gf(margs, garrays, gconsts):
+            def gf(margs, garrays, gconsts, biases):
                 mask, _, _ = mask_raw(*margs)
                 gids = GB.row_gids(mode_tags, gsigs, gidxs,
                                    garrays[group_field], gconsts, W)
@@ -194,7 +196,16 @@ class ShardedScanner(SegmentScanner):
                 for f in agg_fields:
                     gi_, gsig_, _ = agg_sigs[f][0]
                     dec = D.group_decode_keys(gsig_, garrays[f][gi_], W)
-                    out[f] = agg_kernel(gids, mask, dec, gplan.G)
+                    if use_mxu:
+                        # allow_pallas=False: Mosaic programs under
+                        # shard_map are untested on this stack; the
+                        # SPMD path stays pure-XLA
+                        out[f] = GB.group_aggregate_mxu(
+                            gids, mask, dec, gplan.G, allow_pallas=False,
+                            n_chunks=cplan[f][0], bias=biases[f])
+                    else:
+                        out[f] = GB.group_aggregate(gids, mask, dec,
+                                                    gplan.G)
                 return out
 
             # garrays spec: every group array shards on its pack axis
@@ -202,17 +213,18 @@ class ShardedScanner(SegmentScanner):
                         {n: [{k: P(self.axis, *([None] * (a.ndim - 1)))
                               for k, a in g.items()} for g in gs]
                          for n, gs in garrays.items()},
-                        _gconst_specs(gconsts, self.axis))
+                        _gconst_specs(gconsts, self.axis),
+                        {f: P() for f in agg_fields})
             out_specs = jax.tree_util.tree_map(
                 lambda _: P(self.axis),
-                jax.eval_shape(gf, margs, garrays, gconsts))
+                jax.eval_shape(gf, margs, garrays, gconsts, biases))
             smapped = jax.shard_map(gf, mesh=self.mesh,
                                     in_specs=in_specs,
                                     out_specs=out_specs)
             gfn = (jax.jit(smapped), smapped)
             self._fns[sig] = gfn
 
-        out = gfn[0](margs, garrays, gconsts)
+        out = gfn[0](margs, garrays, gconsts, biases)
         G = gplan.G
         results = {}
         counts = None
@@ -227,6 +239,10 @@ class ShardedScanner(SegmentScanner):
                     for d in range(ndev)]
                 sums = [sum(per_dev[d][g] for d in range(ndev))
                         for g in range(G)]
+                b = cplan[f][1]
+                if b:
+                    ct = c.sum(axis=0)
+                    sums = [s + b * int(cc) for s, cc in zip(sums, ct)]
             else:
                 c, slo, shi, mn, mx = (np.asarray(x).reshape(ndev, G)
                                        for x in out[f])

@@ -215,3 +215,42 @@ def test_group_var_std(rng):
         assert abs(out[("var", "v")][i] - w) <= 1e-9 * max(w, 1)
         assert abs(out[("std", "v")][i] - math.sqrt(w)) <= 1e-9
     db.close()
+
+
+def test_chunk_plan_and_bias(rng):
+    """Stats-driven chunk shrink: biased narrow-range values aggregate
+    exactly with fewer byte chunks across flat/factored kernels."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec import groupby as GB
+    from knoxdb_tpu.ops import bitset as bs
+    from knoxdb_tpu.pack.stats import FieldStats
+
+    # signed-keyform-like domain: huge bias, narrow 20-bit spread
+    base = np.uint64(1 << 63)
+    P, N = 4, 2048
+    vals = base + rng.integers(0, 1 << 20, (P, N)).astype(np.uint64)
+    fs = FieldStats(min_key=vals.min(axis=1), max_key=vals.max(axis=1))
+    C, b = GB.chunk_plan(fs)
+    assert C == 3 and b == int(vals.min())
+    assert GB.chunk_plan(None) == (8, 0)
+    wide = FieldStats(min_key=np.array([1 << 70], object),
+                      max_key=np.array([1 << 80], object))
+    assert GB.chunk_plan(wide) == (8, 0)
+    small = FieldStats(min_key=np.array([0], np.uint64),
+                       max_key=np.array([200], np.uint64))
+    assert GB.chunk_plan(small) == (1, 0)
+
+    mask = rng.random((P, N)) < 0.8
+    mw = jnp.asarray(np.stack([bs.np_pack_mask(mask[p]) for p in range(P)]))
+    vals_j = jnp.asarray(vals)
+    for G in (100, 1000):            # flat and factored regimes
+        gids = jnp.asarray(rng.integers(-1, G + 2, (P, N)).astype(np.int32))
+        c1, lo1, hi1, _, _ = GB.group_aggregate(gids, mw, vals_j, G)
+        c2, chunks, _, _ = GB.group_aggregate_mxu(
+            gids, mw, vals_j, G, n_chunks=C, bias=jnp.uint64(b))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        want = [int(l) + (int(h) << 32) for l, h in zip(np.asarray(lo1),
+                                                        np.asarray(hi1))]
+        got = [s + b * int(cc) for s, cc in
+               zip(GB.mxu_chunk_sums(chunks), np.asarray(c2))]
+        assert got == want, f"G={G}"

@@ -1,0 +1,59 @@
+"""Pallas fused group-by kernel vs python oracle (interpret mode on CPU;
+the TPU compile path is exercised by the opt-in KNOX_PALLAS bench run)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from knoxdb_tpu.exec import groupby as GB
+
+
+def _pack_mask(mask_rows):
+    """bool[P, N] -> u32[P, N//32] valid words (bit i of word w = row
+    w*32+i), matching ops/bitset layout used by unpack_mask."""
+    P, N = mask_rows.shape
+    bits = mask_rows.reshape(P, N // 32, 32).astype(np.uint32)
+    return (bits << np.arange(32, dtype=np.uint32)).sum(
+        axis=2, dtype=np.uint32)
+
+
+@pytest.mark.parametrize("G,P,N", [(1000, 3, 8192), (200, 1, 4096),
+                                   (4096, 2, 8192)])
+def test_pallas_group_matches_oracle(rng, G, P, N):
+    gids = rng.integers(-2, G + 3, (P, N)).astype(np.int32)  # some invalid
+    vals = rng.integers(0, 1 << 63, (P, N), dtype=np.uint64)
+    vals[0, :16] = np.uint64(0xFFFFFFFFFFFFFFFF)             # carry stress
+    maskb = rng.random((P, N)) < 0.7
+    words = _pack_mask(maskb)
+
+    counts, chunks, _, _ = GB._group_pallas(
+        jnp.asarray(gids), jnp.asarray(words), jnp.asarray(vals), G)
+    counts = np.asarray(counts)
+    sums = GB.mxu_chunk_sums(chunks)
+
+    ok = maskb & (gids >= 0) & (gids < G)
+    want_cnt = np.zeros(G, np.int64)
+    want_sum = [0] * G
+    for p in range(P):
+        for i in np.nonzero(ok[p])[0]:
+            g = int(gids[p, i])
+            want_cnt[g] += 1
+            want_sum[g] += int(vals[p, i])
+    np.testing.assert_array_equal(counts, want_cnt)
+    assert sums == want_sum
+
+
+def test_pallas_group_dispatch(rng, monkeypatch):
+    """KNOX_PALLAS=1 routes group_aggregate_mxu through the Pallas kernel
+    for factored-range G; allow_pallas=False keeps the XLA path."""
+    monkeypatch.setenv("KNOX_PALLAS", "1")
+    G, P, N = 512, 2, 4096
+    gids = rng.integers(0, G, (P, N)).astype(np.int32)
+    vals = rng.integers(0, 1 << 40, (P, N), dtype=np.uint64)
+    words = np.full((P, N // 32), 0xFFFFFFFF, np.uint32)
+    a = GB.group_aggregate_mxu(jnp.asarray(gids), jnp.asarray(words),
+                               jnp.asarray(vals), G)
+    b = GB.group_aggregate_mxu(jnp.asarray(gids), jnp.asarray(words),
+                               jnp.asarray(vals), G, allow_pallas=False)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert GB.mxu_chunk_sums(a[1]) == GB.mxu_chunk_sums(b[1])
