@@ -39,7 +39,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["shuffle_join_rows", "shuffle_join", "SKEW_FACTOR"]
 
 SKEW_FACTOR = 4.0      # bucket is heavy above this multiple of the mean
-_SENT = 0xFFFFFFFFFFFFFFFF
 
 
 def _bucket(keys, ndev: int):
@@ -86,22 +85,138 @@ def _bucketize(keys, pos, valid, dest, ndev: int, cap: int,
     return k, p, ok
 
 
-def _sorted_build(rk, rok, rp):
-    """Key-sorted build side with invalid rows clustered LAST within
-    equal keys; plus validity prefix-sums for exact in-range counts."""
-    inv = (~rok).astype(jnp.uint32)
-    ks = jnp.where(rok, rk, jnp.uint64(_SENT))
-    rs, inv_s, rps = jax.lax.sort((ks, inv, rp), dimension=0, num_keys=2)
-    cval = jnp.concatenate([jnp.zeros(1, jnp.int64),
-                            jnp.cumsum((1 - inv_s).astype(jnp.int64))])
-    return rs, rps, cval
+def _fill_flag(vals, flag):
+    """Forward-fill channels by a shared validity flag (log-doubling;
+    sentinel-free — row POSITIONS can legally be any u32 half)."""
+    n = flag.shape[0]
+    sh = 1
+    while sh < n:
+        pf = jnp.concatenate([jnp.zeros(sh, bool), flag[:-sh]])
+        vals = [jnp.where(flag, v,
+                          jnp.concatenate([jnp.zeros(sh, v.dtype),
+                                           v[:-sh]]))
+                for v in vals]
+        flag = flag | pf
+        sh <<= 1
+    return vals, flag
 
 
-def _match_counts(lk, lok, rs, cval):
-    lo = jnp.searchsorted(rs, lk, side="left").astype(jnp.int64)
-    hi = jnp.searchsorted(rs, lk, side="right").astype(jnp.int64)
-    cnt = jnp.take(cval, hi) - jnp.take(cval, lo)
-    return jnp.where(lok, cnt, 0), lo
+def _probe_bounds_valid(rk_hi, rk_lo, r_inv, qk_hi, qk_lo):
+    """(lo, hi) VALID-build-rank bounds per probe from UNSORTED builds
+    with an invalid channel (validity cannot ride the key domain: 2^64-1
+    is a legal key). One merged co-sort + one restore sort, gather-free
+    (exec/join.py design). Invalid builds tag-sort AFTER in-key queries
+    and are excluded from the valid-build running count."""
+    from ..exec.join import _fill_forward_max
+    Nb, Nq = rk_hi.shape[0], qk_hi.shape[0]
+    M = Nb + Nq
+    kh = jnp.concatenate([rk_hi, qk_hi])
+    kl = jnp.concatenate([rk_lo, qk_lo])
+    tag = jnp.concatenate([
+        jnp.where(r_inv, jnp.int32(2), jnp.int32(0)),
+        jnp.ones(Nq, jnp.int32)])
+    oid = jnp.concatenate([jnp.full(Nb, Nq, jnp.int32),
+                           jnp.arange(Nq, dtype=jnp.int32)])
+    kh_s, kl_s, tag_s, oid_s = jax.lax.sort((kh, kl, tag, oid),
+                                            dimension=0, num_keys=3)
+    is_q = tag_s == 1
+    is_vb = (tag_s == 0).astype(jnp.int32)
+    cvb = jnp.cumsum(is_vb)                     # inclusive valid builds
+    pos = jnp.arange(M, dtype=jnp.int32)
+    start = (pos == 0) | (kh_s != jnp.roll(kh_s, 1)) \
+        | (kl_s != jnp.roll(kl_s, 1))
+    lo_all = _fill_forward_max(jnp.where(start, cvb - is_vb, 0))
+    key2 = jnp.where(is_q, oid_s, jnp.int32(Nq))
+    _k2, lo_q, hi_q = jax.lax.sort((key2, lo_all, cvb), dimension=0,
+                                   num_keys=1)
+    return lo_q[:Nq], hi_q[:Nq]
+
+
+def _expand_positions(lo, hi, lok, lpos, rp_rank, cap: int,
+                      how_left: bool):
+    """Duplicate expansion at a static cap carrying i64 POSITION payloads
+    (u32 half pairs) through the sorts — the distributed analog of
+    exec/join.join_pairs_core's gather-free core. rp_rank: build-side
+    position halves in VALID-first key order (rank r = r-th valid build).
+    Returns (lpos i64[cap], rpos i64[cap]) with -2 past total and -1 on
+    LEFT misses."""
+    from ..exec.join import _fill_forward_max
+    U1 = jnp.uint32(1)
+    SENT32 = jnp.uint32(0xFFFFFFFF)
+    Nl = lo.shape[0]
+    rpl, rph = rp_rank
+    Nr = rpl.shape[0]
+    cnt = jnp.where(lok, hi - lo, 0)
+    eff = jnp.where(lok, jnp.maximum(cnt, 1), 0) if how_left else cnt
+    offs = jnp.cumsum(eff)
+    total = offs[-1]
+
+    lp32 = jax.lax.bitcast_convert_type(lpos, jnp.uint32)   # [Nl, 2]
+    tl = jnp.arange(cap, dtype=jnp.uint32)
+    comp = jnp.concatenate([offs.astype(jnp.uint32) << U1, (tl << U1) | U1])
+
+    def pay(a):      # offs-entry i carries attribute[i+1]
+        sh = jnp.concatenate([a[1:], a[-1:]]).astype(jnp.uint32)
+        return jnp.concatenate([sh, jnp.zeros(cap, jnp.uint32)])
+
+    flag = jnp.concatenate([jnp.ones(Nl, jnp.uint32),
+                            jnp.zeros(cap, jnp.uint32)])
+    ops = [comp, pay(lo), pay(lp32[:, 0]), pay(lp32[:, 1]), flag]
+    if how_left:
+        ops.append(pay(cnt))
+    srt = jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
+                       is_stable=True)
+    c_s = srt[0]
+    is_t = (c_s & U1) == U1
+    fl = srt[4] == 1
+    prevv = _fill_forward_max(jnp.where(is_t, jnp.uint32(0), c_s >> U1))
+    chans = [srt[1], srt[2], srt[3]] + ([srt[5]] if how_left else [])
+    filled, ff = _fill_flag(chans, fl)
+    # slots before the first offs-entry belong to probe 0
+    lof = jnp.where(ff, filled[0], lo[0].astype(jnp.uint32))
+    lpl = jnp.where(ff, filled[1], lp32[0, 0])
+    lph = jnp.where(ff, filled[2], lp32[0, 1])
+    k = (c_s >> U1).astype(jnp.int32) - prevv.astype(jnp.int32)
+    j = lof.astype(jnp.int32) + k
+    if how_left:
+        cntf = jnp.where(ff, filled[3], cnt[0].astype(jnp.uint32))
+        miss = k >= cntf.astype(jnp.int32)
+        j_h = j.astype(jnp.uint32) | jnp.where(miss, U1 << 31,
+                                               jnp.uint32(0))
+    else:
+        j_h = j.astype(jnp.uint32)
+
+    key3 = jnp.where(is_t, c_s >> U1, SENT32)
+    _k3, j_r, lpl_r, lph_r = jax.lax.sort((key3, j_h, lpl, lph),
+                                          dimension=0, num_keys=1)
+    j_slot = j_r[:cap]
+    lpo = jnp.stack([lpl_r[:cap], lph_r[:cap]], axis=-1)
+    jm = j_slot & jnp.uint32(0x7FFFFFFF)
+
+    # rank -> build position merge (rank ∪ build-rank entries)
+    key_m = jnp.concatenate([jnp.arange(Nr, dtype=jnp.uint32) << U1,
+                             (jm << U1) | U1])
+    slot_id = jnp.concatenate([jnp.full(Nr, SENT32, jnp.uint32), tl])
+    fb = jnp.concatenate([jnp.ones(Nr, jnp.uint32),
+                          jnp.zeros(cap, jnp.uint32)])
+    km_s, rpl_m, rph_m, fb_m, slot_m = jax.lax.sort(
+        (key_m, jnp.concatenate([rpl, jnp.zeros(cap, jnp.uint32)]),
+         jnp.concatenate([rph, jnp.zeros(cap, jnp.uint32)]),
+         fb, slot_id), dimension=0, num_keys=1)
+    (rpl_f, rph_f), _ff = _fill_flag([rpl_m, rph_m], fb_m == 1)
+    _sl, rpl_o, rph_o = jax.lax.sort((slot_m, rpl_f, rph_f),
+                                     dimension=0, num_keys=1)
+    rpo = jnp.stack([rpl_o[:cap], rph_o[:cap]], axis=-1)
+
+    lpos_out = jax.lax.bitcast_convert_type(lpo, jnp.int64)
+    rpos_out = jax.lax.bitcast_convert_type(rpo, jnp.int64)
+    tt = jnp.arange(cap, dtype=jnp.int32)
+    ok = tt < total
+    if how_left:
+        rpos_out = jnp.where((j_slot >> 31) == 1, jnp.int64(-1),
+                             rpos_out)
+    return (jnp.where(ok, lpos_out, jnp.int64(-2)),
+            jnp.where(ok, rpos_out, jnp.int64(-2)))
 
 
 def _phase1(mesh: Mesh, axis: str, ndev: int):
@@ -144,8 +259,11 @@ def _phase2(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
         rpx = jax.lax.all_to_all(rpb, axis, 0, 0).reshape(-1)
         rox = jax.lax.all_to_all(rok, axis, 0, 0).reshape(-1)
 
-        rs, _rps, cval = _sorted_build(rkx, rox, rpx)
-        cnt, _lo = _match_counts(lkx, lox, rs, cval)
+        rhh = jax.lax.bitcast_convert_type(rkx, jnp.uint32)
+        lhh = jax.lax.bitcast_convert_type(lkx, jnp.uint32)
+        lo, hi = _probe_bounds_valid(rhh[:, 1], rhh[:, 0], ~rox,
+                                     lhh[:, 1], lhh[:, 0])
+        cnt = jnp.where(lox, hi - lo, 0)
         eff = jnp.where(lox, jnp.maximum(cnt, 1), 0) if how_left else cnt
         nmatch = eff.sum(dtype=jnp.int64)
         return (lkx, lpx, lox, rkx, rpx, rox,
@@ -158,27 +276,20 @@ def _phase2(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
 
 def _phase3(mesh: Mesh, axis: str, cap_m: int, how_left: bool):
     def local(lk, lp, lok, rk, rp, rok):
-        rs, rps, cval = _sorted_build(rk, rok, rp)
-        cnt, lo = _match_counts(lk, lok, rs, cval)
-        eff = jnp.where(lok, jnp.maximum(cnt, 1), 0) if how_left else cnt
-        offs = jnp.cumsum(eff)
-        total = offs[-1]
-        t = jnp.arange(cap_m, dtype=jnp.int64)
-        i = jnp.searchsorted(offs, t, side="right")
-        ic = jnp.minimum(i, eff.shape[0] - 1).astype(jnp.int32)
-        prev = jnp.where(ic > 0, jnp.take(offs, jnp.maximum(ic - 1, 0)),
-                         jnp.int64(0))
-        kk = t - prev
-        has = jnp.take(cnt, ic) > 0
-        # j-th valid build row of a key sits at lo + j (valid rows sort
-        # before invalid within equal keys)
-        j = jnp.clip(jnp.take(lo, ic) + kk, 0,
-                     max(int(rs.shape[0]) - 1, 0)).astype(jnp.int32)
-        rpos = jnp.where(has, jnp.take(rps, j), jnp.int64(-1))
-        lpos = jnp.take(lp, ic)
-        ok = t < total
-        return (jnp.where(ok, lpos, jnp.int64(-2)),
-                jnp.where(ok, rpos, jnp.int64(-2)))
+        # valid-first key-sorted build positions: rank r = r-th VALID
+        # build (invalid rows cluster at the tail via the leading inv
+        # key — the key domain itself stays untouched)
+        rhh = jax.lax.bitcast_convert_type(rk, jnp.uint32)
+        lhh = jax.lax.bitcast_convert_type(lk, jnp.uint32)
+        rp32 = jax.lax.bitcast_convert_type(rp, jnp.uint32)
+        inv = (~rok).astype(jnp.uint32)
+        _i, _kh, _kl, rpl_s, rph_s = jax.lax.sort(
+            (inv, rhh[:, 1], rhh[:, 0], rp32[:, 0], rp32[:, 1]),
+            dimension=0, num_keys=3)
+        lo, hi = _probe_bounds_valid(rhh[:, 1], rhh[:, 0], ~rok,
+                                     lhh[:, 1], lhh[:, 0])
+        return _expand_positions(lo, hi, lok, lp, (rpl_s, rph_s),
+                                 cap_m, how_left)
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis),) * 6, out_specs=(P(axis), P(axis))))
