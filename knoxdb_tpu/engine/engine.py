@@ -144,18 +144,95 @@ class TaskService:
             self._cv.notify_all()
 
 
+class DeadlockError(RuntimeError):
+    """A lock acquire would close a wait-for cycle (reference
+    engine.ErrDeadlock, lock.go:526). The REQUESTER is the victim —
+    abort its tx and retry."""
+
+
 class LockManager:
-    """Shared/exclusive object locks (reference lock.go, simplified: a
-    global RW lock per object id; deadlock avoidance by ordered acquire)."""
+    """Shared/exclusive object locks with WAIT-FOR-GRAPH deadlock
+    detection (reference internal/engine/lock.go:272,343,526).
+
+    acquire() blocks until compatible; before each wait it walks the
+    wait-for graph (waiter -> current holders of its wanted object) and
+    raises DeadlockError if the requester is on a cycle. Re-entrant per
+    (oid, xid); a holder's shared lock upgrades in place when no other
+    holders remain."""
 
     def __init__(self):
-        self._locks: dict[int, threading.RLock] = {}
-        self._g = threading.Lock()
+        self._cv = threading.Condition()
+        # oid -> {xid: (exclusive, count)}
+        self._held: dict[int, dict[int, list]] = {}
+        self._waiting: dict[int, tuple[int, bool]] = {}  # xid -> (oid, excl)
 
-    def lock(self, oid: int):
-        with self._g:
-            lk = self._locks.setdefault(oid, threading.RLock())
-        return lk
+    def _compatible(self, oid: int, xid: int, excl: bool) -> bool:
+        others = {x: m for x, m in self._held.get(oid, {}).items()
+                  if x != xid}
+        if excl:
+            return not others
+        return not any(m[0] for m in others.values())
+
+    def _on_cycle(self, xid: int) -> bool:
+        seen: set[int] = set()
+        stack = [h for h in self._holders_of(self._waiting[xid][0], xid)]
+        while stack:
+            x = stack.pop()
+            if x == xid:
+                return True
+            if x in seen or x not in self._waiting:
+                continue
+            seen.add(x)
+            stack.extend(self._holders_of(self._waiting[x][0], x))
+        return False
+
+    def _holders_of(self, oid: int, but: int) -> list[int]:
+        return [x for x in self._held.get(oid, {}) if x != but]
+
+    def acquire(self, oid: int, xid: int, exclusive: bool = False,
+                timeout: float = 10.0) -> None:
+        with self._cv:
+            ent = self._held.get(oid, {}).get(xid)
+            if ent is not None and (ent[0] or not exclusive):
+                ent[1] += 1                      # re-entrant / downgrade-noop
+                return
+            while not self._compatible(oid, xid, exclusive):
+                self._waiting[xid] = (oid, exclusive)
+                if self._on_cycle(xid):
+                    del self._waiting[xid]
+                    raise DeadlockError(
+                        f"deadlock: tx {xid} -> object {oid}")
+                if not self._cv.wait(timeout=timeout):
+                    del self._waiting[xid]
+                    raise TimeoutError(
+                        f"lock timeout: tx {xid} -> object {oid}")
+            self._waiting.pop(xid, None)
+            if ent is not None:                  # shared -> exclusive
+                ent[0] = True
+                ent[1] += 1
+            else:
+                self._held.setdefault(oid, {})[xid] = [exclusive, 1]
+
+    def release(self, oid: int, xid: int) -> None:
+        with self._cv:
+            ent = self._held.get(oid, {}).get(xid)
+            if ent is None:
+                return
+            ent[1] -= 1
+            if ent[1] <= 0:
+                del self._held[oid][xid]
+                if not self._held[oid]:
+                    del self._held[oid]
+            self._cv.notify_all()
+
+    def release_all(self, xid: int) -> None:
+        with self._cv:
+            for oid in list(self._held):
+                if xid in self._held[oid]:
+                    del self._held[oid][xid]
+                    if not self._held[oid]:
+                        del self._held[oid]
+            self._cv.notify_all()
 
 
 class Tx:
@@ -172,6 +249,11 @@ class Tx:
 
     def touch(self, table: Table) -> None:
         if table not in self.touched:
+            # exclusive object lock held to commit/abort (reference
+            # lock.go write-tx object locks); DDL waits on it. Readers
+            # stay lock-free: MVCC snapshots + python refs keep dropped
+            # tables alive for in-flight queries.
+            self.engine.locks.acquire(table.id, self.xid, exclusive=True)
             self.touched.append(table)
 
     def commit(self) -> None:
@@ -237,6 +319,7 @@ class Engine:
         self._write_token = threading.Lock()
         self._mu = threading.Lock()
         self._next_oid = 1
+        self._next_ddl_id = 1 << 40          # above any realistic xid
         self._load_catalog()
 
     # ----------------------------------------------------------- catalog --
@@ -281,24 +364,49 @@ class Engine:
         t.history_table = h
         return h
 
+    def _ddl_lock(self, oid: int) -> int:
+        """Exclusive object lock for a DDL op under a synthetic lock id
+        (above the xid space) — waits out any write tx touching the
+        table; DeadlockError cannot fire (DDL holds a single lock)."""
+        with self._mu:
+            lid = self._next_ddl_id
+            self._next_ddl_id += 1
+        self.locks.acquire(oid, lid, exclusive=True)
+        return lid
+
     def drop_table(self, name: str) -> None:
-        t = self.tables.pop(name, None)
+        t = self.tables.get(name)
         if t is None:
             raise KeyError(name)
-        self._table_ids.pop(t.id, None)
-        if self.store:
-            self.store.drop_bucket(f"table_{t.id}_segments")
-        self._save_catalog()
+        lid = self._ddl_lock(t.id)
+        try:
+            self.tables.pop(name, None)
+            self._table_ids.pop(t.id, None)
+            if self.store:
+                self.store.drop_bucket(f"table_{t.id}_segments")
+            self._save_catalog()
+        finally:
+            self.locks.release_all(lid)
 
     def truncate_table(self, name: str) -> None:
         """Drop all rows of a table, keeping its schema and indexes
         (reference engine.TruncateTable)."""
-        self.table(name).truncate()
+        t = self.table(name)
+        lid = self._ddl_lock(t.id)
+        try:
+            t.truncate()
+        finally:
+            self.locks.release_all(lid)
 
     def compact_table(self, name: str) -> None:
         """Force journal merge + segment compaction (reference
         engine.CompactTable — merge IS the compaction here)."""
-        self.table(name).merge()
+        t = self.table(name)
+        lid = self._ddl_lock(t.id)
+        try:
+            t.merge()
+        finally:
+            self.locks.release_all(lid)
 
     def alter_table(self, name: str, schema) -> None:
         """Schema evolution — NOT IMPLEMENTED, matching the reference
@@ -395,6 +503,7 @@ class Engine:
         with self._mu:
             self._active.discard(tx.xid)
         if not tx.read_only:
+            self.locks.release_all(tx.xid)
             self._write_token.release()
 
     def view(self) -> Tx:

@@ -2,6 +2,7 @@
 (reference workload2-style scenario, internal/tests/scenarios)."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -118,3 +119,96 @@ def test_eviction_under_concurrent_readers(tmp_path):
     s = t.query().sum("v")
     assert s == want_sum + sum(range(n0, n0 + 20))
     db.close()
+
+
+# ------------------------------------------------------------ LockManager --
+
+def test_lock_manager_shared_exclusive():
+    import threading
+    from knoxdb_tpu.engine.engine import LockManager
+    lm = LockManager()
+    lm.acquire(1, 100, exclusive=False)
+    lm.acquire(1, 101, exclusive=False)          # shared coexists
+    got = []
+
+    def want_excl():
+        lm.acquire(1, 102, exclusive=True, timeout=5.0)
+        got.append("excl")
+        lm.release_all(102)
+
+    th = threading.Thread(target=want_excl)
+    th.start()
+    time.sleep(0.05)
+    assert got == []                             # blocked on 2 sharers
+    lm.release(1, 100)
+    time.sleep(0.05)
+    assert got == []
+    lm.release(1, 101)
+    th.join(timeout=5)
+    assert got == ["excl"]
+
+
+def test_lock_manager_reentrant_and_upgrade():
+    from knoxdb_tpu.engine.engine import LockManager
+    lm = LockManager()
+    lm.acquire(7, 1, exclusive=True)
+    lm.acquire(7, 1, exclusive=True)             # re-entrant
+    lm.release(7, 1)
+    lm.acquire(7, 1, exclusive=False)            # excl covers shared
+    lm.release_all(1)
+    lm.acquire(7, 2, exclusive=False)
+    lm.acquire(7, 2, exclusive=True)             # sole-holder upgrade
+    lm.release_all(2)
+
+
+def test_lock_manager_deadlock_detected():
+    import threading
+    from knoxdb_tpu.engine.engine import DeadlockError, LockManager
+    lm = LockManager()
+    lm.acquire(1, 10, exclusive=True)            # tx10 holds A
+    lm.acquire(2, 20, exclusive=True)            # tx20 holds B
+    errs = []
+
+    def t10_wants_b():
+        try:
+            lm.acquire(2, 10, exclusive=True, timeout=5.0)
+            lm.release(2, 10)
+        except DeadlockError:
+            errs.append("t10")
+            lm.release_all(10)
+
+    th = threading.Thread(target=t10_wants_b)
+    th.start()
+    time.sleep(0.1)                              # t10 now waits on B
+    with pytest.raises(DeadlockError):           # closing the cycle
+        lm.acquire(1, 20, exclusive=True, timeout=5.0)
+    lm.release_all(20)                           # victim aborts
+    th.join(timeout=5)
+    assert not errs                              # t10 proceeded after abort
+    lm.release_all(10)
+
+
+def test_ddl_waits_for_write_tx():
+    """drop_table blocks until the touching write tx commits."""
+    db = knox.create_database("lckddl", driver="mem", pack_size=256,
+                              background_merge=False)
+    t = db.create_table(R)
+    t.insert([R(worker=1, v=1)])                 # autocommit path
+    eng = t._t.engine
+    tx = eng.begin()
+    t._t.insert_rows(tx, {"id": np.array([0], np.uint64),
+                          "worker": np.array([2], np.uint64),
+                          "v": np.array([2], np.int64)})
+    done = []
+
+    def dropper():
+        eng.drop_table(t._t.schema.name)
+        done.append(True)
+
+    th = threading.Thread(target=dropper)
+    th.start()
+    time.sleep(0.1)
+    assert not done                              # blocked on tx's lock
+    tx.commit()
+    th.join(timeout=5)
+    assert done
