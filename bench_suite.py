@@ -180,6 +180,8 @@ def bench_config3(n_packs: int, rng):
     gfn_raw = sc._fns[sig[0]][1]
     garrays = sc.d.arrays_pytree(["acct", "bal"])
     gconsts = GB.gid_consts(gplan)
+    biases = {"bal": jnp.uint64(
+        GB.chunk_plan(sc.d.seg.stats.fields.get("bal"))[1])}
     arrays, consts, overrides, valid, excl = margs
 
     def many(arrays, consts, overrides, valid, excl, garrays, gconsts,
@@ -191,7 +193,7 @@ def bench_config3(n_packs: int, rng):
                 if getattr(x, "dtype", None) == jnp.uint64 and x.ndim == 0
                 else x, consts)
             out = gfn_raw((arrays, c, overrides, valid, excl),
-                          garrays, gconsts)
+                          garrays, gconsts, biases)
             o = out["bal"]
             cg = o[0]
             chk = sum(x.sum(dtype=jnp.int64) if x.dtype != jnp.uint64

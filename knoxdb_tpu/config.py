@@ -43,14 +43,25 @@ def is_tpu() -> bool:
 
 
 # Pallas fused scan kernels (ops/pallas_scan.py): OPT-IN via
-# KNOX_PALLAS=1. Round-2 finding: the kernels compile and produce
+# KNOX_PALLAS=1. Round-2-early finding: the kernels compile and produce
 # bit-exact results on this harness's TPU (verified vs the XLA oracle),
-# but REPEAT executions of a Mosaic program are unstable through the
+# but REPEAT executions of a Mosaic program were unstable through the
 # version-skewed remote-compile relay (first run ok, second raises
 # INVALID_ARGUMENT and wedges the whole TPU session — every later
 # device_put in ANY process fails FAILED_PRECONDITION until the grant
-# recycles). Until the harness's libtpu pair is aligned, the default
-# path is the proven pure-XLA bitslice plan. Off-TPU the kernels run in
-# interpret mode (tests keep covering them).
+# recycles). Until re-validated, the default scan path is the proven
+# pure-XLA bitslice plan. Off-TPU the kernels run in interpret mode
+# (tests keep covering them).
 def use_pallas() -> bool:
     return os.environ.get("KNOX_PALLAS", "") == "1"
+
+
+# Pallas fused GROUP-BY kernel (ops/pallas_group.py): DEFAULT ON.
+# Round-2-late probe on this harness: Mosaic compiles in seconds,
+# repeat executions are stable (4/4 bit-exact vs the XLA factored
+# kernel, no grant wedge), and the VMEM-one-hot kernel measures
+# 1.27-1.29 G rows/s at G=1000 vs 0.50 G for the XLA factored path.
+# KNOX_NO_PALLAS_GROUP=1 reverts to pure XLA if a future libtpu pair
+# regresses.
+def use_pallas_group() -> bool:
+    return os.environ.get("KNOX_NO_PALLAS_GROUP", "") != "1"
