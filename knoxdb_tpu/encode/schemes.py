@@ -233,6 +233,22 @@ def _expand_bits(words):
     return bits.reshape(*words.shape[:-1], words.shape[-1] * 32)
 
 
+def decode_bitplanes_pair(planes, width: int):
+    """u32[P, w, N32] -> (lo u32[P, N], hi u32[P, N]) packed-domain value
+    halves. PURE u32 shift/or chains: the u64 variant's emulated ops
+    defeat XLA elementwise fusion and materialize ~w [P, N] passes
+    (TPU-profiled r2: 4.8 ms at [64, 65536] w=41, ~50x the fused
+    volume); native u32 chains fuse into one pass."""
+    P, w, n32 = planes.shape
+    lo = jnp.zeros((P, n32 * 32), jnp.uint32)
+    for p in range(min(width, 32)):
+        lo = lo | (_expand_bits(planes[:, p, :]) << jnp.uint32(p))
+    hi = jnp.zeros((P, n32 * 32), jnp.uint32)
+    for p in range(32, width):
+        hi = hi | (_expand_bits(planes[:, p, :]) << jnp.uint32(p - 32))
+    return lo, hi
+
+
 def decode_bitplanes_u64(planes, width: int):
     """u32[P, w, N32] -> u64[P, N] packed-domain values (emulated u64)."""
     P, w, n32 = planes.shape

@@ -255,9 +255,18 @@ def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
                 return ~m if kmode == FilterMode.NOT_IN else m
             return B.cmp_planes_rel(kmode, arrays["planes"], consts["rel"],
                                     width)
+        cs = consts.get("cs")
+        if mode in (FilterMode.IN, FilterMode.NOT_IN) and cs is not None \
+                and cs.shape[0] >= _IN_SORT_MIN_K:
+            # sort-membership: the K-way EQ sweep traces O(K*width) graph
+            # ops — a 2048-key IN list took >10 min to COMPILE. One
+            # merged co-sort is a fixed-shape program for any K.
+            vlo, vhi = group_decode_halves(g_sig, arrays, W)
+            m = membership_words(vlo, vhi, cs)
+            return ~m if mode == FilterMode.NOT_IN else m
         return B.match_planes(mode, arrays["planes"], arrays["min_keys"],
                               width, lo=consts.get("lo"), hi=consts.get("hi"),
-                              cs=consts.get("cs"))
+                              cs=cs)
 
     if scheme == Scheme.DICT:
         if "dict_mask" in consts:
@@ -434,6 +443,51 @@ def group_decode_keys(g_sig: tuple, arrays: dict, W: int):
             return onehot_lookup_u64(codes, dv)
         return jnp.take_along_axis(dv, codes, axis=1)
     raise ValueError(f"group_decode_keys: {scheme}")
+
+
+_IN_SORT_MIN_K = 17    # below this the K-way EQ plane sweep is cheaper
+
+
+def membership_words(vlo, vhi, keys):
+    """Packed membership mask (rows whose value is in `keys`) via ONE
+    merged co-sort over [rows ∪ keys] (exec/join._probe_bounds_merged):
+    a row is a member iff its (lo, hi) key-rank bounds differ. Fixed-
+    shape program for any K — the alternative K-way EQ plane sweep
+    traces O(K*width) graph ops and took >10 min to COMPILE at K=2048
+    (r2 measured)."""
+    from .join import _probe_bounds_merged
+    Pg, N = vlo.shape
+    kh = jax.lax.bitcast_convert_type(keys, jnp.uint32)     # [K, 2]
+    lo, hi = _probe_bounds_merged(kh[:, 1], kh[:, 0],
+                                  vhi.reshape(-1), vlo.reshape(-1))
+    mem = (hi > lo).reshape(Pg, N // 32, 32)
+    return (mem.astype(jnp.uint32)
+            << jnp.arange(32, dtype=jnp.uint32)).sum(
+                axis=2, dtype=jnp.uint32)
+
+
+def group_decode_halves(g_sig: tuple, arrays: dict, W: int):
+    """Decode a NARROW group to VALUE-domain u32 half pairs
+    (lo u32[Pg, N], hi u32[Pg, N]). BITPACK/ALP stay entirely in u32
+    (decode_bitplanes_pair + carry-add of per-pack mins): the
+    emulated-u64 decode chain defeats XLA elementwise fusion and cost
+    4.8 ms at [64, 65536] w=41 (TPU-profiled r2) vs ~0.2 ms for the
+    fused u32 chains. Other schemes decode u64 (trusted add/cumsum ops)
+    and split via bitcast."""
+    scheme = Scheme(g_sig[0])
+    width = g_sig[1]
+    from ..encode import schemes as S
+    if scheme in (Scheme.BITPACK, Scheme.ALP):
+        lo, hi = S.decode_bitplanes_pair(arrays["planes"], width)
+        mh = jax.lax.bitcast_convert_type(arrays["min_keys"], jnp.uint32)
+        ml = mh[:, 0][:, None]
+        lo2 = lo + ml
+        carry = (lo2 < ml).astype(jnp.uint32)   # unsigned wrap <=> carry
+        hi2 = hi + mh[:, 1][:, None] + carry
+        return lo2, hi2
+    keys = group_decode_keys(g_sig, arrays, W)
+    h = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+    return h[..., 0], h[..., 1]
 
 
 def group_decode_limbs(g_sig: tuple, arrays: dict, W: int):

@@ -212,10 +212,16 @@ def row_gids(mode_tags: tuple, gsigs: tuple, gidxs: tuple,
             gid = jnp.where(below, jnp.int32(-1), gid)
         elif tag == "range":
             gmin = gconsts[gi]
-            keys = D.group_decode_keys(gsig, arrs, W)
-            diff = keys - gmin
-            inb = (keys >= gmin) & (diff < jnp.uint64(1 << 31))
-            gid = jnp.where(inb, diff.astype(jnp.int32), jnp.int32(-1))
+            # u32 borrow arithmetic on decoded halves — the u64 decode
+            # chain is fusion-hostile (TPU-profiled r2). keys < gmin
+            # wraps diff_hi to nonzero, so inb covers both bounds.
+            lo, hi = D.group_decode_halves(gsig, arrs, W)
+            gh = jax.lax.bitcast_convert_type(gmin, jnp.uint32)
+            diff_lo = lo - gh[0]
+            borrow = (lo < gh[0]).astype(jnp.uint32)
+            diff_hi = hi - gh[1] - borrow
+            inb = (diff_hi == 0) & (diff_lo < jnp.uint32(1 << 31))
+            gid = jnp.where(inb, diff_lo.astype(jnp.int32), jnp.int32(-1))
         else:
             keys = D.group_decode_keys(gsig, arrs, W)
             gid = jnp.searchsorted(gconsts[gi], keys).astype(jnp.int32)
@@ -479,6 +485,25 @@ _MXU_H = 128         # factored hi-bin count = MXU output tile rows
 _MXU_FTILE = int(__import__("os").environ.get("KNOX_MXU_FTILE", "65536"))
 
 
+def _value_halves(value_keys, bias):
+    """(lo, hi) u32 value halves with the chunk_plan bias subtracted.
+    Accepts either a (lo, hi) u32 pair (exec/device.group_decode_halves
+    — the fused u32 decode path) or a u64 array (bitcast-split). The
+    bias subtract runs in u32 borrow arithmetic: emulated u64 subtract
+    chains are fusion-hostile on this stack (CLAUDE.md x64 hazard)."""
+    if isinstance(value_keys, tuple):
+        vlo, vhi = value_keys
+    else:
+        h = jax.lax.bitcast_convert_type(value_keys, jnp.uint32)
+        vlo, vhi = h[..., 0], h[..., 1]
+    if bias is not None:
+        bh = jax.lax.bitcast_convert_type(bias, jnp.uint32)
+        lo2 = vlo - bh[0]
+        borrow = (vlo < bh[0]).astype(jnp.uint32)
+        vlo, vhi = lo2, vhi - bh[1] - borrow
+    return vlo, vhi
+
+
 def chunk_plan(fstats) -> tuple[int, int]:
     """(n_chunks, bias) for the MXU group kernels from a column's zone
     maps: values rebased by `bias` fit n_chunks*8 bits, so the one-hot
@@ -529,8 +554,9 @@ def _group_mxu_factored(gids, mask_words, value_keys, G: int,
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)
     gid = jnp.where(ok, gids, SENT).reshape(-1)
-    vk = value_keys if bias is None else value_keys - bias
-    v = jnp.where(ok, vk, jnp.uint64(0)).reshape(-1)
+    vlo, vhi = _value_halves(value_keys, bias)
+    vlo = jnp.where(ok, vlo, jnp.uint32(0)).reshape(-1)
+    vhi = jnp.where(ok, vhi, jnp.uint32(0)).reshape(-1)
 
     n = gid.shape[0]
     T = min(_MXU_FTILE, n)
@@ -538,21 +564,22 @@ def _group_mxu_factored(gids, mask_words, value_keys, G: int,
     pad = B * T - n
     if pad:
         gid = jnp.concatenate([gid, jnp.full(pad, SENT, jnp.int32)])
-        v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint64)])
+        vlo = jnp.concatenate([vlo, jnp.zeros(pad, jnp.uint32)])
+        vhi = jnp.concatenate([vhi, jnp.zeros(pad, jnp.uint32)])
     gm = gid.reshape(B, T)
-    vm = v.reshape(B, T)
+    vlom = vlo.reshape(B, T)
+    vhim = vhi.reshape(B, T)
     hrange = jnp.arange(H, dtype=jnp.int32)
     lrange = jnp.arange(L, dtype=jnp.int32)
 
     def step(carry, xs):
-        g_t, v_t = xs
+        g_t, vlo_t, vhi_t = xs
         # chunk matrix built IN the body from 12 B/row of inputs — the
         # [T, L*NC] expansion is elementwise and can fuse into the
         # matmul's operand load
-        halves = jax.lax.bitcast_convert_type(v_t, jnp.uint32)  # [T, 2]
         cols = []
         for c in range(C):
-            h = halves[:, c // 4]
+            h = vlo_t if c < 4 else vhi_t
             cols.append(((h >> jnp.uint32(8 * (c % 4)))
                          & jnp.uint32(0xFF)).astype(jnp.bfloat16))
         cols.append(jnp.ones(g_t.shape, jnp.bfloat16))      # count col
@@ -571,7 +598,7 @@ def _group_mxu_factored(gids, mask_words, value_keys, G: int,
     # under shard_map (see group_aggregate_mxu)
     vzero = gm[0, 0].astype(jnp.uint64) & jnp.uint64(0)
     acc0 = jnp.zeros((H, L * NC), jnp.uint64) + vzero
-    acc, _ = jax.lax.scan(step, acc0, (gm, vm))
+    acc, _ = jax.lax.scan(step, acc0, (gm, vlom, vhim))
     acc3 = acc.reshape(H, L, NC)
     counts = acc3[:, :, C].reshape(H * L)[:G].astype(jnp.int64)
     chunks = tuple(acc3[:, :, c].reshape(H * L)[:G] for c in range(C))
@@ -597,10 +624,10 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)
     gid = jnp.where(ok, gids, SENT).reshape(-1).astype(jnp.int32)
-    vk = value_keys if bias is None else value_keys - bias
-    v = jnp.where(ok, vk, jnp.uint64(0)).reshape(-1)
-    halves = jax.lax.bitcast_convert_type(v, jnp.uint32)   # [n, 2]
-    parts = PG.fused_group_partials(gid, halves[:, 0], halves[:, 1], G,
+    vlo, vhi = _value_halves(value_keys, bias)
+    vlo = jnp.where(ok, vlo, jnp.uint32(0)).reshape(-1)
+    vhi = jnp.where(ok, vhi, jnp.uint32(0)).reshape(-1)
+    parts = PG.fused_group_partials(gid, vlo, vhi, G,
                                     L, shift, n_chunks=C,
                                     interpret=not is_tpu())
     acc = parts.astype(jnp.uint32).astype(jnp.uint64).sum(axis=0)
@@ -638,13 +665,15 @@ def group_aggregate_mxu(gids, mask_words, value_keys, G: int,
 
     For G >= _MXU_FACTORED_MIN_G the two-level factored kernel
     (_group_mxu_factored) moves ~5x less HBM traffic and takes over;
-    under KNOX_PALLAS=1 (and outside shard_map — callers pass
-    allow_pallas=False there) the Pallas VMEM-one-hot kernel replaces
-    it (ops/pallas_group.py).
+    by DEFAULT (config.use_pallas_group; KNOX_NO_PALLAS_GROUP=1 kills)
+    the Pallas VMEM-one-hot kernel replaces it outside shard_map —
+    callers pass allow_pallas=False there (Mosaic under shard_map is
+    untested on this stack). TPU-measured r2: Pallas 1.27-1.29 G
+    rows/s vs 0.50 G XLA factored at G=1000, 4.2M rows.
     """
     if G >= _MXU_FACTORED_MIN_G:
-        from ..config import use_pallas
-        if allow_pallas and use_pallas():
+        from ..config import use_pallas_group
+        if allow_pallas and use_pallas_group():
             return _group_pallas(gids, mask_words, value_keys, G,
                                  n_chunks, bias)
         return _group_mxu_factored(gids, mask_words, value_keys, G,
@@ -653,8 +682,9 @@ def group_aggregate_mxu(gids, mask_words, value_keys, G: int,
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)
     gid = jnp.where(ok, gids, G).reshape(-1)          # bin G never one-hots
-    vk = value_keys if bias is None else value_keys - bias
-    v = jnp.where(ok, vk, jnp.uint64(0)).reshape(-1)
+    vlo, vhi = _value_halves(value_keys, bias)
+    vlo = jnp.where(ok, vlo, jnp.uint32(0)).reshape(-1)
+    vhi = jnp.where(ok, vhi, jnp.uint32(0)).reshape(-1)
 
     n = gid.shape[0]
     T = min(_MXU_TILE, n)
@@ -662,14 +692,14 @@ def group_aggregate_mxu(gids, mask_words, value_keys, G: int,
     pad = B * T - n
     if pad:
         gid = jnp.concatenate([gid, jnp.full(pad, G, jnp.int32)])
-        v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint64)])
+        vlo = jnp.concatenate([vlo, jnp.zeros(pad, jnp.uint32)])
+        vhi = jnp.concatenate([vhi, jnp.zeros(pad, jnp.uint32)])
 
-    # [B, T, C+1] bf16 byte matrix (u32 halves via bitcast — no emulated
-    # 64-bit shifts) + a count column
-    halves = jax.lax.bitcast_convert_type(v, jnp.uint32)      # [n, 2]
+    # [B, T, C+1] bf16 byte matrix (u32 half words — no emulated
+    # 64-bit shifts anywhere) + a count column
     chunks = []
     for c in range(C):
-        h = halves[:, c // 4]
+        h = vlo if c < 4 else vhi
         chunks.append(((h >> jnp.uint32(8 * (c % 4)))
                        & jnp.uint32(0xFF)).astype(jnp.bfloat16))
     chunks.append(jnp.where(gid < G, jnp.bfloat16(1), jnp.bfloat16(0)))

@@ -264,11 +264,24 @@ class SegmentScanner:
                                    garrays[group_field], gconsts, d.W)
                 out = {}
                 for f in agg_fields:
+                    # MXU kernels take fused u32 half pairs (the
+                    # emulated-u64 decode chain costs ~5 ms/4.2M rows,
+                    # TPU-profiled r2); the sort kernel takes u64 keys
+                    dec_one = (D.group_decode_halves if use_mxu
+                               else D.group_decode_keys)
                     if len(agg_sigs[f]) == 1 and \
                             agg_sigs[f][0][1][-1] == d.P:
                         gi_, gsig_, _ = agg_sigs[f][0]
-                        dec = D.group_decode_keys(gsig_, garrays[f][gi_],
-                                                  d.W)
+                        dec = dec_one(gsig_, garrays[f][gi_], d.W)
+                    elif use_mxu:
+                        lo = jnp.zeros((d.P, d.N), jnp.uint32)
+                        hi = jnp.zeros((d.P, d.N), jnp.uint32)
+                        for gi_, gsig_, gidx_ in agg_sigs[f]:
+                            l_, h_ = D.group_decode_halves(
+                                gsig_, garrays[f][gi_], d.W)
+                            lo = lo.at[gidx_].set(l_)
+                            hi = hi.at[gidx_].set(h_)
+                        dec = (lo, hi)
                     else:
                         dec = jnp.zeros((d.P, d.N), jnp.uint64)
                         for gi_, gsig_, gidx_ in agg_sigs[f]:

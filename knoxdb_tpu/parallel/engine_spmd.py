@@ -195,15 +195,19 @@ class ShardedScanner(SegmentScanner):
                 out = {}
                 for f in agg_fields:
                     gi_, gsig_, _ = agg_sigs[f][0]
-                    dec = D.group_decode_keys(gsig_, garrays[f][gi_], W)
                     if use_mxu:
                         # allow_pallas=False: Mosaic programs under
                         # shard_map are untested on this stack; the
-                        # SPMD path stays pure-XLA
+                        # SPMD path stays pure-XLA (u32 half-pair
+                        # decode, same as single-chip)
+                        dec = D.group_decode_halves(gsig_,
+                                                    garrays[f][gi_], W)
                         out[f] = GB.group_aggregate_mxu(
                             gids, mask, dec, gplan.G, allow_pallas=False,
                             n_chunks=cplan[f][0], bias=biases[f])
                     else:
+                        dec = D.group_decode_keys(gsig_,
+                                                  garrays[f][gi_], W)
                         out[f] = GB.group_aggregate(gids, mask, dec,
                                                     gplan.G)
                 return out

@@ -44,9 +44,9 @@ def test_pallas_group_matches_oracle(rng, G, P, N):
 
 
 def test_pallas_group_dispatch(rng, monkeypatch):
-    """KNOX_PALLAS=1 routes group_aggregate_mxu through the Pallas kernel
-    for factored-range G; allow_pallas=False keeps the XLA path."""
-    monkeypatch.setenv("KNOX_PALLAS", "1")
+    """The default dispatch routes group_aggregate_mxu through the Pallas
+    kernel for factored-range G; allow_pallas=False keeps the XLA path."""
+    monkeypatch.delenv("KNOX_NO_PALLAS_GROUP", raising=False)
     G, P, N = 512, 2, 4096
     gids = rng.integers(0, G, (P, N)).astype(np.int32)
     vals = rng.integers(0, 1 << 40, (P, N), dtype=np.uint64)
