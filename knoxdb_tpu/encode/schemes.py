@@ -27,6 +27,7 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -233,35 +234,73 @@ def _expand_bits(words):
     return bits.reshape(*words.shape[:-1], words.shape[-1] * 32)
 
 
+_T32_MASKS = (0x0000FFFF, 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555)
+
+
+def _bit_transpose32(x):
+    """u32[..., 32, W] -> u32[..., 32, W]: transpose each 32x32 bit block
+    (axis -2 indexes the 32 words, W vectorizes). Hacker's Delight
+    transpose32 with the row loop turned into reshaped tensor halves —
+    5 masked exchange passes total, each a full-array elementwise op."""
+    j = 16
+    for m in _T32_MASKS:
+        sh = x.shape
+        xr = x.reshape(*sh[:-2], 32 // (2 * j), 2, j, sh[-1])
+        a = xr[..., 0, :, :]
+        b = xr[..., 1, :, :]
+        t = (a ^ (b >> jnp.uint32(j))) & jnp.uint32(m)
+        x = jnp.stack([a ^ t, b ^ (t << jnp.uint32(j))],
+                      axis=-3).reshape(sh)
+        j //= 2
+    return x
+
+
 def decode_bitplanes_pair(planes, width: int):
     """u32[P, w, N32] -> (lo u32[P, N], hi u32[P, N]) packed-domain value
-    halves. PURE u32 shift/or chains: the u64 variant's emulated ops
-    defeat XLA elementwise fusion and materialize ~w [P, N] passes
-    (TPU-profiled r2: 4.8 ms at [64, 65536] w=41, ~50x the fused
-    volume); native u32 chains fuse into one pass."""
+    halves via 32x32 BIT-MATRIX TRANSPOSE: plane word b of rows
+    32k..32k+31 is row b of a bit matrix whose transpose's row i IS the
+    value word of row 32k+i. 5 masked exchange passes + one final
+    relayout replace the per-plane expand/or chain, which XLA refuses
+    to fuse (measured r2: 4.8 ms at [64, 65536] w=41 — every plane step
+    materialized — vs ~0.5 ms transposed)."""
     P, w, n32 = planes.shape
-    lo = jnp.zeros((P, n32 * 32), jnp.uint32)
-    for p in range(min(width, 32)):
-        lo = lo | (_expand_bits(planes[:, p, :]) << jnp.uint32(p))
-    hi = jnp.zeros((P, n32 * 32), jnp.uint32)
-    for p in range(32, width):
-        hi = hi | (_expand_bits(planes[:, p, :]) << jnp.uint32(p - 32))
+
+    def tr(block32):
+        # HD transpose32 is the ANTI-transpose (T[i] bit b = M[31-b]
+        # bit (31-i)); flipping the 32-axis on both sides straightens it
+        t = _bit_transpose32(block32[:, ::-1, :])[:, ::-1, :]
+        return t.transpose(0, 2, 1).reshape(P, n32 * 32)
+
+    def pad32(arr):
+        k = 32 - arr.shape[1]
+        if k:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((P, k, n32), jnp.uint32)], axis=1)
+        return arr
+
+    lo = tr(pad32(planes[:, :min(width, 32)]))
+    if width > 32:
+        hi = tr(pad32(planes[:, 32:width]))
+    else:
+        hi = jnp.zeros((P, n32 * 32), jnp.uint32)
     return lo, hi
 
 
 def decode_bitplanes_u64(planes, width: int):
-    """u32[P, w, N32] -> u64[P, N] packed-domain values (emulated u64)."""
-    P, w, n32 = planes.shape
-    assert w == max(width, 1)
-    out = jnp.zeros((P, n32 * 32), dtype=jnp.uint64)
-    for p in range(width):
-        bit = _expand_bits(planes[:, p, :]).astype(jnp.uint64)
-        out = out | (bit << jnp.uint64(p))
-    return out
+    """u32[P, w, N32] -> u64[P, N] packed-domain values (transpose
+    decode + one bitcast combine — no emulated u64 shifts)."""
+    lo, hi = decode_bitplanes_pair(planes, width)
+    return jax.lax.bitcast_convert_type(
+        jnp.stack([lo, hi], axis=-1), jnp.uint64)
 
 
 def decode_bitplanes_u32(planes, width: int):
-    """Like decode_bitplanes_u64 but stays in u32 (width <= 32)."""
+    """Like decode_bitplanes_u64 but stays in u32 (width <= 32). Small
+    widths keep the expand/or chain (padding to a 32-plane transpose
+    costs more than the short chain); wider ones transpose."""
+    if width > 8:
+        lo, _ = decode_bitplanes_pair(planes, width)
+        return lo
     P, w, n32 = planes.shape
     out = jnp.zeros((P, n32 * 32), dtype=jnp.uint32)
     for p in range(width):

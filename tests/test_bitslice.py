@@ -120,3 +120,34 @@ def test_match_planes_dispatch(rng):
                        cs=jnp.asarray(np.array([int(vals[0, 0])], np.uint64)))
     want = vals != vals[0, 0]
     np.testing.assert_array_equal(np.asarray(bs.unpack_mask(m)), want)
+
+
+def test_transpose_decode_all_widths(rng):
+    """32x32 bit-matrix transpose decode == per-plane oracle for every
+    width class (1..64), including the 32/33 split edges."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.encode import schemes as S
+    P, N = 3, 256
+    for width in (1, 5, 8, 9, 12, 31, 32, 33, 41, 63, 64):
+        vals = rng.integers(0, 1 << 62, (P, N), dtype=np.uint64)
+        if width < 64:
+            vals &= np.uint64((1 << width) - 1)
+        planes = np.zeros((P, max(width, 1), N // 32), np.uint32)
+        for p in range(width):
+            for pk in range(P):
+                bits = ((vals[pk] >> np.uint64(p)) & np.uint64(1)) \
+                    .astype(np.uint32)
+                planes[pk, p] = (bits.reshape(-1, 32)
+                                 << np.arange(32, dtype=np.uint32)).sum(
+                                     axis=1, dtype=np.uint32)
+        pj = jnp.asarray(planes)
+        lo, hi = S.decode_bitplanes_pair(pj, width)
+        got = np.asarray(lo).astype(np.uint64) \
+            | (np.asarray(hi).astype(np.uint64) << np.uint64(32))
+        np.testing.assert_array_equal(got, vals, err_msg=f"w={width}")
+        np.testing.assert_array_equal(
+            np.asarray(S.decode_bitplanes_u64(pj, width)), vals)
+        if width <= 32:
+            np.testing.assert_array_equal(
+                np.asarray(S.decode_bitplanes_u32(pj, width)),
+                vals.astype(np.uint32))
