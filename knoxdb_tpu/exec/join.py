@@ -94,11 +94,20 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
             return np.arange(Nl, dtype=np.int64), np.full(Nl, -1, np.int64)
         return empty, empty
 
-    total = int(join_count_device(lkeys, rkeys, how))
+    # optimistic single pass: guess one match per probe row (exact for
+    # unique-build joins); join_pairs_core always returns the TRUE total
+    # even when cap truncates, so one retry with the right cap covers
+    # duplicate-heavy joins. Saves a whole count program + relay round
+    # trip vs the two-phase count-then-materialize flow.
+    cap = 1 << max(0, (Nl - 1).bit_length())
+    while True:
+        lidx, ridx, total_d = join_pairs_core(lkeys, rkeys, cap, how)
+        total = int(total_d)
+        if total <= cap:
+            break
+        cap = 1 << (total - 1).bit_length()
     if total == 0:
         return empty, empty
-    cap = 1 << max(0, (total - 1).bit_length())
-    lidx, ridx, _ = join_pairs_core(lkeys, rkeys, cap, how)
     lidx_np = np.asarray(lidx)
     ridx_np = np.asarray(ridx)
     keep = lidx_np != -2
