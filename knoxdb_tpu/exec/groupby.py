@@ -471,7 +471,7 @@ def group_ts_runs(gids, mask_words, ts_keys, val_keys, G: int, bias):
             i_min, i_max, i_n, i_sum, i_sumsq)
 
 
-MXU_MAX_G = 4096     # one-hot matmul path: beyond this the sort path
+MXU_MAX_G = 16384    # one-hot matmul path: beyond this the sort path
 #                      wins (one-hot traffic is G bytes/row)
 _MXU_TILE = 8192     # rows per matmul step (15 * tile < 2^31: i32-exact;
 #                      bigger tiles amortize the scan-step overhead)
@@ -618,6 +618,11 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
     L = 1
     while PG.H_BINS * L < G:
         L <<= 1
+    if L > 32:
+        # m2 would be [8, L*(C+1), 1024] bf16 > ~7 MB in VMEM; the XLA
+        # factored kernel streams the same shape from HBM instead
+        return _group_mxu_factored(gids, mask_words, value_keys, G,
+                                   n_chunks, bias)
     shift = L.bit_length() - 1
     SENT = PG.H_BINS * L
 

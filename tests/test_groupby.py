@@ -254,3 +254,23 @@ def test_chunk_plan_and_bias(rng):
         got = [s + b * int(cc) for s, cc in
                zip(GB.mxu_chunk_sums(chunks), np.asarray(c2))]
         assert got == want, f"G={G}"
+
+
+def test_mxu_factored_high_g(rng):
+    """G in (4096, 16384]: the factored MXU path (Pallas falls back to
+    XLA above L=32) must match the sort kernel."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec import groupby as GB
+    from knoxdb_tpu.ops import bitset as bs
+    P, N, G = 2, 4096, 8192
+    gids = jnp.asarray(rng.integers(-1, G + 2, (P, N)).astype(np.int32))
+    vals = rng.integers(0, 1 << 50, (P, N), dtype=np.uint64)
+    vals_j = jnp.asarray(vals)
+    mask = rng.random((P, N)) < 0.8
+    mw = jnp.asarray(np.stack([bs.np_pack_mask(mask[p]) for p in range(P)]))
+    c1, lo1, hi1, _, _ = GB.group_aggregate(gids, mw, vals_j, G)
+    c2, chunks, _, _ = GB.group_aggregate_mxu(gids, mw, vals_j, G)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    s1 = [int(l) + (int(h) << 32) for l, h in zip(np.asarray(lo1),
+                                                  np.asarray(hi1))]
+    assert s1 == GB.mxu_chunk_sums(chunks)
