@@ -1,4 +1,4 @@
-"""Driver-runnable bench suite for BASELINE.json configs #2-#5.
+"""Driver-runnable bench suite for BASELINE.json configs #2-#5 + a #6 series-reducer config.
 
 One JSON line per config (same shape as bench.py's line). Marginal
 timing method throughout where the op runs fully on device (see
@@ -325,12 +325,118 @@ def bench_config5(n_packs: int, rng):
     marg = _marginal(run, k_hi=17)
     _emit("device_join_rows_per_s", (nl + nr) / marg, 11e9)
 
+    # --- pk-join fast path: unique build side (2 sorts + 2 fills vs the
+    # general core's ~7 sorts) — the common FK -> pk join shape
+    from knoxdb_tpu.exec.join import join_pairs_core_unique
+    rku = rng.permutation(np.arange(nr, dtype=np.uint64) * np.uint64(2))
+    liu, riu, tot_u, dup_u = join_pairs_core_unique(
+        jnp.asarray(lkeys), jnp.asarray(rku), JoinType.INNER)
+    wantu = join_keys_np(lkeys, rku, JoinType.INNER)
+    liu_np, riu_np = np.asarray(liu), np.asarray(riu)
+    keep = liu_np != -2
+    assert int(tot_u) == wantu.n and not bool(dup_u), "config5u total"
+    assert (lkeys[liu_np[keep]] == rku[riu_np[keep]]).all(), \
+        "config5u pairs mismatch"
+
+    def many_u(lk, rk, idxs):
+        def body(acc, i):
+            lidx, ridx, total, dups = join_pairs_core_unique(
+                lk + i, rk + i, JoinType.INNER)
+            chk = lidx.astype(jnp.int64).sum() + ridx.astype(
+                jnp.int64).sum()
+            return acc + chk + total + dups.astype(jnp.int64), None
+        out, _ = jax.lax.scan(body, jnp.int64(0), idxs)
+        return out
+
+    gu = jax.jit(many_u)
+    rku_d = jnp.asarray(rku)
+
+    def run_u(k):
+        return int(gu(lk, rku_d, jnp.arange(k, dtype=jnp.uint64)))
+
+    run_u(1)
+    marg_u = _marginal(run_u, k_hi=17)
+    _emit("device_join_unique_rows_per_s", (nl + nr) / marg_u, 11e9)
+
+
+def bench_config6(n_packs: int, rng):
+    """Time-bucketed series moments (mean/var partials) over 1024
+    buckets — the reference's streaming reducer surface
+    (internal/reducer/reducer.go:24-48) as one fused device program."""
+    import jax
+    import jax.numpy as jnp
+
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import SegmentScanner
+    from knoxdb_tpu.exec import groupby as GB
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+
+    n = PACK * n_packs
+    G = 1024
+    t0_, iv = 1_000_000, 64
+    sch = (Builder("c6").pk("id")
+           .add("ts", FieldType.UINT64)
+           .add("val", FieldType.INT64)
+           .finish())
+    ts = (t0_ + rng.integers(0, G * iv, n)).astype(np.uint64)
+    val = rng.integers(-1 << 30, 1 << 30, n)
+    seg = build_segment(sch, {"id": np.arange(1, n + 1, dtype=np.uint64),
+                              "ts": ts, "val": val}, pack_size=PACK)
+    sc = SegmentScanner(DeviceSegment(seg))
+    gplan = GB.plan_buckets(sc.d, "ts", t0_, iv, G)
+
+    out = sc.series_scan(None, "ts", {"val": ("moments",)}, gplan)
+    nb, sm, _sq = out[("val", "moments")]
+    w_cnt = np.bincount(((ts - t0_) // iv).astype(np.int64), minlength=G)
+    assert (np.asarray(nb) == w_cnt).all(), "config6 bucket counts"
+    w_sum = np.bincount(((ts - t0_) // iv).astype(np.int64),
+                        weights=val.astype(np.float64), minlength=G)
+    assert np.allclose(np.asarray(sm), w_sum, rtol=1e-9), "config6 sums"
+
+    sig = [s for s in sc._fns if isinstance(s, tuple) and s[0] == "series"]
+    sfn_raw = sc._fns[sig[0]][1]
+    _fn, margs, _raw = sc.prepare(None, [])
+    garrays = sc.d.arrays_pytree(["ts", "val"])
+    gconsts = GB.gid_consts(gplan)
+    arrays, consts, overrides, valid, excl = margs
+
+    def many(arrays, consts, overrides, valid, excl, garrays, gconsts,
+             idxs):
+        def body(acc, i):
+            # shift the bucket origin every other iteration: real result
+            # variance defeats loop hoisting of the scan body
+            sh = (i % jnp.int32(2)).astype(jnp.uint64) * jnp.uint64(iv)
+            g2 = [(c[0] - sh, c[1]) if isinstance(c, tuple) else c
+                  for c in gconsts]
+            out = sfn_raw((arrays, consts, overrides, valid, excl),
+                          garrays, g2)
+            nb, sm, sq = out[("val", "moments")]
+            return (acc[0] + nb.sum(),
+                    acc[1] + sm.sum() + sq.sum() + i.astype(jnp.float64)), \
+                None
+        out, _ = jax.lax.scan(body, (jnp.int64(0), jnp.float64(0)), idxs)
+        return out
+
+    g = jax.jit(many)
+
+    def run(k):
+        o = g(arrays, consts, overrides, valid, excl, garrays, gconsts,
+              jnp.arange(k, dtype=jnp.int32))
+        return int(o[0]), float(o[1])
+
+    run(1)
+    marg = _marginal(run, k_hi=33)
+    _emit("series_bucket_moments_rows_per_s", n / marg, 11e9)
+
 
 def main():
     import argparse
     ap = argparse.ArgumentParser("bench_suite")
     ap.add_argument("configs", nargs="?",
-                    default=os.environ.get("KNOX_BENCH_CONFIGS", "2,3,4,5"),
+                    default=os.environ.get("KNOX_BENCH_CONFIGS",
+                                           "2,3,4,5,6"),
                     help="comma list of configs to run, e.g. 3,5")
     ap.add_argument("--packs", type=int,
                     default=int(os.environ.get("KNOX_BENCH_PACKS", 64)))
@@ -341,7 +447,8 @@ def main():
     for w in which:
         t0 = time.perf_counter()
         {"2": bench_config2, "3": bench_config3,
-         "4": bench_config4, "5": bench_config5}[w.strip()](n_packs, rng)
+         "4": bench_config4, "5": bench_config5,
+         "6": bench_config6}[w.strip()](n_packs, rng)
         print(f"# config {w} done in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
 

@@ -436,10 +436,10 @@ class SegmentScanner:
                             jnp.uint64(bias))
                 return out
 
-            sfn = jax.jit(sf)
+            sfn = (jax.jit(sf), sf)     # (jit, raw) like the scan plans
             self._fns[sig] = sfn
 
-        out = sfn(margs, garrays, gconsts)
+        out = sfn[0](margs, garrays, gconsts)
         return {k: tuple(np.asarray(a) for a in v) for k, v in out.items()}
 
     # ------------------------------------------------------- compilation --
