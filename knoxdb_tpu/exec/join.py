@@ -71,7 +71,8 @@ def join_keys_np(lkeys: np.ndarray, rkeys: np.ndarray,
     return JoinResult(np.asarray(lidx, np.int64), np.asarray(ridx, np.int64))
 
 
-def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
+def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER,
+                      unique_build: bool = False
                       ) -> tuple[np.ndarray, np.ndarray]:
     """Device sort-probe join with duplicate expansion.
 
@@ -81,7 +82,13 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
     two-phase: count matches per probe row on device, fetch the scalar
     total, then materialize pairs at a static pow2 cap — gather-free
     co-sorts only (no [rows]-scale host fetch; reference merge-join
-    semantics, join.go:536-556)."""
+    semantics, join.go:536-556).
+
+    unique_build=True (build keys guaranteed unique — e.g. join on the
+    build table's pk) takes join_pairs_core_unique: 2 sorts + 2 forward
+    fills instead of the general core's ~7 sorts, no expansion
+    machinery. A device-side duplicate check falls back to the general
+    core if the guarantee does not hold."""
     import jax.numpy as jnp
 
     Nl = int(lkeys.shape[0])
@@ -93,6 +100,19 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER
         if how == JoinType.LEFT:
             return np.arange(Nl, dtype=np.int64), np.full(Nl, -1, np.int64)
         return empty, empty
+
+    if unique_build:
+        lidx, ridx, total_d, dups_d = _unique_jit()(lkeys, rkeys, how=how)
+        if not bool(dups_d):
+            total = int(total_d)
+            if total == 0:
+                return empty, empty
+            lidx_np = np.asarray(lidx)
+            ridx_np = np.asarray(ridx)
+            keep = lidx_np != -2
+            return (lidx_np[keep].astype(np.int64),
+                    ridx_np[keep].astype(np.int64))
+        # stale uniqueness hint: fall through to the general core
 
     # optimistic single pass: guess one match per probe row (exact for
     # unique-build joins); join_pairs_core always returns the TRUE total
@@ -322,3 +342,93 @@ def join_pairs_core(lkeys, rkeys, cap: int,
         ridx0 = jnp.where((ic_slot >> 31) == 1, jnp.int32(-1), ridx0)
     ridx = jnp.where(valid, ridx0, jnp.int32(-2))
     return lidx, ridx, total.astype(jnp.int64)
+
+
+_UNIQUE_JIT = None
+
+
+def _unique_jit():
+    global _UNIQUE_JIT
+    if _UNIQUE_JIT is None:
+        import jax
+        _UNIQUE_JIT = jax.jit(join_pairs_core_unique,
+                              static_argnames=("how",))
+    return _UNIQUE_JIT
+
+
+def join_pairs_core_unique(lkeys, rkeys, how: JoinType = JoinType.INNER):
+    """Sort-probe join for a UNIQUE build side (e.g. joining on the
+    build table's pk): every probe has at most one match, so the dup-
+    expansion machinery (expansion sort + slot restore + rank merge +
+    restore — 5 of the general core's ~7 sorts) collapses to nothing.
+
+    TWO sorts + TWO forward fills total:
+
+      1. merged sort of (key, tag, original-id): builds sort BEFORE
+         probes of the same key (tag key), and each entry carries its
+         original row id as payload — the build id rides the sort, so
+         no rank->original-index translation pass is needed at all.
+      2. in merged order: key-run ids from run starts (cumsum); forward
+         fill (build id, build run-id) — two u32 fills with ALIGNED
+         sentinels (non-build positions), so both fill from the same
+         source row. A probe matches iff its filled run-id equals its
+         own run id (unique build => that run's single build).
+      3. restore sort to probe order (probes first by original id).
+
+    Returns (lidx i32[Nl], ridx i32[Nl], total i64, dup_builds bool) —
+    valid pairs INTERSPERSED (invalid rows -2, LEFT misses ridx -1),
+    callers filter. dup_builds=True means the uniqueness guarantee was
+    violated (a build key repeats): results then UNDERCOUNT matches and
+    the caller must re-run the general core.
+
+    Reference semantics: merge join join.go:536-556 restricted to its
+    unique-rhs case."""
+    import jax
+    import jax.numpy as jnp
+    Nl = lkeys.shape[0]
+    Nr = rkeys.shape[0]
+    M = Nl + Nr
+    assert Nl < (1 << 30) and Nr < (1 << 30)
+    left = how == JoinType.LEFT
+    SENT = jnp.uint32(0xFFFFFFFF)
+
+    rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)   # [Nr, 2]
+    lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)   # [Nl, 2]
+    kh = jnp.concatenate([rh[:, 1], lh[:, 1]])
+    kl = jnp.concatenate([rh[:, 0], lh[:, 0]])
+    tag = jnp.concatenate([jnp.zeros(Nr, jnp.uint32),
+                           jnp.ones(Nl, jnp.uint32)])
+    pid = jnp.concatenate([jnp.arange(Nr, dtype=jnp.uint32),
+                           jnp.arange(Nl, dtype=jnp.uint32)])
+    kh_s, kl_s, tag_s, pid_s = jax.lax.sort(
+        (kh, kl, tag, pid), dimension=0, num_keys=3)
+    is_b = tag_s == 0
+
+    pos0 = jnp.arange(M, dtype=jnp.uint32) == 0
+    start = pos0 | (kh_s != jnp.roll(kh_s, 1)) \
+        | (kl_s != jnp.roll(kl_s, 1))
+    seg = jnp.cumsum(start.astype(jnp.uint32))             # run id, >= 1
+    # unique-violation probe: a build NOT at its run start can only
+    # follow another build of the same key (builds sort first in-run)
+    dup_builds = (is_b & ~start).any()
+
+    fb = _fill_forward_last(jnp.where(is_b, pid_s, SENT), SENT)
+    fs = _fill_forward_last(jnp.where(is_b, seg, SENT), SENT)
+    match = (~is_b) & (fs == seg) & (fb != SENT)
+
+    # restore to probe order: probes first keyed by original id
+    key2 = jnp.where(is_b, SENT, pid_s)
+    _k2, mt_r, bid_r = jax.lax.sort(
+        (key2, match.astype(jnp.uint32), fb), dimension=0, num_keys=1)
+    mt = mt_r[:Nl] == 1
+    bid = bid_r[:Nl].astype(jnp.int32)
+    li = jnp.arange(Nl, dtype=jnp.int32)
+    if left:
+        lidx = li
+        ridx = jnp.where(mt, bid, jnp.int32(-1))
+        total = jnp.int64(Nl)
+    else:
+        lidx = jnp.where(mt, li, jnp.int32(-2))
+        ridx = jnp.where(mt, bid, jnp.int32(-2))
+        total = mt.sum(dtype=jnp.int64)
+    return lidx, ridx, total, dup_builds

@@ -619,6 +619,11 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
     with rt.engine.begin(read_only=True) as txr:
         rkeys, rpos, rview = rt.join_side(txr.snapshot, right._tree(), rf)
 
+    # joining on the build table's pk guarantees unique build keys: the
+    # 2-sort unique cores replace the ~7-sort general cores
+    rpk = rt.full_schema.pk
+    unique = rpk is not None and rf == rpk.name
+
     mesh = getattr(lt.engine, "mesh", None)
     if mesh is not None and getattr(rt.engine, "mesh", None) is mesh:
         # distributed path: salted all_to_all shuffle over the mesh
@@ -628,9 +633,10 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
         lidx, ridx, _stats = shuffle_join_rows(
             mesh, np.asarray(lkeys), np.asarray(rkeys),
             how="left" if how == JoinType.LEFT else "inner",
-            axis=mesh.axis_names[0])
+            axis=mesh.axis_names[0], unique_build=unique)
     else:
-        lidx, ridx = J.join_pairs_device(lkeys, rkeys, how)
+        lidx, ridx = J.join_pairs_device(lkeys, rkeys, how,
+                                         unique_build=unique)
 
     import jax.numpy as jnp
     lp = np.asarray(jnp.take(lpos, jnp.asarray(lidx, jnp.int32))) \

@@ -274,6 +274,104 @@ def _phase2(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
         out_specs=(P(axis),) * 6 + (P(),)))
 
 
+def _unique_local(lk, lp, lok, rk, rp, rok, how_left: bool):
+    """Local unique-build join on exchanged partitions (the distributed
+    analog of exec/join.join_pairs_core_unique): ONE merged sort
+    carrying build POSITION halves + ONE restore sort + flag fills —
+    replaces the general local core's ~7 sorts and needs no match-count
+    phase (output cap == probe partition length). Validity rides
+    separate channels (key sentinels collide with legal keys).
+
+    Returns (lpos i64[Nq], rpos i64[Nq], dup bool): -2 = dead slot,
+    LEFT misses rpos -1; dup=True if a VALID build key repeats (the
+    uniqueness hint failed — caller reruns the general path)."""
+    SENT32 = jnp.uint32(0xFFFFFFFF)
+    Nq = lk.shape[0]
+    Nb = rk.shape[0]
+    rhh = jax.lax.bitcast_convert_type(rk, jnp.uint32)
+    lhh = jax.lax.bitcast_convert_type(lk, jnp.uint32)
+    rp32 = jax.lax.bitcast_convert_type(rp, jnp.uint32)
+
+    inv = jnp.concatenate([(~rok).astype(jnp.uint32),
+                           (~lok).astype(jnp.uint32)])
+    kh = jnp.concatenate([rhh[:, 1], lhh[:, 1]])
+    kl = jnp.concatenate([rhh[:, 0], lhh[:, 0]])
+    tag = jnp.concatenate([jnp.zeros(Nb, jnp.uint32),
+                           jnp.ones(Nq, jnp.uint32)])
+    oid = jnp.concatenate([jnp.full(Nb, SENT32, jnp.uint32),
+                           jnp.arange(Nq, dtype=jnp.uint32)])
+    rpl = jnp.concatenate([rp32[:, 0], jnp.zeros(Nq, jnp.uint32)])
+    rph = jnp.concatenate([rp32[:, 1], jnp.zeros(Nq, jnp.uint32)])
+    inv_s, kh_s, kl_s, tag_s, oid_s, rpl_s, rph_s = jax.lax.sort(
+        (inv, kh, kl, tag, oid, rpl, rph), dimension=0, num_keys=4)
+
+    M = Nb + Nq
+    pos0 = jnp.arange(M, dtype=jnp.uint32) == 0
+    start = pos0 | (inv_s != jnp.roll(inv_s, 1)) \
+        | (kh_s != jnp.roll(kh_s, 1)) | (kl_s != jnp.roll(kl_s, 1))
+    seg = jnp.cumsum(start.astype(jnp.uint32))
+    is_vb = (tag_s == 0) & (inv_s == 0)
+    dup = (is_vb & ~start).any()
+
+    (rplf, rphf, segf), fflag = _fill_flag([rpl_s, rph_s, seg], is_vb)
+    match = (tag_s == 1) & (inv_s == 0) & fflag & (segf == seg)
+
+    key2 = jnp.where(tag_s == 1, oid_s, SENT32)
+    _k2, mt_r, rpl_r, rph_r = jax.lax.sort(
+        (key2, match.astype(jnp.uint32), rplf, rphf),
+        dimension=0, num_keys=1)
+    mt = mt_r[:Nq] == 1
+    rpo = jnp.stack([rpl_r[:Nq], rph_r[:Nq]], axis=-1)
+    rpos_j = jax.lax.bitcast_convert_type(rpo, jnp.int64)
+    if how_left:
+        lpos_out = jnp.where(lok, lp, jnp.int64(-2))
+        rpos_out = jnp.where(mt, rpos_j,
+                             jnp.where(lok, jnp.int64(-1), jnp.int64(-2)))
+    else:
+        lpos_out = jnp.where(mt, lp, jnp.int64(-2))
+        rpos_out = jnp.where(mt, rpos_j, jnp.int64(-2))
+    return lpos_out, rpos_out, dup
+
+
+def _phase23u(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
+              how_left: bool):
+    """Fused exchange + local unique join: ONE compiled program, no
+    match-count host round-trip (a unique build bounds pairs by the
+    probe partition length — static)."""
+    def local(lk, lv, rk, rv, heavy):
+        dev = jax.lax.axis_index(axis).astype(jnp.int64)
+        n_l, n_r = lk.shape[0], rk.shape[0]
+        lpos = jnp.arange(n_l, dtype=jnp.int64) + dev * n_l
+        rpos = jnp.arange(n_r, dtype=jnp.int64) + dev * n_r
+
+        bl = _bucket(lk, ndev)
+        br = _bucket(rk, ndev)
+        spread = ((jnp.arange(n_l, dtype=jnp.int32)
+                   + dev.astype(jnp.int32)) % jnp.int32(ndev))
+        dl = jnp.where(jnp.take(heavy, bl), spread, bl)
+        dl = jnp.where(lv, dl, jnp.int32(ndev + 1))
+        dr = jnp.where(jnp.take(heavy, br), jnp.int32(ndev), br)
+        dr = jnp.where(rv, dr, jnp.int32(ndev + 1))
+
+        lkb, lpb, lok = _bucketize(lk, lpos, lv, dl, ndev, cap_l, False)
+        rkb, rpb, rok = _bucketize(rk, rpos, rv, dr, ndev, cap_r, True)
+
+        lkx = jax.lax.all_to_all(lkb, axis, 0, 0).reshape(-1)
+        lpx = jax.lax.all_to_all(lpb, axis, 0, 0).reshape(-1)
+        lox = jax.lax.all_to_all(lok, axis, 0, 0).reshape(-1)
+        rkx = jax.lax.all_to_all(rkb, axis, 0, 0).reshape(-1)
+        rpx = jax.lax.all_to_all(rpb, axis, 0, 0).reshape(-1)
+        rox = jax.lax.all_to_all(rok, axis, 0, 0).reshape(-1)
+
+        lpo, rpo, dup = _unique_local(lkx, lpx, lox, rkx, rpx, rox,
+                                      how_left)
+        return lpo, rpo, jax.lax.pmax(dup.astype(jnp.int32), axis)
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P())))
+
+
 def _phase3(mesh: Mesh, axis: str, cap_m: int, how_left: bool):
     def local(lk, lp, lok, rk, rp, rok):
         # valid-first key-sorted build positions: rank r = r-th VALID
@@ -301,13 +399,21 @@ def _pow2(x: int) -> int:
 
 def shuffle_join_rows(mesh: Mesh, lkeys, rkeys, how: str = "inner",
                       axis: str = "shards",
-                      skew_factor: float = SKEW_FACTOR):
+                      skew_factor: float = SKEW_FACTOR,
+                      unique_build: bool = False):
     """Distributed equi-join returning matched GLOBAL ROW PAIRS.
 
     lkeys/rkeys: u64 numpy (or device) arrays — row i is global index i.
     Returns (lidx i64[M], ridx i64[M], stats). LEFT misses emit
     ridx == -1. Skew never raises: heavy buckets salt the probe side and
-    replicate the build side."""
+    replicate the build side.
+
+    unique_build=True (globally unique build keys, e.g. a pk join; the
+    per-device partitions inherit uniqueness — a key lives in one
+    bucket, and heavy replication places one copy per device) fuses
+    exchange + local join into ONE program with no match-count
+    round-trip; a device-side dup check falls back to the general
+    path."""
     ndev = mesh.shape[axis]
     how_left = how == "left"
     nl, nr = len(lkeys), len(rkeys)
@@ -341,13 +447,24 @@ def shuffle_join_rows(mesh: Mesh, lkeys, rkeys, how: str = "inner",
     cap_l = _pow2(pad_l // ndev)
     cap_r = _pow2(pad_r // ndev)
 
-    out2 = _phase2(mesh, axis, ndev, cap_l, cap_r, how_left)(
-        lk_d, lv_d, rk_d, rv_d, jnp.asarray(heavy))
-    lkx, lpx, lox, rkx, rpx, rox, nmax = out2
-    cap_m = _pow2(max(int(nmax), 1))
+    cap_m = None
+    if unique_build:
+        lpos_u, rpos_u, dup = _phase23u(
+            mesh, axis, ndev, cap_l, cap_r, how_left)(
+                lk_d, lv_d, rk_d, rv_d, jnp.asarray(heavy))
+        if int(dup) == 0:
+            lpos, rpos = lpos_u, rpos_u
+            cap_m = 0                  # no count phase ran
+        else:
+            unique_build = False       # stale hint -> general path
+    if cap_m is None:
+        out2 = _phase2(mesh, axis, ndev, cap_l, cap_r, how_left)(
+            lk_d, lv_d, rk_d, rv_d, jnp.asarray(heavy))
+        lkx, lpx, lox, rkx, rpx, rox, nmax = out2
+        cap_m = _pow2(max(int(nmax), 1))
 
-    lpos, rpos = _phase3(mesh, axis, cap_m, how_left)(
-        lkx, lpx, lox, rkx, rpx, rox)
+        lpos, rpos = _phase3(mesh, axis, cap_m, how_left)(
+            lkx, lpx, lox, rkx, rpx, rox)
     t1 = time.perf_counter()
 
     lpos = np.asarray(lpos)

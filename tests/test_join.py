@@ -156,6 +156,66 @@ def test_device_join_no_wholesale_fetch(db, rng):
 
 @pytest.mark.parametrize("how", [JoinType.INNER, JoinType.LEFT])
 @pytest.mark.parametrize("nl,nr,krange", [
+    (257, 129, 400),     # unique-capable sizes, some probe misses
+    (64, 512, 4000),     # sparse matches
+    (300, 1, 4),         # single build row
+])
+def test_join_pairs_core_unique_oracle(rng, how, nl, nr, krange):
+    """Unique-build fast core vs host oracle (build keys unique)."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec.join import join_keys_np, join_pairs_core_unique
+    rkeys = rng.choice(krange, nr, replace=False).astype(np.uint64)
+    lkeys = rng.integers(0, krange, nl, dtype=np.uint64)
+    lkeys[0] = krange + 5          # probe miss at index 0
+    want = join_keys_np(lkeys, rkeys, how)
+    lidx, ridx, total, dups = join_pairs_core_unique(
+        jnp.asarray(lkeys), jnp.asarray(rkeys), how)
+    assert not bool(dups)
+    li = np.asarray(lidx)
+    ri = np.asarray(ridx)
+    keep = li != -2
+    assert int(total) == want.n == int(keep.sum())
+    assert sorted(zip(li[keep].tolist(), ri[keep].tolist())) == \
+        sorted(zip(want.lidx.tolist(), want.ridx.tolist()))
+
+
+def test_join_pairs_unique_dup_detection(rng):
+    """A duplicated build key must set dup_builds (device fallback)."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec.join import (join_pairs_core_unique,
+                                      join_pairs_device)
+    rkeys = np.array([3, 7, 7, 9], np.uint64)
+    lkeys = np.array([7, 3, 11], np.uint64)
+    _, _, _, dups = join_pairs_core_unique(jnp.asarray(lkeys),
+                                           jnp.asarray(rkeys))
+    assert bool(dups)
+    # device wrapper falls back to the general core: full dup expansion
+    li, ri = join_pairs_device(jnp.asarray(lkeys), jnp.asarray(rkeys),
+                               JoinType.INNER, unique_build=True)
+    assert sorted(zip(li.tolist(), ri.tolist())) == \
+        [(0, 1), (0, 2), (1, 0)]
+
+
+def test_join_pairs_unique_all_match_and_empty(rng):
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec.join import join_pairs_core_unique
+    rkeys = np.arange(50, dtype=np.uint64)
+    lkeys = np.arange(50, dtype=np.uint64)[::-1].copy()
+    li, ri, total, dups = join_pairs_core_unique(
+        jnp.asarray(lkeys), jnp.asarray(rkeys), JoinType.INNER)
+    assert int(total) == 50 and not bool(dups)
+    li, ri = np.asarray(li), np.asarray(ri)
+    assert (li >= 0).all() and (ri == 49 - li).all()
+    # no matches at all
+    li, ri, total, _ = join_pairs_core_unique(
+        jnp.asarray(lkeys + np.uint64(100)), jnp.asarray(rkeys),
+        JoinType.LEFT)
+    assert int(total) == 50
+    assert (np.asarray(ri) == -1).all()
+
+
+@pytest.mark.parametrize("how", [JoinType.INNER, JoinType.LEFT])
+@pytest.mark.parametrize("nl,nr,krange", [
     (257, 129, 40),      # heavy dups, ragged sizes
     (64, 512, 1000),     # sparse matches (leading/trailing empty probes)
     (100, 100, 1),       # single key: full cross fanout

@@ -109,6 +109,57 @@ def test_shuffle_join_rows_skew_salted(rng):
     assert got == _oracle_pairs(lk, rk)
 
 
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_shuffle_join_rows_unique(rng, how):
+    """Fused unique-build path (pk join): one program, no count phase."""
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    from jax.sharding import Mesh
+    import jax
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    nl, nr = 60_000, 9_000
+    rk = rng.permutation(np.arange(1, nr + 1)).astype(np.uint64)
+    lk = rng.integers(1, nr * 2, nl).astype(np.uint64)
+    lidx, ridx, stats = shuffle_join_rows(mesh, lk, rk, how=how,
+                                          unique_build=True)
+    assert stats["cap_pairs"] == 0        # count phase skipped
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    assert got == _oracle_pairs(lk, rk, how)
+
+
+def test_shuffle_join_rows_unique_skew(rng):
+    """Unique build + one hot probe key: salting engages, build of the
+    heavy bucket replicates, result stays exact."""
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    from jax.sharding import Mesh
+    import jax
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    nl = 40_000
+    hot = np.uint64(777)
+    lk = rng.integers(1, 1000, nl).astype(np.uint64)
+    lk[: nl * 2 // 5] = hot
+    rk = rng.permutation(np.arange(1, 1000)).astype(np.uint64)
+    lidx, ridx, stats = shuffle_join_rows(mesh, lk, rk, skew_factor=2.0,
+                                          unique_build=True)
+    assert stats["heavy_buckets"] >= 1
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    assert got == _oracle_pairs(lk, rk)
+
+
+def test_shuffle_join_rows_unique_dup_fallback(rng):
+    """A duplicated build key with unique_build=True must still produce
+    exact results (device dup check -> general path)."""
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    from jax.sharding import Mesh
+    import jax
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    rk = np.concatenate([np.arange(1, 2000, dtype=np.uint64),
+                         np.array([7, 7], np.uint64)])
+    lk = rng.integers(1, 3000, 10_000).astype(np.uint64)
+    lidx, ridx, _ = shuffle_join_rows(mesh, lk, rk, unique_build=True)
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    assert got == _oracle_pairs(lk, rk)
+
+
 def test_shuffle_join_rows_left(rng):
     from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
     from jax.sharding import Mesh
