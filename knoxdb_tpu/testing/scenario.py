@@ -150,6 +150,154 @@ def run_scenario(seed: int, path: str, steps: int = 60,
     return rep
 
 
+def run_scenario_rich(seed: int, path: str, steps: int = 60) -> dict:
+    """Wide-surface seeded workload: indexed + string + wide columns,
+    tx aborts, group-by / top-k / point-lookup / index-query checks vs
+    the model — the reference's workload2-5 breadth (scenarios/
+    workload{2..5}_test.go: mixed types, secondary indexes, streaming
+    checks) on top of run_scenario's crash/tear fault model."""
+    import knoxdb_tpu.knox as knox
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+
+    rng = np.random.default_rng(seed)
+    A.reset()
+    vocab = ["ares", "boreas", "chronos", "demeter", "eos", "freyja"]
+
+    def open_db():
+        return knox.open_database("dstr", driver="file", path=path,
+                                  pack_size=128,
+                                  background_merge=False)
+
+    db = open_db()
+    sch = (Builder("r").pk("id")
+           .add("grp", FieldType.UINT16)
+           .add("name", FieldType.STRING)
+           .add("val", FieldType.INT64)
+           .add("big", FieldType.INT128)
+           .finish())
+    if "r" not in db.engine.tables:
+        t = db.create_table(sch)
+        t.create_index("grp", kind="hash")
+    else:
+        t = db.table("r")
+    model: dict[int, tuple] = {}       # pk -> (grp, name, val, big)
+
+    def ins(n, tx=None):
+        grp = rng.integers(0, 8, n).astype(np.uint16)
+        names = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        val = rng.integers(-10**6, 10**6, n)
+        big = [int(rng.integers(-10**9, 10**9)) * (10**12) for _ in
+               range(n)]
+        pks = t.insert({"id": np.zeros(n, np.uint64), "grp": grp,
+                        "name": names, "val": val,
+                        "big": np.array(big, object)}, tx=tx)
+        return pks, grp, names, val, big
+
+    for step in range(steps):
+        op = rng.choice(["insert", "insert", "insert", "abort", "update",
+                         "delete", "merge", "merge", "reopen", "check",
+                         "check", "tear"])
+        if op == "insert":
+            n = int(rng.integers(1, 120))
+            pks, grp, names, val, big = ins(n)
+            for pk, g, nm, v, b in zip(pks, grp, names, val, big):
+                model[int(pk)] = (int(g), nm, int(v), int(b))
+            A.reachable("op.insert")
+        elif op == "abort":
+            tx = db.begin()
+            ins(int(rng.integers(1, 40)), tx=tx)
+            tx.abort()                 # model unchanged
+            A.reachable("op.abort")
+        elif op == "update" and model:
+            pks = rng.choice(list(model), min(len(model), 15),
+                             replace=False)
+            newv = rng.integers(-10**6, 10**6, len(pks))
+            t.update({"id": pks.astype(np.uint64),
+                      "grp": np.array([model[int(p)][0] for p in pks],
+                                      np.uint16),
+                      "name": [model[int(p)][1] for p in pks],
+                      "val": newv,
+                      "big": np.array([model[int(p)][3] for p in pks],
+                                      object)})
+            for p, v in zip(pks, newv):
+                g, nm, _, b = model[int(p)]
+                model[int(p)] = (g, nm, int(v), b)
+            A.reachable("op.update")
+        elif op == "delete" and model:
+            nm = vocab[int(rng.integers(0, len(vocab)))]
+            victims = [p for p, r in model.items() if r[1] == nm]
+            n = t.delete(t.query().where(name=nm))
+            A.always(n == len(victims), "delete.count",
+                     (n, len(victims)))
+            for p in victims:
+                del model[p]
+        elif op == "merge":
+            t.merge()
+            A.reachable("op.merge")
+        elif op == "reopen":
+            db.close()
+            db = open_db()
+            t = db.table("r")
+            A.reachable("op.reopen")
+        elif op == "tear":
+            db.close()
+            from pathlib import Path
+            segs = sorted(Path(path).glob("**/wal_*.seg"))
+            if segs:
+                with open(segs[-1], "ab") as fh:
+                    fh.write(bytes(rng.integers(0, 256, 32,
+                                                dtype=np.uint8)))
+                A.reachable("op.tear")
+            db = open_db()
+            t = db.table("r")
+
+        if op == "check" or step % 7 == 0:
+            _check_rich(t, model, rng)
+            A.reachable("op.check")
+
+    _check_rich(t, model, rng)
+    db.close()
+    rep = A.report()
+    missing = [k for k, v in rep.items() if v == 0]
+    A.always(not missing, "coverage", missing)
+    return rep
+
+
+def _check_rich(t, model: dict, rng) -> None:
+    A.always(t.count() == len(model), "count", (t.count(), len(model)))
+    if not model:
+        return
+    # exact sums incl. the int128 column (split-limb device partials)
+    s = t.query().sum("val")
+    A.always(s == sum(r[2] for r in model.values()), "sum.val", s)
+    sb = t.query().sum("big")
+    A.always(sb == sum(r[3] for r in model.values()), "sum.big", sb)
+    # group-by counts vs model
+    out = t.query().group_by("grp").aggregate(("count", ""))
+    want: dict[int, int] = {}
+    for g, *_ in model.values():
+        want[g] = want.get(g, 0) + 1
+    got = {int(k): int(c) for k, c in zip(out["keys"], out["count"])}
+    A.always(got == want, "group.counts", (got, want))
+    # index-decorated point query on grp
+    g0 = int(rng.integers(0, 8))
+    cnt = t.query().where(grp=g0).count()
+    A.always(cnt == want.get(g0, 0), "index.point", (g0, cnt))
+    # top-k by val (bit-descent path) matches model ordering
+    k = min(5, len(model))
+    rows = t.query().order_by("val", desc=True).limit(k).select(
+        "val").execute()
+    got_top = [int(r["val"]) for r in rows]
+    want_top = sorted((r[2] for r in model.values()), reverse=True)[:k]
+    A.always(got_top == want_top, "topk", (got_top, want_top))
+    # string point query (bloom-backed bytes matcher)
+    nm = next(iter(model.values()))[1]
+    want_nm = sum(1 for r in model.values() if r[1] == nm)
+    A.always(t.query().where(name=nm).count() == want_nm, "string.eq",
+             nm)
+
+
 def _check(t, model: dict) -> None:
     import knoxdb_tpu.knox as knox
 

@@ -21,6 +21,15 @@ def test_workload_deep(seed, tmp_path):
     assert all(v > 0 for v in rep.values()), rep
 
 
+@pytest.mark.parametrize("seed", [5, 13, 77])
+def test_workload_rich(seed, tmp_path):
+    """Wide-surface DST: strings + int128 + hash index + tx aborts with
+    group-by/top-k/point/index checks every few steps."""
+    from knoxdb_tpu.testing.scenario import run_scenario_rich
+    rep = run_scenario_rich(seed, str(tmp_path / f"r{seed}"), steps=80)
+    assert all(v > 0 for v in rep.values()), rep
+
+
 def test_scenario_is_deterministic(tmp_path):
     r1 = run_scenario(99, str(tmp_path / "a"), steps=25)
     r2 = run_scenario(99, str(tmp_path / "b"), steps=25)
