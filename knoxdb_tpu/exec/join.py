@@ -178,6 +178,53 @@ def _fill_forward_last(vals, sent):
     return vals
 
 
+def merge_sorted_stable(na: int, key, *payloads):
+    """Stable merge of two concatenated ASCENDING u32 runs key[:na] and
+    key[na:] with payload channels (equal keys keep concatenation
+    order). Bitonic MERGE network — log2(M) elementwise compare-
+    exchange passes instead of lax.sort's ~log^2 full network; every
+    pass is pure where/min/max at bandwidth. Key values must be
+    < 0xFFFFFFFF (the pad). Returns (key_merged, *payloads_merged).
+
+    Used for the expansion step of the join cores: the offs run
+    (cumsum, nondecreasing) merges with the slot iota run — both
+    pre-sorted, so a full sort is ~10x more network passes than
+    needed."""
+    import jax.numpy as jnp
+    M = key.shape[0]
+    m2 = 1 << max(0, (M - 1).bit_length())
+    MAXK = jnp.uint32(0xFFFFFFFF)
+    k2 = jnp.arange(M, dtype=jnp.uint32)       # stability tiebreak
+
+    def prep(x, pad):
+        # B padded at its END with MAX-key pads, then reversed: the
+        # concatenation A(asc) ++ [pads, B desc] is bitonic
+        b = jnp.concatenate([x[na:], jnp.full(m2 - M, pad, x.dtype)])
+        return jnp.concatenate([x[:na], b[::-1]])
+
+    ks = prep(key, MAXK)
+    k2s = prep(k2, jnp.uint32(0))
+    chans = [prep(p, jnp.zeros((), p.dtype)) for p in payloads]
+    s = m2 >> 1
+    while s >= 1:
+        ka = ks.reshape(-1, 2, s)
+        k2a = k2s.reshape(-1, 2, s)
+        gt = (ka[:, 0] > ka[:, 1]) | ((ka[:, 0] == ka[:, 1])
+                                      & (k2a[:, 0] > k2a[:, 1]))
+
+        def swap(x, gt=gt, s=s):
+            xa = x.reshape(-1, 2, s)
+            lo = jnp.where(gt, xa[:, 1], xa[:, 0])
+            hi = jnp.where(gt, xa[:, 0], xa[:, 1])
+            return jnp.stack([lo, hi], axis=1).reshape(-1)
+
+        ks = swap(ks)
+        k2s = swap(k2s)
+        chans = [swap(c) for c in chans]
+        s >>= 1
+    return (ks[:M],) + tuple(c[:M] for c in chans)
+
+
 def _probe_bounds_merged(rs_hi, rs_lo, qk_hi, qk_lo):
     """BOTH probe bounds (lo = builds strictly below, hi = builds <=)
     from ONE merged co-sort + one restore sort — halves the rank-phase
@@ -292,8 +339,10 @@ def join_pairs_core(lkeys, rkeys, cap: int,
                              jnp.full(1, SENT, jnp.uint32)]),
             jnp.full(cap, SENT, jnp.uint32)])
         ops.append(pay_cnt)
-    srt = jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
-                       is_stable=True)
+    # both runs of comp are pre-sorted (offs is a cumsum, slots are an
+    # iota): a bitonic MERGE (log passes) replaces the stable sort's
+    # full network
+    srt = merge_sorted_stable(Nl, *ops)
     c_s, pay_lo_s = srt[0], srt[1]
     is_t = (c_s & U1) == U1
     pos = jnp.arange(Nl + cap, dtype=jnp.int32)

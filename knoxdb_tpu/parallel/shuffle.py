@@ -164,8 +164,10 @@ def _expand_positions(lo, hi, lok, lpos, rp_rank, cap: int,
     ops = [comp, pay(lo), pay(lp32[:, 0]), pay(lp32[:, 1]), flag]
     if how_left:
         ops.append(pay(cnt))
-    srt = jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
-                       is_stable=True)
+    # offs run is a cumsum, slot run an iota — pre-sorted both sides:
+    # bitonic merge (log passes) replaces the stable full sort
+    from ..exec.join import merge_sorted_stable
+    srt = merge_sorted_stable(Nl, *ops)
     c_s = srt[0]
     is_t = (c_s & U1) == U1
     fl = srt[4] == 1

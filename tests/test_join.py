@@ -154,6 +154,25 @@ def test_device_join_no_wholesale_fetch(db, rng):
     assert fetched <= int(m.sum()) + 64, (fetched, int(m.sum()))
 
 
+@pytest.mark.parametrize("na,nb", [(0, 64), (64, 0), (100, 28),
+                                   (7, 250), (256, 256), (1, 1)])
+def test_merge_sorted_stable_vs_sort(rng, na, nb):
+    """Bitonic merge == stable sort on two pre-sorted runs with ties."""
+    import jax
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec.join import merge_sorted_stable
+    a = np.sort(rng.integers(0, 40, na)).astype(np.uint32)
+    b = np.sort(rng.integers(0, 40, nb)).astype(np.uint32)
+    key = np.concatenate([a, b])
+    pay = rng.integers(0, 1 << 31, na + nb).astype(np.uint32)
+    ks, ps = merge_sorted_stable(na, jnp.asarray(key), jnp.asarray(pay))
+    want_k, want_p = jax.lax.sort(
+        (jnp.asarray(key), jnp.asarray(pay)), dimension=0, num_keys=1,
+        is_stable=True)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(want_p))
+
+
 @pytest.mark.parametrize("how", [JoinType.INNER, JoinType.LEFT])
 @pytest.mark.parametrize("nl,nr,krange", [
     (257, 129, 400),     # unique-capable sizes, some probe misses
