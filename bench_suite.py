@@ -401,9 +401,12 @@ def bench_config6(n_packs: int, rng):
     garrays = sc.d.arrays_pytree(["ts", "val"])
     gconsts = GB.gid_consts(gplan)
     arrays, consts, overrides, valid, excl = margs
+    # exact-MXU moments gate (mirrors scan.series_scan's mplan)
+    C_m, gmin_m = GB.chunk_plan(sc.d.seg.stats.fields.get("val"))
+    mb = {"val": jnp.uint64(gmin_m)} if C_m <= 4 else {}
 
     def many(arrays, consts, overrides, valid, excl, garrays, gconsts,
-             idxs):
+             mb, idxs):
         def body(acc, i):
             # shift the bucket origin every other iteration: real result
             # variance defeats loop hoisting of the scan body
@@ -411,11 +414,13 @@ def bench_config6(n_packs: int, rng):
             g2 = [(c[0] - sh, c[1]) if isinstance(c, tuple) else c
                   for c in gconsts]
             out = sfn_raw((arrays, consts, overrides, valid, excl),
-                          garrays, g2)
-            nb, sm, sq = out[("val", "moments")]
-            return (acc[0] + nb.sum(),
-                    acc[1] + sm.sum() + sq.sum() + i.astype(jnp.float64)), \
-                None
+                          garrays, g2, mb)
+            parts = out[("val", "moments")]
+            acc0 = acc[0] + parts[0].sum()
+            acc1 = acc[1] + i.astype(jnp.float64)
+            for p in parts[1:]:
+                acc1 = acc1 + p.astype(jnp.float64).sum()
+            return (acc0, acc1), None
         out, _ = jax.lax.scan(body, (jnp.int64(0), jnp.float64(0)), idxs)
         return out
 
@@ -423,7 +428,7 @@ def bench_config6(n_packs: int, rng):
 
     def run(k):
         o = g(arrays, consts, overrides, valid, excl, garrays, gconsts,
-              jnp.arange(k, dtype=jnp.int32))
+              mb, jnp.arange(k, dtype=jnp.int32))
         return int(o[0]), float(o[1])
 
     run(1)

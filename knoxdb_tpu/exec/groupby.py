@@ -504,6 +504,23 @@ def _value_halves(value_keys, bias):
     return vlo, vhi
 
 
+def square_halves(rlo):
+    """EXACT r^2 as (lo, hi) u32 halves for r = rlo < 2^32, using ONLY
+    32-bit multiplies/shifts of 16-bit limbs (the emulated u64
+    multiply/shift lowering is unreliable on this stack — CLAUDE.md):
+    r = a + 2^16 b  =>  r^2 = a^2 + 2^17 ab + 2^32 b^2."""
+    a = rlo & jnp.uint32(0xFFFF)
+    b = rlo >> jnp.uint32(16)
+    p0 = a * a
+    p1 = a * b
+    p2 = b * b
+    t = p1 << jnp.uint32(17)
+    lo = p0 + t
+    carry = (lo < p0).astype(jnp.uint32)
+    hi = p2 + (p1 >> jnp.uint32(15)) + carry
+    return lo, hi
+
+
 def chunk_plan(fstats) -> tuple[int, int]:
     """(n_chunks, bias) for the MXU group kernels from a column's zone
     maps: values rebased by `bias` fit n_chunks*8 bits, so the one-hot
@@ -615,16 +632,21 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
     from ..config import is_tpu
     from ..ops import pallas_group as PG
     C = n_chunks
+    H = PG.H_BINS
     L = 1
-    while PG.H_BINS * L < G:
+    while H * L < G:
         L <<= 1
     if L > 32:
-        # m2 would be [8, L*(C+1), 1024] bf16 > ~7 MB in VMEM; the XLA
-        # factored kernel streams the same shape from HBM instead
+        # m2 [8, L*(C+1), 1024] bf16 would blow ~7 MB of VMEM at L>32;
+        # doubling the hi axis halves L instead (H=256 covers G<=8192,
+        # TPU-validated r2-cont)
+        H, L = 256, L >> 1
+    if L > 32:
+        # beyond G=8192 the XLA factored kernel streams from HBM
         return _group_mxu_factored(gids, mask_words, value_keys, G,
                                    n_chunks, bias)
     shift = L.bit_length() - 1
-    SENT = PG.H_BINS * L
+    SENT = H * L
 
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)
@@ -634,9 +656,9 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
     vhi = jnp.where(ok, vhi, jnp.uint32(0)).reshape(-1)
     parts = PG.fused_group_partials(gid, vlo, vhi, G,
                                     L, shift, n_chunks=C,
-                                    interpret=not is_tpu())
+                                    interpret=not is_tpu(), H=H)
     acc = parts.astype(jnp.uint32).astype(jnp.uint64).sum(axis=0)
-    acc3 = acc.reshape(PG.H_BINS, L, C + 1)
+    acc3 = acc.reshape(H, L, C + 1)
     counts = acc3[:, :, C].reshape(-1)[:G].astype(jnp.int64)
     chunks = tuple(acc3[:, :, c].reshape(-1)[:G] for c in range(C))
     mn = jnp.full(G, 0xFFFFFFFFFFFFFFFF, jnp.uint64)

@@ -354,8 +354,24 @@ class SegmentScanner:
                        else np.uint64(0), ft.is_float)
 
         kspec = tuple((f, tuple(sorted(kinds[f]))) for f in fields)
+
+        # plan-static EXACT MXU moments gate: int fields whose rebased
+        # keyform range fits 4 byte chunks (r < 2^32, so r^2 is exact
+        # u64 via 16-bit-limb u32 math — groupby.square_halves) ride
+        # TWO one-hot MXU passes instead of the 3-operand sort
+        # (~140 M rows/s ceiling); host recombines python-int-exact
+        # moments. C/q_chunks shape the traced graph -> part of sig.
+        mplan = {}
+        for f in fields:
+            if "moments" in kinds[f] and not meta[f][1]:
+                C_m, gmin_m = GB.chunk_plan(d.seg.stats.fields.get(f))
+                if C_m <= 4:
+                    mplan[f] = (C_m, gmin_m, min(8, 2 * C_m))
+        mbias = {f: jnp.uint64(v[1]) for f, v in mplan.items()}
+
         sig = ("series", d.sig(used), time_field, kspec, mode_tags,
-               gplan.G, exclude_words is not None)
+               gplan.G, exclude_words is not None,
+               tuple(sorted((f, v[0], v[2]) for f, v in mplan.items())))
         sfn = self._fns.get(sig)
         if sfn is None:
             # per-pack ALP decode constants (segment-static: scanners are
@@ -404,7 +420,7 @@ class SegmentScanner:
                     out = out.at[gidx_].set(one(gi_, gsig_))
                 return out
 
-            def sf(margs, garrays, gconsts):
+            def sf(margs, garrays, gconsts, mb):
                 mask, _, _ = mask_raw(*margs)
                 gids = GB.row_gids(mode_tags, tsigs, tidxs,
                                    garrays[time_field], gconsts, d.W)
@@ -418,7 +434,19 @@ class SegmentScanner:
                     else:
                         vf = None
                         vk = decode(f, garrays)
-                    if "moments" in fk:
+                    if "moments" in fk and f in mplan:
+                        C_m, _gm, qC = mplan[f]
+                        rlo, rhi = GB._value_halves(vk, mb[f])
+                        qlo, qhi = GB.square_halves(rlo)
+                        c1, ch1, _, _ = GB.group_aggregate_mxu(
+                            gids, mask, (rlo, rhi), gplan.G,
+                            allow_pallas=False, n_chunks=C_m)
+                        _c2, ch2, _, _ = GB.group_aggregate_mxu(
+                            gids, mask, (qlo, qhi), gplan.G,
+                            allow_pallas=False, n_chunks=qC)
+                        out[(f, "moments")] = \
+                            (c1,) + tuple(ch1) + tuple(ch2)
+                    elif "moments" in fk:
                         out[(f, "moments")] = GB.group_moments(
                             gids, mask, vf if is_float else vk, gplan.G,
                             jnp.uint64(bias), is_float)
@@ -439,8 +467,28 @@ class SegmentScanner:
             sfn = (jax.jit(sf), sf)     # (jit, raw) like the scan plans
             self._fns[sig] = sfn
 
-        out = sfn[0](margs, garrays, gconsts)
-        return {k: tuple(np.asarray(a) for a in v) for k, v in out.items()}
+        out = sfn[0](margs, garrays, gconsts, mbias)
+        res = {}
+        for k, v in out.items():
+            f, kind = k
+            if kind == "moments" and f in mplan:
+                # exact host recombination: value = r + base where
+                # base = keyform_min - sign_offset (python ints)
+                C_m, gmin_m, qC = mplan[f]
+                counts = np.asarray(v[0]).astype(np.int64)
+                Sr = GB.mxu_chunk_sums(v[1:1 + C_m])
+                Sq = GB.mxu_chunk_sums(v[1 + C_m:1 + C_m + qC])
+                base = gmin_m - int(meta[f][0])
+                sums = np.empty(len(counts), np.float64)
+                sqs = np.empty(len(counts), np.float64)
+                for g in range(len(counts)):
+                    n_, sr, sq = int(counts[g]), Sr[g], Sq[g]
+                    sums[g] = float(base * n_ + sr)
+                    sqs[g] = float(n_ * base * base + 2 * base * sr + sq)
+                res[k] = (counts, sums, sqs)
+            else:
+                res[k] = tuple(np.asarray(a) for a in v)
+        return res
 
     # ------------------------------------------------------- compilation --
 
