@@ -476,15 +476,14 @@ class SegmentScanner:
                 # base = keyform_min - sign_offset (python ints)
                 C_m, gmin_m, qC = mplan[f]
                 counts = np.asarray(v[0]).astype(np.int64)
-                Sr = GB.mxu_chunk_sums(v[1:1 + C_m])
-                Sq = GB.mxu_chunk_sums(v[1 + C_m:1 + C_m + qC])
+                Sr = np.array(GB.mxu_chunk_sums(v[1:1 + C_m]), object)
+                Sq = np.array(GB.mxu_chunk_sums(v[1 + C_m:1 + C_m + qC]),
+                              object)
                 base = gmin_m - int(meta[f][0])
-                sums = np.empty(len(counts), np.float64)
-                sqs = np.empty(len(counts), np.float64)
-                for g in range(len(counts)):
-                    n_, sr, sq = int(counts[g]), Sr[g], Sq[g]
-                    sums[g] = float(base * n_ + sr)
-                    sqs[g] = float(n_ * base * base + 2 * base * sr + sq)
+                no = counts.astype(object)
+                sums = (base * no + Sr).astype(np.float64)
+                sqs = (no * (base * base) + (2 * base) * Sr
+                       + Sq).astype(np.float64)
                 res[k] = (counts, sums, sqs)
             else:
                 res[k] = tuple(np.asarray(a) for a in v)

@@ -237,30 +237,8 @@ def _phase1(mesh: Mesh, axis: str, ndev: int):
 def _phase2(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
             how_left: bool):
     def local(lk, lv, rk, rv, heavy):
-        dev = jax.lax.axis_index(axis).astype(jnp.int64)
-        n_l, n_r = lk.shape[0], rk.shape[0]
-        lpos = jnp.arange(n_l, dtype=jnp.int64) + dev * n_l
-        rpos = jnp.arange(n_r, dtype=jnp.int64) + dev * n_r
-
-        bl = _bucket(lk, ndev)
-        br = _bucket(rk, ndev)
-        spread = ((jnp.arange(n_l, dtype=jnp.int32)
-                   + dev.astype(jnp.int32)) % jnp.int32(ndev))
-        dl = jnp.where(jnp.take(heavy, bl), spread, bl)
-        dl = jnp.where(lv, dl, jnp.int32(ndev + 1))
-        dr = jnp.where(jnp.take(heavy, br), jnp.int32(ndev), br)
-        dr = jnp.where(rv, dr, jnp.int32(ndev + 1))
-
-        lkb, lpb, lok = _bucketize(lk, lpos, lv, dl, ndev, cap_l, False)
-        rkb, rpb, rok = _bucketize(rk, rpos, rv, dr, ndev, cap_r, True)
-
-        lkx = jax.lax.all_to_all(lkb, axis, 0, 0).reshape(-1)
-        lpx = jax.lax.all_to_all(lpb, axis, 0, 0).reshape(-1)
-        lox = jax.lax.all_to_all(lok, axis, 0, 0).reshape(-1)
-        rkx = jax.lax.all_to_all(rkb, axis, 0, 0).reshape(-1)
-        rpx = jax.lax.all_to_all(rpb, axis, 0, 0).reshape(-1)
-        rox = jax.lax.all_to_all(rok, axis, 0, 0).reshape(-1)
-
+        lkx, lpx, lox, rkx, rpx, rox = _salted_exchange(
+            lk, lv, rk, rv, heavy, axis, ndev, cap_l, cap_r)
         rhh = jax.lax.bitcast_convert_type(rkx, jnp.uint32)
         lhh = jax.lax.bitcast_convert_type(lkx, jnp.uint32)
         lo, hi = _probe_bounds_valid(rhh[:, 1], rhh[:, 0], ~rox,
@@ -335,36 +313,42 @@ def _unique_local(lk, lp, lok, rk, rp, rok, how_left: bool):
     return lpos_out, rpos_out, dup
 
 
+def _salted_exchange(lk, lv, rk, rv, heavy, axis: str, ndev: int,
+                     cap_l: int, cap_r: int):
+    """Shared phase-2 preamble (inside shard_map): salted destination
+    routing + bucketize + all_to_all for both sides. Heavy-bucket probe
+    rows spread round-robin (salt), heavy build rows replicate
+    (dest == ndev); invalid rows drop (dest == ndev + 1). Returns the
+    exchanged flat partitions (lkx, lpx, lox, rkx, rpx, rox)."""
+    dev = jax.lax.axis_index(axis).astype(jnp.int64)
+    n_l, n_r = lk.shape[0], rk.shape[0]
+    lpos = jnp.arange(n_l, dtype=jnp.int64) + dev * n_l
+    rpos = jnp.arange(n_r, dtype=jnp.int64) + dev * n_r
+
+    bl = _bucket(lk, ndev)
+    br = _bucket(rk, ndev)
+    spread = ((jnp.arange(n_l, dtype=jnp.int32)
+               + dev.astype(jnp.int32)) % jnp.int32(ndev))
+    dl = jnp.where(jnp.take(heavy, bl), spread, bl)
+    dl = jnp.where(lv, dl, jnp.int32(ndev + 1))
+    dr = jnp.where(jnp.take(heavy, br), jnp.int32(ndev), br)
+    dr = jnp.where(rv, dr, jnp.int32(ndev + 1))
+
+    lkb, lpb, lok = _bucketize(lk, lpos, lv, dl, ndev, cap_l, False)
+    rkb, rpb, rok = _bucketize(rk, rpos, rv, dr, ndev, cap_r, True)
+
+    return tuple(jax.lax.all_to_all(x, axis, 0, 0).reshape(-1)
+                 for x in (lkb, lpb, lok, rkb, rpb, rok))
+
+
 def _phase23u(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
               how_left: bool):
     """Fused exchange + local unique join: ONE compiled program, no
     match-count host round-trip (a unique build bounds pairs by the
     probe partition length — static)."""
     def local(lk, lv, rk, rv, heavy):
-        dev = jax.lax.axis_index(axis).astype(jnp.int64)
-        n_l, n_r = lk.shape[0], rk.shape[0]
-        lpos = jnp.arange(n_l, dtype=jnp.int64) + dev * n_l
-        rpos = jnp.arange(n_r, dtype=jnp.int64) + dev * n_r
-
-        bl = _bucket(lk, ndev)
-        br = _bucket(rk, ndev)
-        spread = ((jnp.arange(n_l, dtype=jnp.int32)
-                   + dev.astype(jnp.int32)) % jnp.int32(ndev))
-        dl = jnp.where(jnp.take(heavy, bl), spread, bl)
-        dl = jnp.where(lv, dl, jnp.int32(ndev + 1))
-        dr = jnp.where(jnp.take(heavy, br), jnp.int32(ndev), br)
-        dr = jnp.where(rv, dr, jnp.int32(ndev + 1))
-
-        lkb, lpb, lok = _bucketize(lk, lpos, lv, dl, ndev, cap_l, False)
-        rkb, rpb, rok = _bucketize(rk, rpos, rv, dr, ndev, cap_r, True)
-
-        lkx = jax.lax.all_to_all(lkb, axis, 0, 0).reshape(-1)
-        lpx = jax.lax.all_to_all(lpb, axis, 0, 0).reshape(-1)
-        lox = jax.lax.all_to_all(lok, axis, 0, 0).reshape(-1)
-        rkx = jax.lax.all_to_all(rkb, axis, 0, 0).reshape(-1)
-        rpx = jax.lax.all_to_all(rpb, axis, 0, 0).reshape(-1)
-        rox = jax.lax.all_to_all(rok, axis, 0, 0).reshape(-1)
-
+        lkx, lpx, lox, rkx, rpx, rox = _salted_exchange(
+            lk, lv, rk, rv, heavy, axis, ndev, cap_l, cap_r)
         lpo, rpo, dup = _unique_local(lkx, lpx, lox, rkx, rpx, rox,
                                       how_left)
         return lpo, rpo, jax.lax.pmax(dup.astype(jnp.int32), axis)
@@ -457,8 +441,7 @@ def shuffle_join_rows(mesh: Mesh, lkeys, rkeys, how: str = "inner",
         if int(dup) == 0:
             lpos, rpos = lpos_u, rpos_u
             cap_m = 0                  # no count phase ran
-        else:
-            unique_build = False       # stale hint -> general path
+        # else: stale hint — cap_m stays None, general path below runs
     if cap_m is None:
         out2 = _phase2(mesh, axis, ndev, cap_l, cap_r, how_left)(
             lk_d, lv_d, rk_d, rv_d, jnp.asarray(heavy))

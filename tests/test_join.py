@@ -213,6 +213,11 @@ def test_join_pairs_unique_dup_detection(rng):
                                JoinType.INNER, unique_build=True)
     assert sorted(zip(li.tolist(), ri.tolist())) == \
         [(0, 1), (0, 2), (1, 0)]
+    # LEFT fallback: total = sum(max(counts, 1)), miss keeps ridx -1
+    li, ri = join_pairs_device(jnp.asarray(lkeys), jnp.asarray(rkeys),
+                               JoinType.LEFT, unique_build=True)
+    assert sorted(zip(li.tolist(), ri.tolist())) == \
+        [(0, 1), (0, 2), (1, 0), (2, -1)]
 
 
 def test_join_pairs_unique_all_match_and_empty(rng):
