@@ -175,6 +175,7 @@ def run_scenario_rich(seed: int, path: str, steps: int = 60) -> dict:
            .add("name", FieldType.STRING)
            .add("val", FieldType.INT64)
            .add("big", FieldType.INT128)
+           .add("price", FieldType.FLOAT64)
            .finish())
     if "r" not in db.engine.tables:
         t = db.create_table(sch)
@@ -189,10 +190,14 @@ def run_scenario_rich(seed: int, path: str, steps: int = 60) -> dict:
         val = rng.integers(-10**6, 10**6, n)
         big = [int(rng.integers(-10**9, 10**9)) * (10**12) for _ in
                range(n)]
+        # dyadic floats (k/64): engine float sums are EXACT RATIONAL,
+        # and the model's fsum over dyadics is exact too -> == compare
+        price = rng.integers(-10**5, 10**5, n) / 64.0
         pks = t.insert({"id": np.zeros(n, np.uint64), "grp": grp,
                         "name": names, "val": val,
-                        "big": np.array(big, object)}, tx=tx)
-        return pks, grp, names, val, big
+                        "big": np.array(big, object), "price": price},
+                       tx=tx)
+        return pks, grp, names, val, big, price
 
     for step in range(steps):
         op = rng.choice(["insert", "insert", "insert", "abort", "update",
@@ -200,9 +205,10 @@ def run_scenario_rich(seed: int, path: str, steps: int = 60) -> dict:
                          "check", "tear"])
         if op == "insert":
             n = int(rng.integers(1, 120))
-            pks, grp, names, val, big = ins(n)
-            for pk, g, nm, v, b in zip(pks, grp, names, val, big):
-                model[int(pk)] = (int(g), nm, int(v), int(b))
+            pks, grp, names, val, big, price = ins(n)
+            for pk, g, nm, v, b, pr in zip(pks, grp, names, val, big,
+                                           price):
+                model[int(pk)] = (int(g), nm, int(v), int(b), float(pr))
             A.reachable("op.insert")
         elif op == "abort":
             tx = db.begin()
@@ -219,10 +225,11 @@ def run_scenario_rich(seed: int, path: str, steps: int = 60) -> dict:
                       "name": [model[int(p)][1] for p in pks],
                       "val": newv,
                       "big": np.array([model[int(p)][3] for p in pks],
-                                      object)})
+                                      object),
+                      "price": np.array([model[int(p)][4] for p in pks])})
             for p, v in zip(pks, newv):
-                g, nm, _, b = model[int(p)]
-                model[int(p)] = (g, nm, int(v), b)
+                g, nm, _, b, pr = model[int(p)]
+                model[int(p)] = (g, nm, int(v), b, pr)
             A.reachable("op.update")
         elif op == "delete" and model:
             nm = vocab[int(rng.integers(0, len(vocab)))]
@@ -273,6 +280,12 @@ def _check_rich(t, model: dict, rng) -> None:
     A.always(s == sum(r[2] for r in model.values()), "sum.val", s)
     sb = t.query().sum("big")
     A.always(sb == sum(r[3] for r in model.values()), "sum.big", sb)
+    # float sum: engine is exact-rational; fsum over dyadic k/64 values
+    # is exact too, so strict equality holds
+    import math
+    sp = t.query().sum("price")
+    A.always(float(sp) == math.fsum(r[4] for r in model.values()),
+             "sum.price", sp)
     # group-by counts vs model
     out = t.query().group_by("grp").aggregate(("count", ""))
     want: dict[int, int] = {}
