@@ -53,15 +53,15 @@ _T8 = 1024            # lanes per sublane row; tile rows = 8 * _T8
 _Z = np.int32(0)      # index-map zero (python 0 traces i64 under x64)
 
 
-def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, L: int, shift: int,
-            C: int):
+def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, H: int, L: int,
+            shift: int, C: int):
     g = gid_ref[0]                     # [8, T8] i32
     vlo = vlo_ref[0]                   # [8, T8] u32
     vhi = vhi_ref[0]
     hi = g >> shift                    # i32 shifts are fine (32-bit)
     lo = g & (L - 1)
 
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (8, H_BINS, _T8), 1)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (8, H, _T8), 1)
     hi_oh = (hi[:, None, :] == iota_h).astype(jnp.bfloat16)
 
     cols = []
@@ -85,19 +85,21 @@ def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, L: int, shift: int,
 
 
 def fused_group_partials(gid, vlo, vhi, G: int, L: int, shift: int,
-                         n_chunks: int = 8, interpret: bool = False):
-    """gid i32[n] with invalid rows set to H_BINS*L; vlo/vhi u32[n] value
-    words. Returns f32[B, H_BINS, L*(C+1)] per-tile partials (entry
+                         n_chunks: int = 8, interpret: bool = False,
+                         H: int = H_BINS):
+    """gid i32[n] with invalid rows set to H*L; vlo/vhi u32[n] value
+    words. Returns f32[B, H, L*(C+1)] per-tile partials (entry
     (h, l*(C+1)+c) = chunk-c byte sum of rows with gid == h*L + l; c == C
     is the count; C = n_chunks shrinks with the column's stats range —
     exec/groupby.chunk_plan). Cross-tile accumulation is the CALLER's
-    job (u64 adds)."""
+    job (u64 adds). H defaults to 128 (one MXU output tile); H=256
+    doubles the VMEM kernel's G coverage at the same L cap."""
     C = n_chunks
     n = gid.shape[0]
     T = 8 * _T8
     B = -(-n // T)
     pad = B * T - n
-    SENT = H_BINS * L
+    SENT = H * L
     if pad:
         gid = jnp.concatenate([gid, jnp.full(pad, SENT, jnp.int32)])
         vlo = jnp.concatenate([vlo, jnp.zeros(pad, jnp.uint32)])
@@ -107,14 +109,14 @@ def fused_group_partials(gid, vlo, vhi, G: int, L: int, shift: int,
     hi3 = vhi.reshape(B, 8, _T8)
     NC = C + 1
     return pl.pallas_call(
-        partial(_kernel, L=L, shift=shift, C=C),
+        partial(_kernel, H=H, L=L, shift=shift, C=C),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 8, _T8), lambda i: (i, _Z, _Z)),
             pl.BlockSpec((1, 8, _T8), lambda i: (i, _Z, _Z)),
             pl.BlockSpec((1, 8, _T8), lambda i: (i, _Z, _Z)),
         ],
-        out_specs=pl.BlockSpec((1, H_BINS, L * NC), lambda i: (i, _Z, _Z)),
-        out_shape=jax.ShapeDtypeStruct((B, H_BINS, L * NC), jnp.float32),
+        out_specs=pl.BlockSpec((1, H, L * NC), lambda i: (i, _Z, _Z)),
+        out_shape=jax.ShapeDtypeStruct((B, H, L * NC), jnp.float32),
         interpret=interpret,
     )(g3, lo3, hi3)

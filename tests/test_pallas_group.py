@@ -18,7 +18,9 @@ def _pack_mask(mask_rows):
 
 
 @pytest.mark.parametrize("G,P,N", [(1000, 3, 8192), (200, 1, 4096),
-                                   (4096, 2, 8192)])
+                                   (4096, 2, 8192),
+                                   (8192, 1, 8192),   # H=256 route
+                                   (6000, 1, 8192)])  # H=256, G<H*L
 def test_pallas_group_matches_oracle(rng, G, P, N):
     gids = rng.integers(-2, G + 3, (P, N)).astype(np.int32)  # some invalid
     vals = rng.integers(0, 1 << 63, (P, N), dtype=np.uint64)
