@@ -657,7 +657,7 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
         key = name if name not in out else f"r_{name}"
         out[key] = rrows[name]
     out["__n"] = len(lidx)
-    return out
+    return _join_select(out, select)
 
 
 def _join_host(left: "Query", right: "Query", on: tuple[str, str],
@@ -695,7 +695,20 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
         out[key] = np.array(
             [col[j] if j >= 0 else None for j in res.ridx], object)
     out["__n"] = res.n
-    return out
+    return _join_select(out, select)
+
+
+def _join_select(out: dict, select) -> dict:
+    """Apply a join-level output projection (reference join.go Select:
+    final column subset over the combined row). Unknown names raise."""
+    if not select:
+        return out
+    missing = [s for s in select if s not in out]
+    if missing:
+        raise KeyError(f"join select: unknown columns {missing}")
+    kept = {s: out[s] for s in select}
+    kept["__n"] = out["__n"]
+    return kept
 
 
 class GroupQuery:

@@ -128,6 +128,19 @@ def test_device_join_left_and_dups(db, rng):
     assert miss == sum(1 for i in range(1, 11) if i not in hits)
 
 
+def test_join_select_projection(db, rng):
+    """join(select=...) keeps only the named output columns."""
+    accts, txns, aid, amt = _mk_tables(db, rng, na=10, nt=100)
+    accts.merge()
+    txns.merge()
+    out = knox.join(txns.query(), accts.query(), on=("acct", "id"),
+                    select=("amount", "code"))
+    assert set(out) == {"amount", "code", "__n"}
+    with pytest.raises(KeyError):
+        knox.join(txns.query(), accts.query(), on=("acct", "id"),
+                  select=("nope",))
+
+
 def test_device_join_journal_overlay(db, rng):
     accts, txns, aid, amt = _mk_tables(db, rng, na=20, nt=400)
     accts.merge()      # accounts sealed; txns stay in the JOURNAL
