@@ -43,6 +43,18 @@ from ..wal.wal import Record, RecordType, Wal
 __all__ = ["Table", "TableState", "TableMetrics"]
 
 
+def _as_dtype(p, dt) -> np.ndarray:
+    """Column part -> array of dtype dt WITHOUT a python-list round trip
+    for the common case (journal chunks are native numeric arrays since
+    r2-cont; a 1M-row list() detour cost ~0.7 s per merge)."""
+    if isinstance(p, np.ndarray):
+        if p.dtype == dt:
+            return p
+        if p.dtype.kind in "iufbO":
+            return p.astype(dt)
+    return np.asarray(list(p), dt)
+
+
 @dataclass
 class TableState:
     """Durable counters (reference internal/engine/state.go)."""
@@ -955,8 +967,7 @@ class Table:
         if len(jrids):
             for name in cols:
                 cols[name].append(jdata[name])
-            pks.append(np.asarray(list(jdata[self.schema.pk.name]),
-                                  np.uint64))
+            pks.append(_as_dtype(jdata[self.schema.pk.name], np.uint64))
 
         new_handles = []
         if pks:
@@ -970,7 +981,7 @@ class Table:
                                           for p in parts])
                 else:
                     arr = np.concatenate(
-                        [np.asarray(list(p), lb.numpy_dtype(f.type))
+                        [_as_dtype(p, lb.numpy_dtype(f.type))
                          for p in parts])
                 data[f.name] = arr[order]
             self.state.epoch += 1
@@ -980,10 +991,9 @@ class Table:
             seg = build_segment(self.full_schema, data, self.pack_size,
                                 epoch=self.state.epoch, uniform=ndev)
             h = _SegHandle(seg,
-                           host_pk=np.asarray(
-                               list(data[self.schema.pk.name]), np.uint64),
-                           host_rid=np.asarray(
-                               list(data[META_RID]), np.uint64),
+                           host_pk=_as_dtype(data[self.schema.pk.name],
+                                             np.uint64),
+                           host_rid=_as_dtype(data[META_RID], np.uint64),
                            table=self)
             new_handles.append(h)
 

@@ -23,16 +23,23 @@ import numpy as np
 from ..schema.schema import META_RID, META_XMIN, META_XMAX, Schema
 from ..types import FilterMode, Snapshot
 
-__all__ = ["Journal", "JournalRow"]
+__all__ = ["Journal"]
 
 
 @dataclass
 class _Seg:
-    """One journal segment: columnar buffers in insert order."""
-    data: dict = field(default_factory=dict)       # name -> list
-    rids: list = field(default_factory=list)
-    xmins: list = field(default_factory=list)
+    """One journal segment: columnar CHUNKS in insert order.
+
+    Each insert batch appends one numpy chunk per column (zero flatten
+    — the round-2 per-row list storage cost ~2 s/1M rows at merge) and
+    one (xid, count) run to xmin_runs (inserts are per-xid batches)."""
+    chunks: dict = field(default_factory=dict)     # name -> [np arrays]
+    rid_chunks: list = field(default_factory=list)
+    xmin_runs: list = field(default_factory=list)  # [(xid, count)]
     n: int = 0
+
+    def xids(self):
+        return (x for x, _ in self.xmin_runs)
 
 
 class Journal:
@@ -54,10 +61,10 @@ class Journal:
         n = len(rids)
         seg = self.tip
         for f in self.schema.fields:
-            seg.data.setdefault(f.name, []).extend(
-                _tolist(data[f.name], n))
-        seg.rids.extend(int(r) for r in rids)
-        seg.xmins.extend([xid] * n)
+            seg.chunks.setdefault(f.name, []).append(
+                _tochunk(data[f.name], n))
+        seg.rid_chunks.append(np.asarray(rids, np.uint64)[:n].copy())
+        seg.xmin_runs.append((xid, n))
         seg.n += n
         if seg.n >= self.max_size:
             self.rotate()
@@ -100,25 +107,42 @@ class Journal:
     def visible_rows(self, snap: Snapshot) -> tuple[dict, np.ndarray]:
         """All journal rows visible under snapshot (insert order).
 
-        Returns (data dict of object arrays, rids u64). A row is visible
-        when its inserting xid is visible and no visible tombstone covers
-        its rid."""
-        cols: dict[str, list] = {f.name: [] for f in self.schema.fields}
-        rids: list[int] = []
+        Returns (data dict of arrays, rids u64). A row is visible when
+        its inserting xid is visible and no visible tombstone covers its
+        rid. VECTORIZED: visibility evaluates once per (xid run) and
+        expands by np.repeat; tombstone exclusion is one np.isin per
+        segment (the round-1 per-row python loop cost ~2 s/1M rows)."""
+        names = [f.name for f in self.schema.fields]
+        col_parts: dict[str, list] = {n: [] for n in names}
+        rid_parts: list[np.ndarray] = []
+        trids = np.array(
+            [r for r, x in self.tomb.items() if self._xid_visible(x, snap)],
+            np.uint64) if self.tomb else None
         for seg in self._segments():
-            for i in range(seg.n):
-                xid = seg.xmins[i]
-                if not self._xid_visible(xid, snap):
-                    continue
-                rid = seg.rids[i]
-                t = self.tomb.get(rid)
-                if t is not None and self._xid_visible(t, snap):
-                    continue
-                for name in cols:
-                    cols[name].append(seg.data[name][i])
-                rids.append(rid)
-        out = {n: np.array(v, dtype=object) for n, v in cols.items()}
-        return out, np.array(rids, np.uint64)
+            if not seg.n:
+                continue
+            run_vis = [self._xid_visible(x, snap) for x, _ in seg.xmin_runs]
+            counts = [c for _, c in seg.xmin_runs]
+            vis = np.repeat(run_vis, counts)
+            rids_arr = np.concatenate(seg.rid_chunks)
+            if trids is not None and len(trids):
+                vis = vis & ~np.isin(rids_arr, trids)
+            if not vis.any():
+                continue
+            if vis.all():
+                rid_parts.append(rids_arr)
+                for n in names:
+                    col_parts[n].extend(seg.chunks[n])
+            else:
+                idx = np.flatnonzero(vis)
+                rid_parts.append(rids_arr[idx])
+                for n in names:
+                    col_parts[n].append(_concat(seg.chunks[n])[idx])
+        if not rid_parts:
+            return ({n: np.empty(0, object) for n in names},
+                    np.empty(0, np.uint64))
+        out = {n: _concat(col_parts[n]) for n in names}
+        return out, np.concatenate(rid_parts)
 
     def deleted_rids(self, snap: Snapshot) -> np.ndarray:
         """Rids with a visible tombstone (for the segment exclude mask)."""
@@ -147,7 +171,7 @@ class Journal:
         semantics simplified to full-drain)."""
         pending = set()
         for seg in self._segments():
-            for x in seg.xmins:
+            for x in seg.xids():
                 if x not in self._committed and x not in self._aborted:
                     pending.add(x)
         for x in self.tomb.values():
@@ -185,7 +209,31 @@ class Journal:
         self._aborted -= xids
 
 
-def _tolist(col, n: int) -> list:
-    if isinstance(col, np.ndarray):
-        return list(col[:n])
-    return list(col)[:n]
+def _tochunk(col, n: int) -> np.ndarray:
+    """One insert batch -> an owned numpy chunk. Numeric/bool arrays
+    keep their dtype (exactness: int128+/decimal wide values arrive as
+    object arrays and stay object); everything else (python lists,
+    strings, mixed) becomes an object array — preserving the python
+    values exactly like the old per-row list storage did."""
+    if isinstance(col, np.ndarray) and col.dtype.kind in "iufb":
+        return col[:n].astype(col.dtype, copy=True)
+    if isinstance(col, np.ndarray) and col.dtype == object:
+        return col[:n].copy()
+    a = np.empty(min(n, len(col)), object)
+    for i in range(len(a)):
+        a[i] = col[i]
+    return a
+
+
+def _concat(parts: list) -> np.ndarray:
+    """Concatenate column chunks; mixed dtypes promote to object (numpy
+    would otherwise unify int64+object -> object anyway, but an empty
+    list must yield an empty object array)."""
+    if not parts:
+        return np.empty(0, object)
+    if len(parts) == 1:
+        return parts[0]
+    if any(p.dtype == object for p in parts) and \
+            not all(p.dtype == object for p in parts):
+        parts = [p.astype(object) for p in parts]
+    return np.concatenate(parts)
