@@ -236,7 +236,7 @@ class Table:
         pk_name = self.schema.pk.name
         pks = np.asarray(data[pk_name], np.uint64)
         tree = leaf(Filter(self.schema.field(pk_name), FilterMode.IN,
-                           [int(p) for p in pks])).optimize()
+                           pks)).optimize()
         rids = self._matching_rids(tx.snapshot, tree)
         if len(rids):
             self._archive_versions(tx, rids)

@@ -299,6 +299,15 @@ def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
 
     if scheme == Scheme.DELTA:
         keys = _delta_keys_impl(arrays, width)
+        cs = consts.get("cs")
+        if mode in (FilterMode.IN, FilterMode.NOT_IN) and cs is not None \
+                and cs.shape[0] >= _IN_SORT_MIN_K:
+            # sort-membership for big IN lists (compile-time pathology
+            # of the K-way EQ sweep — see membership_bool). u64 split
+            # via bitcast only (u64 shifts mis-lower — CLAUDE.md)
+            h = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+            m = membership_words(h[..., 0], h[..., 1], cs)
+            return ~m if mode == FilterMode.NOT_IN else m
         mask = _cmp_u64(mode, keys, consts)
         return bs.pack_mask(mask)
 
@@ -307,13 +316,13 @@ def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
         # +1 at matched run starts, -1 at matched run ends, prefix-sum >0
         # (k-sized scatters + one cumsum; [P, N] gathers are ~30x slower)
         rv = arrays["values"].transpose(1, 0, 2)     # u32[L, Pg, k]
-        run_mask = _cmp_limbs(mode, rv, consts)      # bool[Pg, k]
+        run_mask = _limb_mask_in_or_cmp(mode, rv, consts, nlimbs)
         rows = rle_expand_mask(arrays["ends"], run_mask, N)
         return bs.pack_mask(rows)
 
     if scheme == Scheme.RAW:
         x = arrays["values"].transpose(1, 0, 2)      # u32[L, Pg, N]
-        mask = _cmp_limbs(mode, x, consts)
+        mask = _limb_mask_in_or_cmp(mode, x, consts, nlimbs)
         return bs.pack_mask(mask)
 
     raise ValueError(f"group_match: {scheme}")
@@ -358,6 +367,23 @@ def _cmp_limbs(mode: FilterMode, x, consts):
     if mode in (FilterMode.IN, FilterMode.NOT_IN):
         return C.match(mode, x, in_limbs=consts["cs_limbs"])
     return C.match(mode, x, lo=consts["lo_limbs"])
+
+
+def _limb_mask_in_or_cmp(mode: FilterMode, x, consts, nlimbs: int):
+    """_cmp_limbs, except big IN lists on narrow (<= 2 limb) values
+    take the fixed-shape sort-membership program instead of the K-way
+    unrolled EQ sweep (limb 0 is the MSW — exec/rewrite._int_to_limbs).
+    Returns bool mask of x.shape[1:]."""
+    cs_l = consts.get("cs_limbs")
+    if mode in (FilterMode.IN, FilterMode.NOT_IN) and cs_l is not None \
+            and nlimbs <= 2 and cs_l.shape[1] >= _IN_SORT_MIN_K:
+        vlo = x[nlimbs - 1]
+        vhi = x[0] if nlimbs == 2 else jnp.zeros_like(vlo)
+        klo = cs_l[nlimbs - 1]
+        khi = cs_l[0] if nlimbs == 2 else jnp.zeros_like(klo)
+        m = membership_bool(vlo, vhi, klo, khi)
+        return ~m if mode == FilterMode.NOT_IN else m
+    return _cmp_limbs(mode, x, consts)
 
 
 # -------------------------------------------------------------- decoding ---
@@ -448,19 +474,27 @@ def group_decode_keys(g_sig: tuple, arrays: dict, W: int):
 _IN_SORT_MIN_K = 17    # below this the K-way EQ plane sweep is cheaper
 
 
-def membership_words(vlo, vhi, keys):
-    """Packed membership mask (rows whose value is in `keys`) via ONE
-    merged co-sort over [rows ∪ keys] (exec/join._probe_bounds_merged):
-    a row is a member iff its (lo, hi) key-rank bounds differ. Fixed-
-    shape program for any K — the alternative K-way EQ plane sweep
-    traces O(K*width) graph ops and took >10 min to COMPILE at K=2048
-    (r2 measured)."""
+def membership_bool(vlo, vhi, klo, khi):
+    """Bool membership mask (value-in-key-set) from u32 half pairs via
+    ONE merged co-sort over [rows ∪ keys] (exec/join.
+    _probe_bounds_merged): a row is a member iff its (lo, hi) key-rank
+    bounds differ. Fixed-shape program for any K — the alternative
+    K-way EQ sweep traces O(K*width) graph ops and took >10 min to
+    COMPILE at K=2048 (r2 measured; same pathology re-found r2-cont in
+    the decoded-keys/limb IN paths: a 16k-pk update spent 23 s tracing
+    + 23 s compiling ONE filter)."""
     from .join import _probe_bounds_merged
+    lo, hi = _probe_bounds_merged(khi.reshape(-1), klo.reshape(-1),
+                                  vhi.reshape(-1), vlo.reshape(-1))
+    return (hi > lo).reshape(vlo.shape)
+
+
+def membership_words(vlo, vhi, keys):
+    """Packed membership mask over u64 `keys` (see membership_bool)."""
     Pg, N = vlo.shape
     kh = jax.lax.bitcast_convert_type(keys, jnp.uint32)     # [K, 2]
-    lo, hi = _probe_bounds_merged(kh[:, 1], kh[:, 0],
-                                  vhi.reshape(-1), vlo.reshape(-1))
-    mem = (hi > lo).reshape(Pg, N // 32, 32)
+    mem = membership_bool(vlo, vhi, kh[:, 0], kh[:, 1]) \
+        .reshape(Pg, N // 32, 32)
     return (mem.astype(jnp.uint32)
             << jnp.arange(32, dtype=jnp.uint32)).sum(
                 axis=2, dtype=jnp.uint32)

@@ -55,17 +55,29 @@ class Filter:
             self.key = _key_int(lo, ft)
             self.key_hi = _key_int(hi, ft)
         elif m in (FilterMode.IN, FilterMode.NOT_IN):
-            vals = list(self.value)
-            if not vals:
+            vals = self.value
+            if not len(vals):
                 self.mode = (FilterMode.FALSE if m == FilterMode.IN
                              else FilterMode.TRUE)
                 return self
-            keys = sorted(_key_int(v, ft) for v in vals)
             if ft.nlimbs <= 2:
-                self.keys = np.array(keys, np.uint64)
+                # vectorized keyform: a 262k-pk update spent 3.2 s in
+                # per-key scalar_to_keyform calls (r2-cont profile)
+                keys = np.sort(lb.to_keys64(vals, ft))
+                self.keys = keys
+                if ft.nlimbs == 1:
+                    self.key_limbs = np.ascontiguousarray(
+                        keys.astype(np.uint32))[None, :]
+                else:
+                    pairs = np.ascontiguousarray(keys).view(np.uint32)
+                    out = np.empty((2, len(keys)), np.uint32)
+                    out[0] = pairs[1::2]       # MSW limb first
+                    out[1] = pairs[0::2]
+                    self.key_limbs = out
             else:
+                keys = sorted(_key_int(v, ft) for v in vals)
                 self.keys = np.array(keys, object)
-            self.key_limbs = _keys_to_limbs(keys, ft)
+                self.key_limbs = _keys_to_limbs(keys, ft)
         else:
             self.key = _key_int(self.value, ft)
             self.key_limbs = _keys_to_limbs([self.key], ft)
