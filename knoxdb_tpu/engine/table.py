@@ -776,8 +776,10 @@ class Table:
                 incl = bs.np_pack_mask(mm).reshape(d.P, d.N // 32)
                 r = h.scanner_().scan(None, [AggSpec("count")],
                                       project=project, include_words=incl)
-                pos_of = {int(p): i for i, p in enumerate(r.row_ids)}
-                take = np.array([pos_of[int(l)] for l in local], np.int64)
+                # row_ids are ascending (selection vectors): position ->
+                # result index via searchsorted, not a 262k python dict
+                rid_arr = np.asarray(r.row_ids, np.int64)
+                take = np.searchsorted(rid_arr, local)
                 for name in project:
                     out[name][m] = np.asarray(r.rows[name],
                                               object)[take]
@@ -786,8 +788,7 @@ class Table:
         if jm.any():
             jsel = (positions[jm] - self.JOIN_JBASE).astype(np.int64)
             for name in project:
-                col = jdata[name]
-                out[name][jm] = np.array([col[i] for i in jsel], object)
+                out[name][jm] = np.asarray(jdata[name], object)[jsel]
         return out
 
     def _limbs_to_value(self, name: str, lim: np.ndarray):
