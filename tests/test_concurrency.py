@@ -188,6 +188,75 @@ def test_lock_manager_deadlock_detected():
     lm.release_all(10)
 
 
+def test_hammer_mixed_ops_background_merge(tmp_path):
+    """Mixed-op hammer against the chunked journal under BACKGROUND
+    merges: writers insert/update/delete while readers run
+    count/sum/point queries; at quiesce the table must equal a
+    model rebuilt from the writers' logs (merge swaps + journal drain
+    racing readers was ADVICE r1 high #2)."""
+    db = knox.create_database("hm", driver="mem", pack_size=256,
+                              background_merge=True)
+    t = db.create_table(R)
+    NW, ROUNDS = 4, 30
+    logs = [[] for _ in range(NW)]               # (pks, vals) per round
+    errs = []
+    stop = threading.Event()
+
+    def writer(w):
+        rng = np.random.default_rng(w)
+        try:
+            for i in range(ROUNDS):
+                n = int(rng.integers(5, 60))
+                vals = rng.integers(0, 1000, n)
+                pks = t.insert({"id": np.zeros(n, np.uint64),
+                                "worker": np.full(n, w, np.uint64),
+                                "v": vals})
+                logs[w].append((list(map(int, pks)),
+                                list(map(int, vals))))
+                if i % 7 == 3 and logs[w]:
+                    # delete a previous round's rows
+                    j = int(rng.integers(0, len(logs[w])))
+                    pks_j, _ = logs[w][j]
+                    if pks_j:
+                        t.delete(t.query().where(
+                            id__in=list(pks_j)))
+                        logs[w][j] = ([], [])
+        except Exception as e:                   # pragma: no cover
+            errs.append(e)
+
+    def reader():
+        try:
+            while not stop.is_set():
+                c = t.count()
+                s = t.query().sum("v")
+                assert c >= 0 and isinstance(s, int)
+        except Exception as e:                   # pragma: no cover
+            errs.append(e)
+
+    ws = [threading.Thread(target=writer, args=(w,)) for w in range(NW)]
+    rs = [threading.Thread(target=reader) for _ in range(2)]
+    for th in ws + rs:
+        th.start()
+    for th in ws:
+        th.join(timeout=300)
+    stop.set()
+    for th in rs:
+        th.join(timeout=30)
+    assert not errs, errs[:3]
+    t.merge()
+
+    want = {}
+    for w in range(NW):
+        for pks, vals in logs[w]:
+            for p, v in zip(pks, vals):
+                want[p] = v
+    assert t.count() == len(want)
+    rows = t.query().select("id", "v").rows()
+    got = {int(i): int(v) for i, v in zip(rows["id"], rows["v"])}
+    assert got == want
+    db.close()
+
+
 def test_ddl_waits_for_write_tx():
     """drop_table blocks until the touching write tx commits."""
     db = knox.create_database("lckddl", driver="mem", pack_size=256,
