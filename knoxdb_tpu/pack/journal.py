@@ -70,12 +70,20 @@ class Journal:
             self.rotate()
 
     def delete(self, xid: int, rids) -> int:
+        tomb = self.tomb
+        if not tomb:
+            # bulk fast path: dict.update at C speed (a 1M-row delete
+            # spends ~1 s in the per-rid python loop otherwise)
+            rl = np.asarray(rids, np.uint64).tolist()
+            tomb.update(zip(rl, [xid] * len(rl)))
+            return len(rl)
         cnt = 0
-        for r in rids:
-            r = int(r)
-            if r in self.tomb and self.tomb[r] in self._committed:
+        committed = self._committed
+        for r in np.asarray(rids, np.uint64).tolist():
+            prev = tomb.get(r)
+            if prev is not None and prev in committed:
                 continue
-            self.tomb[r] = xid
+            tomb[r] = xid
             cnt += 1
         return cnt
 
