@@ -760,6 +760,8 @@ class Table:
         allowed; -1 -> None). Fetches ONLY the requested rows: matched
         positions become per-segment INCLUDE bitsets for the scan."""
         segments, jdata, jrids, dead = view
+        if not project:          # side fully pruned by join select=
+            return {}
         positions = np.asarray(positions, np.int64)
         out = {name: np.full(len(positions), None, object)
                for name in project}

@@ -34,6 +34,9 @@ __all__ = ["leaf_group_consts", "leaf_group_static"]
 
 _U64_MAX = (1 << 64) - 1
 _MISS = 1 << 63          # sentinel: outside every packed domain
+_IN_DICT_MASK_MIN_K = 64  # above this, dict IN uses a bool dict mask
+#                           (below, the K-way code sweep compiles fast
+#                           and avoids the [Pg, N] gather)
 
 
 def _pow2_pad(n: int) -> int:
@@ -357,6 +360,17 @@ def _dict_consts(leaf: Filter, g: DeviceGroup):
     P = g.npacks
     if m in (FilterMode.IN, FilterMode.NOT_IN):
         keys = np.asarray(leaf.keys, np.uint64)
+        if len(keys) >= _IN_DICT_MASK_MIN_K:
+            # big IN list: per-pack bool DICT MASK (host np.isin) +
+            # one code gather — the K-way code-plane sweep traces O(K)
+            # graph ops (same compile pathology as the narrow schemes,
+            # fixed r2-cont)
+            dm = np.zeros((P, g.k), bool)
+            for j, dk in enumerate(g.dict_keys):
+                dm[j, :len(dk)] = np.isin(dk, keys)
+            if m == FilterMode.NOT_IN:
+                dm = ~dm
+            return {"dict_mask": jnp.asarray(dm)}
         K = _pow2_pad(len(keys))
         cs = np.full((K, P), _MISS, np.uint64)
         for j, dk in enumerate(g.dict_keys):

@@ -613,6 +613,15 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
     lt, rt = left._table._t, right._table._t
     lsel = left._select or [f.name for f in left._table.schema.fields]
     rsel = right._select or [f.name for f in right._table.schema.fields]
+    # r_-rename base: collisions judged against the FULL left selection
+    # so output keys stay stable when select= prunes columns
+    orig_l = set(lsel)
+    if select:
+        # projection PUSHDOWN: drop unselected columns BEFORE the
+        # materialization fetch (the relay moves ~45 MB/s — decoding
+        # then discarding whole columns is the expensive order).
+        # select names address OUTPUT keys (r_-renamed on collisions).
+        lsel, rsel = _join_pushdown(lsel, rsel, orig_l, select)
 
     with lt.engine.begin(read_only=True) as txl:
         lkeys, lpos, lview = lt.join_side(txl.snapshot, left._tree(), lf)
@@ -654,7 +663,7 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
     for name in lsel:
         out[name] = lrows[name]
     for name in rsel:
-        key = name if name not in out else f"r_{name}"
+        key = f"r_{name}" if name in orig_l else name
         out[key] = rrows[name]
     out["__n"] = len(lidx)
     return _join_select(out, select)
@@ -669,6 +678,9 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
     lf, rf = on
     lsel = left._select or [f.name for f in left._table.schema.fields]
     rsel = right._select or [f.name for f in right._table.schema.fields]
+    orig_l = set(lsel)
+    if select:
+        lsel, rsel = _join_pushdown(lsel, rsel, orig_l, select)
     lrows = left.select(*dict.fromkeys(lsel + [lf])).rows()
     rrows = right.select(*dict.fromkeys(rsel + [rf])).rows()
 
@@ -691,11 +703,27 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
             [col[i] if i >= 0 else None for i in res.lidx], object)
     for name in rsel:
         col = rrows[name]
-        key = name if name not in out else f"r_{name}"
+        key = f"r_{name}" if name in orig_l else name
         out[key] = np.array(
             [col[j] if j >= 0 else None for j in res.ridx], object)
     out["__n"] = res.n
     return _join_select(out, select)
+
+
+def _join_pushdown(lsel: list, rsel: list, orig_l: set,
+                   select) -> tuple[list, list]:
+    """Validate select names against the join's OUTPUT keys and prune
+    both sides' projections to the selected subset (unknowns raise
+    BEFORE any fetch)."""
+    out_names = set(lsel) | {f"r_{n}" if n in orig_l else n
+                             for n in rsel}
+    missing = [s for s in select if s not in out_names]
+    if missing:
+        raise KeyError(f"join select: unknown columns {missing}")
+    want = set(select)
+    return ([n for n in lsel if n in want],
+            [n for n in rsel
+             if (f"r_{n}" if n in orig_l else n) in want])
 
 
 def _join_select(out: dict, select) -> dict:

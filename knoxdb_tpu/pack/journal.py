@@ -234,14 +234,16 @@ def _tochunk(col, n: int) -> np.ndarray:
 
 
 def _concat(parts: list) -> np.ndarray:
-    """Concatenate column chunks; mixed dtypes promote to object (numpy
-    would otherwise unify int64+object -> object anyway, but an empty
-    list must yield an empty object array)."""
+    """Concatenate column chunks. ANY dtype mix promotes to object:
+    numpy would promote int64+uint64 to FLOAT64 and silently destroy
+    large integers (e.g. 2^63+5 -> 9.22e18) — the exactness invariant
+    forbids that. Same-dtype chunks (the overwhelmingly common case)
+    concatenate natively."""
     if not parts:
         return np.empty(0, object)
     if len(parts) == 1:
         return parts[0]
-    if any(p.dtype == object for p in parts) and \
-            not all(p.dtype == object for p in parts):
+    dt0 = parts[0].dtype
+    if any(p.dtype != dt0 for p in parts):
         parts = [p.astype(object) for p in parts]
     return np.concatenate(parts)

@@ -55,7 +55,12 @@ class Filter:
             self.key = _key_int(lo, ft)
             self.key_hi = _key_int(hi, ft)
         elif m in (FilterMode.IN, FilterMode.NOT_IN):
-            vals = self.value
+            # normalize any iterable (set/generator/tuple) like the old
+            # list(self.value) path did; arrays pass through untouched.
+            # Reassigned so weight/repr see a sized value afterwards.
+            vals = self.value if isinstance(self.value, np.ndarray) \
+                else list(self.value)
+            self.value = vals
             if not len(vals):
                 self.mode = (FilterMode.FALSE if m == FilterMode.IN
                              else FilterMode.TRUE)
@@ -63,17 +68,10 @@ class Filter:
             if ft.nlimbs <= 2:
                 # vectorized keyform: a 262k-pk update spent 3.2 s in
                 # per-key scalar_to_keyform calls (r2-cont profile)
+                from ..encode.schemes import _key_to_limbs
                 keys = np.sort(lb.to_keys64(vals, ft))
                 self.keys = keys
-                if ft.nlimbs == 1:
-                    self.key_limbs = np.ascontiguousarray(
-                        keys.astype(np.uint32))[None, :]
-                else:
-                    pairs = np.ascontiguousarray(keys).view(np.uint32)
-                    out = np.empty((2, len(keys)), np.uint32)
-                    out[0] = pairs[1::2]       # MSW limb first
-                    out[1] = pairs[0::2]
-                    self.key_limbs = out
+                self.key_limbs = _key_to_limbs(keys, ft.nlimbs)
             else:
                 keys = sorted(_key_int(v, ft) for v in vals)
                 self.keys = np.array(keys, object)

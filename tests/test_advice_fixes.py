@@ -226,3 +226,41 @@ def test_pack_size_validated(tmp_path):
     with pytest.raises(ValueError):
         db.create_table(Rw, pack_size=16)      # < 32
     db.close()
+
+
+def test_journal_mixed_dtype_chunks_stay_exact():
+    """int64+uint64 chunk mix must NOT promote to float64 (review
+    r2-cont: np.concatenate would silently destroy 2^63+5)."""
+    import numpy as np
+    from knoxdb_tpu.pack.journal import Journal
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, Snapshot
+    sch = (Builder("j").pk("id").add("v", FieldType.UINT64).finish())
+    j = Journal(sch.with_meta() if hasattr(sch, "with_meta") else sch)
+    big = (1 << 63) + 5
+    names = [f.name for f in j.schema.fields]
+    row1 = {n: np.array([big], np.uint64) for n in names}
+    row2 = {n: np.array([7], np.int64) for n in names}
+    j.insert(1, np.array([1], np.uint64), row1)
+    j.insert(2, np.array([2], np.uint64), row2)
+    j.commit(1)
+    j.commit(2)
+    snap = Snapshot(xown=0, xmin=0, xmax=0, xact=frozenset())
+    data, rids = j.visible_rows(snap)
+    assert int(data["v"][0]) == big          # exact, not 9.22e18
+    assert int(data["v"][1]) == 7
+
+
+def test_in_filter_accepts_set_and_tuple():
+    """IN values may arrive as any iterable (regression: vectorized
+    bind broke sets)."""
+    db = knox.create_database("inset", driver="mem", pack_size=256,
+                              background_merge=False)
+    t = db.create_table(Rw)
+    import numpy as np
+    t.insert({"id": np.zeros(10, np.uint64),
+              "v": np.arange(10, dtype=np.int64)})
+    t.merge()
+    assert t.query().where(v__in={1, 3, 5}).count() == 3
+    assert t.query().where(v__in=(2, 4)).count() == 2
+    db.close()

@@ -109,6 +109,22 @@ def test_modes_per_scheme(db, fname):
         _scan_count(db, fname, mode, val)
 
 
+@pytest.mark.parametrize("fname", SCHEME_COLS)
+@pytest.mark.parametrize("mode", [FilterMode.IN, FilterMode.NOT_IN])
+def test_big_in_lists_per_scheme(db, fname, mode, rng):
+    """K >= 17/64 IN lists take the fixed-shape membership / dict-mask
+    paths on every scheme (the unrolled sweep was a compile explosion;
+    r2-cont)."""
+    sch, data, seg, sc = db
+    col = data[fname]
+    if col.dtype == object:
+        col = np.array([int(v) for v in col], object)
+    picks = rng.choice(len(col), 40, replace=False)
+    vals = sorted({int(col[i]) for i in picks}
+                  | {10**9 + int(x) for x in range(60)})  # misses too
+    _scan_count(db, fname, mode, vals)
+
+
 def test_float_modes(db):
     sch, data, seg, sc = db
     for mode, val in [(FilterMode.GT, 0.0), (FilterMode.LE, -1234.5),
