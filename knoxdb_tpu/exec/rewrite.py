@@ -273,6 +273,12 @@ def _wide_bitpack_consts(leaf: Filter, g: DeviceGroup):
         return {"rel_lo": _wide_rel(leaf.key, g.bases, g.width),
                 "rel_hi": _wide_rel(leaf.key_hi, g.bases, g.width)}
     if m in (FilterMode.IN, FilterMode.NOT_IN):
+        # KNOWN BOUNDARY: rels is a per-key list -> the device sweep
+        # traces O(K * width) ops. Wide (int128/256) IN lists in the
+        # thousands would hit the compile pathology the narrow schemes
+        # route around via sort-membership; extending membership to
+        # 4+ limb keys (lax.sort num_keys=L+1) is the fix if such
+        # workloads appear.
         keys = [int(k) for k in leaf.keys]
         K = _pow2_pad(len(keys))
         keys = keys + [keys[0]] * (K - len(keys))
