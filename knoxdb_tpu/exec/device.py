@@ -251,7 +251,22 @@ def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
                 return B.range_planes_rel(arrays["planes"], consts["rel_lo"],
                                           consts["rel_hi"], width)
             if kmode in (FilterMode.IN, FilterMode.NOT_IN):
-                m = B.in_planes_rel(arrays["planes"], consts["rels"], width)
+                if "cs_limbs" in consts:
+                    # big wide IN list: decode + absolute rebase + one
+                    # merged (L+1)-key sort membership (fixed-shape;
+                    # the per-key rels sweep traces O(K*width) ops)
+                    from .join import _probe_bounds_merged_limbs
+                    lim = group_decode_limbs(g_sig, arrays, W)
+                    lim = add_base_limbs(lim, consts["base_limbs"])
+                    csl = consts["cs_limbs"]
+                    lo, hi = _probe_bounds_merged_limbs(
+                        [csl[l] for l in range(lim.shape[0])],
+                        [lim[l].reshape(-1) for l in range(lim.shape[0])])
+                    mem = (hi > lo).reshape(lim.shape[1], N)
+                    m = bs.pack_mask(mem)
+                else:
+                    m = B.in_planes_rel(arrays["planes"], consts["rels"],
+                                        width)
                 return ~m if kmode == FilterMode.NOT_IN else m
             return B.cmp_planes_rel(kmode, arrays["planes"], consts["rel"],
                                     width)

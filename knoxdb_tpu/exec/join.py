@@ -272,6 +272,40 @@ def _probe_bounds_merged(rs_hi, rs_lo, qk_hi, qk_lo):
     return lo_q[:Nq], hi_q[:Nq]
 
 
+def _probe_bounds_merged_limbs(b_cols, q_cols):
+    """L-limb generalization of _probe_bounds_merged (MSW-first u32 limb
+    lists): build-rank bounds per query via one merged (L+1)-key sort +
+    one restore sort. Used by the wide (int128/256) IN membership path;
+    the 2-limb join fast paths keep the specialized version."""
+    import jax
+    import jax.numpy as jnp
+    L = len(b_cols)
+    Nb = b_cols[0].shape[0]
+    Nq = q_cols[0].shape[0]
+    M = Nb + Nq
+    ks = [jnp.concatenate([b.reshape(-1), q.reshape(-1)])
+          for b, q in zip(b_cols, q_cols)]
+    tag = jnp.concatenate([jnp.zeros(Nb, jnp.int32),
+                           jnp.ones(Nq, jnp.int32)])
+    oid = jnp.concatenate([jnp.full(Nb, Nq, jnp.int32),
+                           jnp.arange(Nq, dtype=jnp.int32)])
+    srt = jax.lax.sort(tuple(ks) + (tag, oid), dimension=0,
+                       num_keys=L + 1)
+    ks_s, tag_s, oid_s = srt[:L], srt[L], srt[L + 1]
+    is_q = tag_s == 1
+    pos = jnp.arange(M, dtype=jnp.int32)
+    cq = jnp.cumsum(is_q.astype(jnp.int32))
+    bb = pos + 1 - cq - (1 - is_q.astype(jnp.int32))
+    start = pos == 0
+    for k in ks_s:
+        start = start | (k != jnp.roll(k, 1))
+    lo_all = _fill_forward_max(jnp.where(start, bb, 0))
+    key2 = jnp.where(is_q, oid_s, jnp.int32(Nq))
+    _k2, lo_q, hi_q = jax.lax.sort((key2, lo_all, bb), dimension=0,
+                                   num_keys=1)
+    return lo_q[:Nq], hi_q[:Nq]
+
+
 def join_pairs_core(lkeys, rkeys, cap: int,
                     how: JoinType = JoinType.INNER):
     """Pure jittable sort-probe join with duplicate expansion at a

@@ -37,6 +37,8 @@ _MISS = 1 << 63          # sentinel: outside every packed domain
 _IN_DICT_MASK_MIN_K = 64  # above this, dict IN uses a bool dict mask
 #                           (below, the K-way code sweep compiles fast
 #                           and avoids the [Pg, N] gather)
+_IN_SORT_MIN_K_WIDE = 17  # wide IN lists above this take L-limb
+#                           sort-membership (decode + merged sort)
 
 
 def _pow2_pad(n: int) -> int:
@@ -273,12 +275,26 @@ def _wide_bitpack_consts(leaf: Filter, g: DeviceGroup):
         return {"rel_lo": _wide_rel(leaf.key, g.bases, g.width),
                 "rel_hi": _wide_rel(leaf.key_hi, g.bases, g.width)}
     if m in (FilterMode.IN, FilterMode.NOT_IN):
-        # KNOWN BOUNDARY: rels is a per-key list -> the device sweep
-        # traces O(K * width) ops. Wide (int128/256) IN lists in the
-        # thousands would hit the compile pathology the narrow schemes
-        # route around via sort-membership; extending membership to
-        # 4+ limb keys (lax.sort num_keys=L+1) is the fix if such
-        # workloads appear.
+        if g.scheme == Scheme.BITPACK and \
+                len(leaf.keys) >= _IN_SORT_MIN_K_WIDE:
+            # big wide IN list: L-limb sort-membership (the per-key
+            # rels sweep traces O(K * width) graph ops — the same
+            # compile pathology as the narrow schemes). Keys + per-pack
+            # absolute-rebase bases travel as arrays; the device
+            # decodes limbs, rebases, and runs one merged (L+1)-key
+            # sort (exec/join._probe_bounds_merged_limbs).
+            limbs = leaf.key_limbs
+            K = _pow2_pad(limbs.shape[1])
+            pad = np.repeat(limbs[:, :1], K - limbs.shape[1], axis=1)
+            base = np.zeros((g.npacks, g.nlimbs), np.uint32)
+            for j, b in enumerate(g.bases):
+                x = int(b)
+                for l in range(g.nlimbs - 1, -1, -1):
+                    base[j, l] = x & 0xFFFFFFFF
+                    x >>= 32
+            return {"cs_limbs": jnp.asarray(
+                        np.concatenate([limbs, pad], axis=1)),
+                    "base_limbs": jnp.asarray(base)}
         keys = [int(k) for k in leaf.keys]
         K = _pow2_pad(len(keys))
         keys = keys + [keys[0]] * (K - len(keys))

@@ -125,6 +125,46 @@ def test_big_in_lists_per_scheme(db, fname, mode, rng):
     _scan_count(db, fname, mode, vals)
 
 
+def test_big_in_list_wide_i128(db, rng):
+    """Wide (int128) K>=17 IN lists stay exact on the RAW-wide
+    fallback path."""
+    sch, data, seg, sc = db
+    vals = [int(v) for v in data["i128"]]
+    picks = sorted({vals[i] for i in rng.choice(len(vals), 30,
+                                                replace=False)}
+                   | {(1 << 100) + i for i in range(20)})   # misses
+    for mode in (FilterMode.IN, FilterMode.NOT_IN):
+        _scan_count(db, "i128", mode, picks)
+
+
+def test_big_in_list_wide_bitpack(rng):
+    """CLUSTERED int128 (per-pack-base wide BITPACK) + K>=17 IN list:
+    the L-limb sort-membership path (cs_limbs consts) replaces the
+    O(K*width) rels sweep."""
+    from knoxdb_tpu.encode.schemes import Scheme
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.pack.segment import build_segment
+    n = 2048
+    sch = (Builder("w").pk("id").add("x", FieldType.INT128).finish())
+    base = 10**25
+    vals = np.array([base + int(v) for v in
+                     rng.integers(0, 1 << 30, n)], object)
+    seg = build_segment(sch, {"id": np.arange(1, n + 1, dtype=np.uint64),
+                              "x": vals}, pack_size=512)
+    assert all(p.scheme == Scheme.BITPACK
+               for p in seg.columns["x"].packs)
+    sc = SegmentScanner(DeviceSegment(seg))
+    picks = sorted({int(v) for v in vals[:25]} | {base - 7, base + 2**40})
+    for mode in (FilterMode.IN, FilterMode.NOT_IN):
+        tree = leaf(Filter(sch.field("x"), mode, picks)).optimize()
+        res = sc.scan(tree, [AggSpec("count")])
+        inset = np.isin(np.array([int(v) for v in vals], object),
+                        np.array(picks, object))
+        want = int(inset.sum()) if mode == FilterMode.IN \
+            else n - int(inset.sum())
+        assert res.count == want, (mode, res.count, want)
+
+
 def test_float_modes(db):
     sch, data, seg, sc = db
     for mode, val in [(FilterMode.GT, 0.0), (FilterMode.LE, -1234.5),
