@@ -241,8 +241,9 @@ class ShardedScanner(SegmentScanner):
                 per_dev = [GB.mxu_chunk_sums(
                     [np.asarray(ch).reshape(ndev, G)[d] for ch in chunks])
                     for d in range(ndev)]
-                sums = [sum(per_dev[d][g] for d in range(ndev))
-                        for g in range(G)]
+                # object-array reduce: exact python-int adds driven by
+                # numpy instead of a G x ndev python loop
+                sums = list(np.array(per_dev, object).sum(axis=0))
                 b = cplan[f][1]
                 if b:
                     ct = c.sum(axis=0)
