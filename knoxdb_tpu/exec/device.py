@@ -385,18 +385,26 @@ def _cmp_limbs(mode: FilterMode, x, consts):
 
 
 def _limb_mask_in_or_cmp(mode: FilterMode, x, consts, nlimbs: int):
-    """_cmp_limbs, except big IN lists on narrow (<= 2 limb) values
-    take the fixed-shape sort-membership program instead of the K-way
-    unrolled EQ sweep (limb 0 is the MSW — exec/rewrite._int_to_limbs).
+    """_cmp_limbs, except big IN lists take the fixed-shape sort-
+    membership program instead of the K-way unrolled EQ sweep (limb 0
+    is the MSW — exec/rewrite._int_to_limbs). <= 2 limbs ride the
+    2-word merged sort; wider values the L-limb generalization.
     Returns bool mask of x.shape[1:]."""
     cs_l = consts.get("cs_limbs")
     if mode in (FilterMode.IN, FilterMode.NOT_IN) and cs_l is not None \
-            and nlimbs <= 2 and cs_l.shape[1] >= _IN_SORT_MIN_K:
-        vlo = x[nlimbs - 1]
-        vhi = x[0] if nlimbs == 2 else jnp.zeros_like(vlo)
-        klo = cs_l[nlimbs - 1]
-        khi = cs_l[0] if nlimbs == 2 else jnp.zeros_like(klo)
-        m = membership_bool(vlo, vhi, klo, khi)
+            and cs_l.shape[1] >= _IN_SORT_MIN_K:
+        if nlimbs <= 2:
+            vlo = x[nlimbs - 1]
+            vhi = x[0] if nlimbs == 2 else jnp.zeros_like(vlo)
+            klo = cs_l[nlimbs - 1]
+            khi = cs_l[0] if nlimbs == 2 else jnp.zeros_like(klo)
+            m = membership_bool(vlo, vhi, klo, khi)
+        else:
+            from .join import _probe_bounds_merged_limbs
+            lo, hi = _probe_bounds_merged_limbs(
+                [cs_l[l] for l in range(nlimbs)],
+                [x[l].reshape(-1) for l in range(nlimbs)])
+            m = (hi > lo).reshape(x.shape[1:])
         return ~m if mode == FilterMode.NOT_IN else m
     return _cmp_limbs(mode, x, consts)
 
