@@ -9,14 +9,16 @@ roofline in the multi-G rows/s range (MXU-bound: ~9.2 kMAC/row).
 
 Decomposition (same as the XLA kernel): gid = hi*L + lo over a fixed
 H=128 hi axis (fills the MXU output tile) and L = 2^ceil(log2(G/H)).
-Per grid step over 8192-row tiles, one batched lane-contracting matmul
+Per grid step over S*1024-row tiles (S = pick_sublanes sublane rows;
+bigger tiles amortize the per-step one-hot builds — S=16 measured +56%
+over S=8 at G=1000), one batched lane-contracting matmul
 
     part[s, h, j] = sum_t hi_oh[s, h, t] * m2[s, j, t]     (s = sublane
-    row of 8, t = 1024 lanes, j = l*9 + c over 8 value byte-chunks + a
+    row of S, t = 1024 lanes, j = l*9 + c over 8 value byte-chunks + a
     count column)
 
 accumulates a [H, L*9] f32 partial whose entries stay < 2^24 (255 *
-8192), so f32 is EXACT; cross-tile accumulation happens OUTSIDE the
+S * 1024 for S <= 64), so f32 is EXACT; cross-tile accumulation happens OUTSIDE the
 kernel with u64 ADDS only (u64 shifts/multiplies are unreliable on this
 stack — CLAUDE.md; final byte recombination is host-side python ints,
 exec/groupby.mxu_chunk_sums).
@@ -54,14 +56,14 @@ _Z = np.int32(0)      # index-map zero (python 0 traces i64 under x64)
 
 
 def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, H: int, L: int,
-            shift: int, C: int):
-    g = gid_ref[0]                     # [8, T8] i32
-    vlo = vlo_ref[0]                   # [8, T8] u32
+            shift: int, C: int, S: int):
+    g = gid_ref[0]                     # [S, T8] i32
+    vlo = vlo_ref[0]                   # [S, T8] u32
     vhi = vhi_ref[0]
     hi = g >> shift                    # i32 shifts are fine (32-bit)
     lo = g & (L - 1)
 
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (8, H, _T8), 1)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (S, H, _T8), 1)
     hi_oh = (hi[:, None, :] == iota_h).astype(jnp.bfloat16)
 
     cols = []
@@ -76,27 +78,46 @@ def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, H: int, L: int,
         lm = (lo == l).astype(jnp.bfloat16)
         for c in range(C + 1):
             rows.append(lm * cols[c])
-    m2 = jnp.stack(rows, axis=1)       # [8, L*(C+1), T8]
+    m2 = jnp.stack(rows, axis=1)       # [S, L*(C+1), T8]
 
     part = jax.lax.dot_general(
         hi_oh, m2, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)             # [8, H, L*(C+1)]
+        preferred_element_type=jnp.float32)             # [S, H, L*(C+1)]
     out_ref[0] = jnp.sum(part, axis=0)
+
+
+def pick_sublanes(H: int, L: int, n_chunks: int) -> int:
+    """Sublane rows per grid step. Bigger tiles amortize the per-step
+    one-hot builds (r2-cont TPU probe, probes/pg3_variants.py: S=16 is
+    +56% over S=8 at G=1000/C=4; S=32 ties S=16 at 2x the VMEM).
+    Budget rule calibrated on known-good shapes: the dominant VMEM
+    residents hi_oh [S,H,T8] + m2 [S,L*NC,T8] bf16 must stay <= ~9.5 MB
+    (S=8,H=256,L=32,C=8 = 8.9 MB is TPU-validated; S=32,H=128,L*NC=40 =
+    11 MB ran but buys nothing over S=16)."""
+    NC = n_chunks + 1
+    for S in (32, 16, 8):
+        if 2 * _T8 * S * (H + L * NC) <= 9_500_000:
+            return S
+    return 8
 
 
 def fused_group_partials(gid, vlo, vhi, G: int, L: int, shift: int,
                          n_chunks: int = 8, interpret: bool = False,
-                         H: int = H_BINS):
+                         H: int = H_BINS, S: int | None = None):
     """gid i32[n] with invalid rows set to H*L; vlo/vhi u32[n] value
     words. Returns f32[B, H, L*(C+1)] per-tile partials (entry
     (h, l*(C+1)+c) = chunk-c byte sum of rows with gid == h*L + l; c == C
     is the count; C = n_chunks shrinks with the column's stats range —
     exec/groupby.chunk_plan). Cross-tile accumulation is the CALLER's
     job (u64 adds). H defaults to 128 (one MXU output tile); H=256
-    doubles the VMEM kernel's G coverage at the same L cap."""
+    doubles the VMEM kernel's G coverage at the same L cap. S = sublane
+    rows per tile (pick_sublanes; f32 partials stay exact because each
+    per-(h,l,c) entry is < S*1024*255 < 2^24 for S <= 64)."""
     C = n_chunks
+    if S is None:
+        S = pick_sublanes(H, L, C)
     n = gid.shape[0]
-    T = 8 * _T8
+    T = S * _T8
     B = -(-n // T)
     pad = B * T - n
     SENT = H * L
@@ -104,17 +125,17 @@ def fused_group_partials(gid, vlo, vhi, G: int, L: int, shift: int,
         gid = jnp.concatenate([gid, jnp.full(pad, SENT, jnp.int32)])
         vlo = jnp.concatenate([vlo, jnp.zeros(pad, jnp.uint32)])
         vhi = jnp.concatenate([vhi, jnp.zeros(pad, jnp.uint32)])
-    g3 = gid.reshape(B, 8, _T8)
-    lo3 = vlo.reshape(B, 8, _T8)
-    hi3 = vhi.reshape(B, 8, _T8)
+    g3 = gid.reshape(B, S, _T8)
+    lo3 = vlo.reshape(B, S, _T8)
+    hi3 = vhi.reshape(B, S, _T8)
     NC = C + 1
     return pl.pallas_call(
-        partial(_kernel, H=H, L=L, shift=shift, C=C),
+        partial(_kernel, H=H, L=L, shift=shift, C=C, S=S),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 8, _T8), lambda i: (i, _Z, _Z)),
-            pl.BlockSpec((1, 8, _T8), lambda i: (i, _Z, _Z)),
-            pl.BlockSpec((1, 8, _T8), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((1, S, _T8), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((1, S, _T8), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((1, S, _T8), lambda i: (i, _Z, _Z)),
         ],
         out_specs=pl.BlockSpec((1, H, L * NC), lambda i: (i, _Z, _Z)),
         out_shape=jax.ShapeDtypeStruct((B, H, L * NC), jnp.float32),

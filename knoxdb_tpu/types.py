@@ -50,13 +50,23 @@ _MODE_SYMBOLS = {
 _MODE_NAMES = {
     "eq": FilterMode.EQ, "ne": FilterMode.NE, "gt": FilterMode.GT,
     "ge": FilterMode.GE, "lt": FilterMode.LT, "le": FilterMode.LE,
-    "in": FilterMode.IN, "ni": FilterMode.NOT_IN, "rg": FilterMode.RANGE,
-    "re": FilterMode.REGEXP,
+    "in": FilterMode.IN, "ni": FilterMode.NOT_IN, "nin": FilterMode.NOT_IN,
+    "not_in": FilterMode.NOT_IN, "rg": FilterMode.RANGE,
+    "range": FilterMode.RANGE, "re": FilterMode.REGEXP,
+    "regexp": FilterMode.REGEXP,
 }
 
 
 def parse_filter_mode(s: str) -> FilterMode:
-    return _MODE_NAMES.get(s, FilterMode.INVALID)
+    """Parse an SDK mode string (reference pkg/knox condition parser).
+    Raises on unknown names: returning INVALID silently let a
+    cond("f", "range", ...) fall into the scalar bind path and crash
+    with an unrelated broadcast error (r2-cont regression find)."""
+    m = _MODE_NAMES.get(s.lower())
+    if m is None:
+        raise ValueError(f"unknown filter mode {s!r}; one of "
+                         f"{sorted(set(_MODE_NAMES))}")
+    return m
 
 
 class FieldType(enum.IntEnum):

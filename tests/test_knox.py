@@ -292,3 +292,25 @@ def test_truncate_table(rng, tmp_path):
                              background_merge=False)
     assert db2.table("tr").count() == 1      # truncation is durable
     db2.close()
+
+
+def test_filter_mode_aliases(db):
+    """cond() accepts the long-form mode names _KW_OPS already accepted;
+    unknown names raise instead of silently binding INVALID (which used
+    to crash later with an unrelated broadcast error)."""
+    import pytest
+
+    from knoxdb_tpu.types import FilterMode, parse_filter_mode
+
+    assert parse_filter_mode("range") == FilterMode.RANGE
+    assert parse_filter_mode("rg") == FilterMode.RANGE
+    assert parse_filter_mode("nin") == FilterMode.NOT_IN
+    assert parse_filter_mode("NIN") == FilterMode.NOT_IN
+    with pytest.raises(ValueError, match="unknown filter mode"):
+        parse_filter_mode("between")
+
+    t = db.create_table(Account)
+    t.insert([Account(balance=i, kind=0) for i in range(100)])
+    t.merge()
+    n = t.query().where(knox.cond("balance", "range", (10, 20))).count()
+    assert n == 11
