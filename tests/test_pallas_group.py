@@ -59,3 +59,44 @@ def test_pallas_group_dispatch(rng, monkeypatch):
                                jnp.asarray(vals), G, allow_pallas=False)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     assert GB.mxu_chunk_sums(a[1]) == GB.mxu_chunk_sums(b[1])
+
+
+def test_pick_sublanes_budget():
+    """Tile-size rule: known-good shapes keep their validated S; the
+    VMEM budget (hi_oh + m2 bf16 <= ~9.5 MB) never picks a tile bigger
+    than the r2-cont TPU-probed ones (probes/pg3_variants.py)."""
+    from knoxdb_tpu.ops.pallas_group import pick_sublanes
+
+    assert pick_sublanes(128, 8, 4) == 16    # config-3 shape (probed +56%)
+    assert pick_sublanes(128, 8, 8) == 16
+    assert pick_sublanes(256, 32, 8) == 8    # r2 H=256 validated shape
+    assert pick_sublanes(128, 32, 8) == 8
+    assert pick_sublanes(128, 1, 1) == 32    # tiny tiles can go wide
+
+
+def test_fused_partials_forced_sublanes(rng):
+    """Exactness is independent of the sublane tile choice (S is a pure
+    layout knob): forced S=8/16/32 all match, including the pad tail."""
+    import jax.numpy as jnp
+
+    from knoxdb_tpu.ops.pallas_group import fused_group_partials
+
+    G, L, shift, C = 60, 1, 0, 2
+    n = 5000                                  # pads differently per S
+    gid = rng.integers(0, G, n).astype(np.int32)
+    vlo = rng.integers(0, 1 << 16, n).astype(np.uint32)
+    vhi = np.zeros(n, np.uint32)
+    outs = []
+    for S in (8, 16, 32):
+        parts = fused_group_partials(
+            jnp.asarray(gid), jnp.asarray(vlo), jnp.asarray(vhi),
+            G, L, shift, n_chunks=C, interpret=True, S=S)
+        outs.append(np.asarray(parts).astype(np.int64).sum(axis=0))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+    want = np.zeros((128, C + 1), np.int64)
+    for g, v in zip(gid, vlo):
+        want[g, C] += 1
+        want[g, 0] += v & 0xFF
+        want[g, 1] += (v >> 8) & 0xFF
+    np.testing.assert_array_equal(outs[0].reshape(128, C + 1), want)
