@@ -21,11 +21,12 @@ __all__ = [
 
 def __getattr__(name):
     # lazy SDK surface: knoxdb_tpu.create_database(...) without importing
-    # the engine stack at package import time
-    if name == "knox":
-        from . import knox
-        return knox
-    if name in ("create_database", "open_database"):
-        from . import knox
-        return getattr(knox, name)
+    # the engine stack at package import time. importlib, NOT
+    # `from . import knox`: the fromlist path re-enters this __getattr__
+    # while the submodule import is in flight -> infinite recursion on
+    # `from knoxdb_tpu import knox`
+    if name in ("knox", "create_database", "open_database"):
+        import importlib
+        mod = importlib.import_module(".knox", __name__)
+        return mod if name == "knox" else getattr(mod, name)
     raise AttributeError(name)

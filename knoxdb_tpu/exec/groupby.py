@@ -235,6 +235,20 @@ def row_gids(mode_tags: tuple, gsigs: tuple, gidxs: tuple,
     return full
 
 
+def f64_to_keyform(vf):
+    """f64 VALUES -> order-preserving u64 keyform (inverse of
+    keyform_to_f64's float branch; utils/limbs.to_keyform device form).
+    All bit twiddling runs on u32 halves — emulated u64 shifts are
+    unreliable in some fusion contexts on this stack (CLAUDE.md)."""
+    h = jax.lax.bitcast_convert_type(vf, jnp.uint32)   # [..., 2] lo, hi
+    lo, hi = h[..., 0], h[..., 1]
+    sign = (hi >> jnp.uint32(31)) != 0
+    klo = jnp.where(sign, ~lo, lo)
+    khi = jnp.where(sign, ~hi, hi ^ jnp.uint32(0x80000000))
+    pair = jnp.stack([klo, khi], axis=-1)
+    return jax.lax.bitcast_convert_type(pair, jnp.uint64)
+
+
 def keyform_to_f64(keys, bias, is_float: bool):
     """u64 keyform -> f64 VALUE (jit). Ints: (key - bias) signed mod-2^64
     interp (exact < 2^53); floats: invert the order-preserving bit trick
@@ -637,9 +651,9 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
     while H * L < G:
         L <<= 1
     if L > 32:
-        # m2 [8, L*(C+1), 1024] bf16 would blow ~7 MB of VMEM at L>32;
-        # doubling the hi axis halves L instead (H=256 covers G<=8192,
-        # TPU-validated r2-cont)
+        # m2 [S, L*(C+1), 1024] bf16 (S from pick_sublanes) would blow
+        # the VMEM budget at L>32; doubling the hi axis halves L instead
+        # (H=256 covers G<=8192, TPU-validated r2-cont)
         H, L = 256, L >> 1
     if L > 32:
         # beyond G=8192 the XLA factored kernel streams from HBM

@@ -85,7 +85,7 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER,
     semantics, join.go:536-556).
 
     unique_build=True (build keys guaranteed unique — e.g. join on the
-    build table's pk) takes join_pairs_core_unique: 2 sorts + 2 forward
+    build table's pk) takes join_pairs_core_unique: ONE sort + 2 forward
     fills instead of the general core's ~7 sorts, no expansion
     machinery. A device-side duplicate check falls back to the general
     core if the guarantee does not hold."""
@@ -306,30 +306,67 @@ def _probe_bounds_merged_limbs(b_cols, q_cols):
     return lo_q[:Nq], hi_q[:Nq]
 
 
+def _merged_bounds_inorder(lkeys, rkeys):
+    """ONE merged 3-key sort of [build ∪ probe] -> per-MERGED-position
+    arrays (is_probe, probe-id, lo, hi): lo/hi are the probe's build-
+    rank bounds, valid at probe positions. The side tag rides bit 31 of
+    the id operand (builds sort first within a key run), so probe ids
+    arrive as payloads and NO probe-order restore sort is needed — the
+    r3 join cores consume bounds in merged key order. Returns
+    (is_q bool[M], pid u32[M], lo i32[M], hi i32[M])."""
+    import jax
+    import jax.numpy as jnp
+    Nr = rkeys.shape[0]
+    Nl = lkeys.shape[0]
+    M = Nl + Nr
+    TAGBIT = jnp.uint32(1 << 31)
+    rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)  # [Nr, 2]
+    lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)  # [Nl, 2]
+    kh = jnp.concatenate([rh[:, 1], lh[:, 1]])
+    kl = jnp.concatenate([rh[:, 0], lh[:, 0]])
+    pidt = jnp.concatenate([jnp.arange(Nr, dtype=jnp.uint32),
+                            jnp.arange(Nl, dtype=jnp.uint32) | TAGBIT])
+    kh_s, kl_s, pidt_s = jax.lax.sort((kh, kl, pidt), dimension=0,
+                                      num_keys=3)
+    is_q = (pidt_s & TAGBIT) != 0
+    pid = pidt_s & ~TAGBIT
+    pos = jnp.arange(M, dtype=jnp.int32)
+    cq = jnp.cumsum(is_q.astype(jnp.int32))          # inclusive
+    bb = pos + 1 - cq - (1 - is_q.astype(jnp.int32))  # builds before
+    start = (pos == 0) | (kh_s != jnp.roll(kh_s, 1)) \
+        | (kl_s != jnp.roll(kl_s, 1))
+    # builds sort before equal-key probes, so at a probe slot the
+    # exclusive build count IS hi; lo is the run-start build count,
+    # forward-filled (log-doubling max — lax.cummax overflows scoped
+    # vmem on this libtpu, CLAUDE.md)
+    lo = _fill_forward_max(jnp.where(start, bb, 0))
+    return is_q, pid, lo, bb
+
+
 def join_pairs_core(lkeys, rkeys, cap: int,
                     how: JoinType = JoinType.INNER):
     """Pure jittable sort-probe join with duplicate expansion at a
-    STATIC cap: returns DEVICE arrays (lidx i32[cap], ridx i32[cap],
-    total) with -2 past total (and ridx -1 on LEFT misses). Callers
-    keep the pairs on device (projection gathers run device-side; only
-    final columns cross the relay — it moves ~45 MB/s).
+    STATIC cap: returns DEVICE arrays (lidx, ridx, total) of length
+    Nr + Nl + Nr + cap with valid pairs INTERSPERSED in build-rank
+    order (-2 elsewhere, ridx -1 on LEFT misses). Callers filter; pair
+    ORDER is unspecified (key-clustered). total is always the TRUE
+    pair count even when cap truncates.
 
-    GATHER-FREE formulation (round-2 TPU profile: the previous version
-    spent 220 ms of a 260 ms 1M x 1M join in four output-scale takes —
-    a 1M-row gather costs ~26 ms on this stack while a 1M-row sort
-    operand costs ~1-4 ms). Every cross-array lookup is a payload-
-    carrying co-sort + log-doubling forward fill:
+    GATHER-FREE and (r3) RESTORE-FREE formulation. Round-2 profiling:
+    a 1M-row gather costs ~26 ms on this stack vs ~1-4 ms per sort
+    operand — every cross-array lookup is a payload-carrying co-sort +
+    log-doubling forward fill. Round 3 drops the three probe/slot-order
+    restore sorts entirely (output order is free) — THREE full sorts +
+    TWO bitonic merges total:
 
-      1. build sort     (kh, kl, iota)            -> sorted keys + order
-      2. probe bounds   _probe_bounds_merged      -> lo/hi per probe
-      3. expansion      (offs ∪ slot) stable sort; probe index = count
-         of offs-entries before the slot (position arithmetic), probe
-         lo / count ride as shifted payloads, prev-offset = forward-max
-         of the offs values themselves
-      4. slot restore   pushes offs-entries to the tail -> per-slot
-         (probe, rank, miss) in slot order
-      5. rank->build-id merge (rank ∪ build-rank) + forward fill + one
-         restore — replaces take(order, rank)
+      1. build sort    (kh, kl, iota)        -> build order payload
+      2. merged bounds _merged_bounds_inorder -> lo/hi per probe, in
+         merged key order (one 3-key sort + fills, no restore)
+      3. expansion     bitonic merge (offs ∪ slot iota): slot ->
+         (probe id, build rank j, miss) via shifted payloads + fills
+      4. slot rank sort (j, probe-id|flags)  -> slots in rank order
+      5. rank->build-id bitonic merge (build ranks ∪ slot ranks) +
+         forward fill — replaces take(order, rank)
 
     All composites are 32-bit (u64 shifts are unreliable on this stack;
     cap < 2^30 and Nl, Nr < 2^30 always hold for per-chip shards).
@@ -338,92 +375,98 @@ def join_pairs_core(lkeys, rkeys, cap: int,
     import jax.numpy as jnp
     Nl = lkeys.shape[0]
     Nr = rkeys.shape[0]
-    assert (Nl + cap) < (1 << 31) and cap < (1 << 30) and Nr < (1 << 30)
+    M = Nl + Nr
+    assert (M + cap) < (1 << 31) and cap < (1 << 30) and Nr < (1 << 30)
     left = how == JoinType.LEFT
     U1 = jnp.uint32(1)
     SENT = jnp.uint32(0xFFFFFFFF)
+    INVK = jnp.uint32(0xFFFFFFFE)     # below the bitonic-merge pad key
+    MISSBIT = jnp.uint32(1 << 31)
 
     rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)  # [Nr, 2]
-    lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)  # [Nl, 2]
-    rs_hi, rs_lo, order_s = jax.lax.sort(
+    _rs_hi, _rs_lo, order_s = jax.lax.sort(
         (rh[:, 1], rh[:, 0], jnp.arange(Nr, dtype=jnp.uint32)),
-        dimension=0, num_keys=2)                # sorted keys AND order
-    lo32, hi32 = _probe_bounds_merged(rs_hi, rs_lo, lh[:, 1], lh[:, 0])
-    counts = hi32 - lo32
-    eff = jnp.maximum(counts, 1) if left else counts
-    offs = jnp.cumsum(eff)                      # inclusive, i32
+        dimension=0, num_keys=2)                # rank -> original index
+    is_q, pid_m, lo_m, hi_m = _merged_bounds_inorder(lkeys, rkeys)
+    counts = jnp.where(is_q, hi_m - lo_m, 0)
+    eff = jnp.where(is_q & left, jnp.maximum(counts, 1), counts) \
+        if left else counts
+    offs = jnp.cumsum(eff)                      # inclusive, i32, [M]
     total = offs[-1]
 
     # --- expansion: offs-entries ∪ slot-entries, key = (value<<1)|tag.
-    # Slot t belongs to probe i  <=>  offs[i-1] <= t < offs[i]; the
-    # number of offs-entries sorting before slot t is exactly i. STABLE
-    # sort so equal offs values (empty probes) keep probe order and the
-    # nearest preceding payload is probe i's (shifted) lo/count.
+    # Slot t belongs to merged position i <=> offs[i-1] <= t < offs[i]
+    # (necessarily a probe: builds have eff 0); the number of offs-
+    # entries sorting before slot t is exactly i. Payloads are SHIFTED
+    # (offs-entry i carries position i+1's lo/pid/count) so the nearest
+    # PRECEDING offs entry i-1 carries the owner i's values.
     tl = jnp.arange(cap, dtype=jnp.uint32)
     comp = jnp.concatenate([offs.astype(jnp.uint32) << U1,
                             (tl << U1) | U1])
-    pay_lo = jnp.concatenate([
-        jnp.concatenate([lo32[1:].astype(jnp.uint32),
-                         jnp.full(1, SENT, jnp.uint32)]),
-        jnp.full(cap, SENT, jnp.uint32)])       # offs-entry i: lo[i+1]
-    ops = [comp, pay_lo]
-    if left:
-        pay_cnt = jnp.concatenate([
-            jnp.concatenate([counts[1:].astype(jnp.uint32),
+
+    def shifted(x):
+        return jnp.concatenate([
+            jnp.concatenate([x[1:].astype(jnp.uint32),
                              jnp.full(1, SENT, jnp.uint32)]),
             jnp.full(cap, SENT, jnp.uint32)])
-        ops.append(pay_cnt)
+
+    ops = [comp, shifted(lo_m), shifted(pid_m)]
+    if left:
+        ops.append(shifted(counts))
     # both runs of comp are pre-sorted (offs is a cumsum, slots are an
-    # iota): a bitonic MERGE (log passes) replaces the stable sort's
-    # full network
-    srt = merge_sorted_stable(Nl, *ops)
-    c_s, pay_lo_s = srt[0], srt[1]
+    # iota): a bitonic MERGE (log passes) replaces a full sort network
+    srt = merge_sorted_stable(M, *ops)
+    c_s = srt[0]
     is_t = (c_s & U1) == U1
-    pos = jnp.arange(Nl + cap, dtype=jnp.int32)
+    pos = jnp.arange(M + cap, dtype=jnp.int32)
     ct = jnp.cumsum(is_t.astype(jnp.int32))     # inclusive slot count
-    ic = pos + 1 - ct                           # probe index at slots
+    ic = pos + 1 - ct                           # owner position i
     prevv = _fill_forward_max(
-        jnp.where(is_t, jnp.uint32(0), c_s >> U1))       # offs[ic-1]
-    lof = _fill_forward_last(pay_lo_s, SENT)
-    lof = jnp.where(lof == SENT, lo32[0].astype(jnp.uint32), lof)
+        jnp.where(is_t, jnp.uint32(0), c_s >> U1))       # offs[i-1]
+    lof = _fill_forward_last(srt[1], SENT)
+    lof = jnp.where(lof == SENT, lo_m[0].astype(jnp.uint32), lof)
+    pidf = _fill_forward_last(srt[2], SENT)
+    pidf = jnp.where(pidf == SENT, pid_m[0], pidf)
     k = (c_s >> U1).astype(jnp.int32) - prevv.astype(jnp.int32)
     j = lof.astype(jnp.int32) + k               # build RANK per slot
+    slot_ok = is_t & (ic < M)                   # t < total
     if left:
-        cntf = _fill_forward_last(srt[2], SENT)
-        cntf = jnp.where(cntf == SENT, counts[0].astype(jnp.uint32), cntf)
+        cntf = _fill_forward_last(srt[3], SENT)
+        cntf = jnp.where(cntf == SENT, counts[0].astype(jnp.uint32),
+                         cntf)
         miss = k >= cntf.astype(jnp.int32)
-        ic_h = ic.astype(jnp.uint32) | jnp.where(
-            miss, jnp.uint32(1) << 31, jnp.uint32(0))
-    else:
-        ic_h = ic.astype(jnp.uint32)
+        # a missing probe's single slot still needs a DEFINED rank for
+        # the sort/merge below; rank 0 always exists (Nr > 0 guarded by
+        # the device wrapper)
+        j = jnp.where(miss, 0, j)
+        pidf = pidf | jnp.where(miss, MISSBIT, jnp.uint32(0))
 
-    # --- restore to slot order (offs-entries -> tail)
-    key3 = jnp.where(is_t, c_s >> U1, SENT)
-    _k3, ic_r, j_r = jax.lax.sort(
-        (key3, ic_h, j.astype(jnp.uint32)), dimension=0, num_keys=1)
-    ic_slot = ic_r[:cap]
-    j_slot = j_r[:cap]
+    # --- slots to rank order (invalid entries -> INVK tail)
+    key3 = jnp.where(slot_ok, j.astype(jnp.uint32), INVK)
+    j_s, pid_s3 = jax.lax.sort((key3, pidf), dimension=0, num_keys=1)
 
-    # --- rank -> build original index: merge slots (key rank|1) with
-    # build entries (key rank|0 carrying order payload), forward-fill.
-    key_m = jnp.concatenate([
-        jnp.arange(Nr, dtype=jnp.uint32) << U1, (j_slot << U1) | U1])
-    pay_oid = jnp.concatenate([order_s, jnp.full(cap, SENT, jnp.uint32)])
-    slot_id = jnp.concatenate([jnp.full(Nr, SENT, jnp.uint32), tl])
-    km_s, oid_m, slot_m = jax.lax.sort((key_m, pay_oid, slot_id),
-                                       dimension=0, num_keys=1)
+    # --- rank -> build original index: bitonic merge of build entries
+    # (key rank<<1, order payload) with slot entries (key (j<<1)|1,
+    # probe-id payload) — both runs ascending — then forward-fill.
+    key_a = jnp.arange(Nr, dtype=jnp.uint32) << U1
+    key_b = jnp.where(j_s == INVK, INVK, (j_s << U1) | U1)
+    key_m = jnp.concatenate([key_a, key_b])
+    pay_oid = jnp.concatenate([order_s,
+                               jnp.full(M + cap, SENT, jnp.uint32)])
+    pay_pid = jnp.concatenate([jnp.full(Nr, SENT, jnp.uint32), pid_s3])
+    km_s, oid_m, pid_f = merge_sorted_stable(Nr, key_m, pay_oid, pay_pid)
+    # build entries have even keys; INVK is even too but its oid payload
+    # is already SENT, so it never pollutes the fill
     oid_f = _fill_forward_last(
         jnp.where((km_s & U1) == 0, oid_m, SENT), SENT)
-    _sl, ridx_u = jax.lax.sort((slot_m, oid_f), dimension=0, num_keys=1)
-    ridx0 = ridx_u[:cap].astype(jnp.int32)
 
-    tt = jnp.arange(cap, dtype=jnp.int32)
-    valid = tt < total
-    lidx = jnp.where(valid, (ic_slot & jnp.uint32(0x7FFFFFFF))
-                     .astype(jnp.int32), jnp.int32(-2))
+    is_slot = ((km_s & U1) == 1) & (km_s != INVK) & (pid_f != SENT)
+    lidx = jnp.where(is_slot,
+                     (pid_f & ~MISSBIT).astype(jnp.int32), jnp.int32(-2))
+    ridx = jnp.where(is_slot, oid_f.astype(jnp.int32), jnp.int32(-2))
     if left:
-        ridx0 = jnp.where((ic_slot >> 31) == 1, jnp.int32(-1), ridx0)
-    ridx = jnp.where(valid, ridx0, jnp.int32(-2))
+        ridx = jnp.where(is_slot & ((pid_f & MISSBIT) != 0),
+                         jnp.int32(-1), ridx)
     return lidx, ridx, total.astype(jnp.int64)
 
 
@@ -445,24 +488,26 @@ def join_pairs_core_unique(lkeys, rkeys, how: JoinType = JoinType.INNER):
     expansion machinery (expansion sort + slot restore + rank merge +
     restore — 5 of the general core's ~7 sorts) collapses to nothing.
 
-    TWO sorts + TWO forward fills total:
+    ONE sort + TWO forward fills total (r3: the former probe-order
+    restore sort is GONE — join pair order is unspecified, callers
+    filter interspersed invalids anyway, so pairs are emitted in merged
+    KEY order directly):
 
-      1. merged sort of (key, tag, original-id): builds sort BEFORE
-         probes of the same key (tag key), and each entry carries its
-         original row id as payload — the build id rides the sort, so
-         no rank->original-index translation pass is needed at all.
+      1. merged 3-key sort of (key_hi, key_lo, tag|id): the side tag
+         rides bit 31 of the id word, so builds sort BEFORE probes of
+         the same key and each entry still carries its original row id
+         — one less sort operand, no rank translation pass.
       2. in merged order: key-run ids from run starts (cumsum); forward
-         fill (build id, build run-id) — two u32 fills with ALIGNED
-         sentinels (non-build positions), so both fill from the same
-         source row. A probe matches iff its filled run-id equals its
-         own run id (unique build => that run's single build).
-      3. restore sort to probe order (probes first by original id).
+         fill (build id, build run-id) with ALIGNED sentinel positions.
+         A probe matches iff its filled run-id equals its own run id
+         (unique build => that run's single build).
 
-    Returns (lidx i32[Nl], ridx i32[Nl], total i64, dup_builds bool) —
-    valid pairs INTERSPERSED (invalid rows -2, LEFT misses ridx -1),
-    callers filter. dup_builds=True means the uniqueness guarantee was
-    violated (a build key repeats): results then UNDERCOUNT matches and
-    the caller must re-run the general core.
+    Returns (lidx i32[Nl+Nr], ridx i32[Nl+Nr], total i64, dup_builds
+    bool) — valid pairs INTERSPERSED in key order (build rows and
+    non-matching probes -2, LEFT misses ridx -1), callers filter.
+    dup_builds=True means the uniqueness guarantee was violated (a
+    build key repeats): results then UNDERCOUNT matches and the caller
+    must re-run the general core.
 
     Reference semantics: merge join join.go:536-556 restricted to its
     unique-rhs case."""
@@ -474,18 +519,18 @@ def join_pairs_core_unique(lkeys, rkeys, how: JoinType = JoinType.INNER):
     assert Nl < (1 << 30) and Nr < (1 << 30)
     left = how == JoinType.LEFT
     SENT = jnp.uint32(0xFFFFFFFF)
+    TAGBIT = jnp.uint32(1 << 31)
 
     rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)   # [Nr, 2]
     lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)   # [Nl, 2]
     kh = jnp.concatenate([rh[:, 1], lh[:, 1]])
     kl = jnp.concatenate([rh[:, 0], lh[:, 0]])
-    tag = jnp.concatenate([jnp.zeros(Nr, jnp.uint32),
-                           jnp.ones(Nl, jnp.uint32)])
-    pid = jnp.concatenate([jnp.arange(Nr, dtype=jnp.uint32),
-                           jnp.arange(Nl, dtype=jnp.uint32)])
-    kh_s, kl_s, tag_s, pid_s = jax.lax.sort(
-        (kh, kl, tag, pid), dimension=0, num_keys=3)
-    is_b = tag_s == 0
+    pidt = jnp.concatenate([jnp.arange(Nr, dtype=jnp.uint32),
+                            jnp.arange(Nl, dtype=jnp.uint32) | TAGBIT])
+    kh_s, kl_s, pidt_s = jax.lax.sort(
+        (kh, kl, pidt), dimension=0, num_keys=3)
+    is_b = (pidt_s & TAGBIT) == 0
+    pid_s = pidt_s & ~TAGBIT
 
     pos0 = jnp.arange(M, dtype=jnp.uint32) == 0
     start = pos0 | (kh_s != jnp.roll(kh_s, 1)) \
@@ -499,19 +544,15 @@ def join_pairs_core_unique(lkeys, rkeys, how: JoinType = JoinType.INNER):
     fs = _fill_forward_last(jnp.where(is_b, seg, SENT), SENT)
     match = (~is_b) & (fs == seg) & (fb != SENT)
 
-    # restore to probe order: probes first keyed by original id
-    key2 = jnp.where(is_b, SENT, pid_s)
-    _k2, mt_r, bid_r = jax.lax.sort(
-        (key2, match.astype(jnp.uint32), fb), dimension=0, num_keys=1)
-    mt = mt_r[:Nl] == 1
-    bid = bid_r[:Nl].astype(jnp.int32)
-    li = jnp.arange(Nl, dtype=jnp.int32)
+    li = pid_s.astype(jnp.int32)
+    bid = fb.astype(jnp.int32)
     if left:
-        lidx = li
-        ridx = jnp.where(mt, bid, jnp.int32(-1))
+        lidx = jnp.where(is_b, jnp.int32(-2), li)
+        ridx = jnp.where(is_b, jnp.int32(-2),
+                         jnp.where(match, bid, jnp.int32(-1)))
         total = jnp.int64(Nl)
     else:
-        lidx = jnp.where(mt, li, jnp.int32(-2))
-        ridx = jnp.where(mt, bid, jnp.int32(-2))
-        total = mt.sum(dtype=jnp.int64)
+        lidx = jnp.where(match, li, jnp.int32(-2))
+        ridx = jnp.where(match, bid, jnp.int32(-2))
+        total = match.sum(dtype=jnp.int64)
     return lidx, ridx, total, dup_builds

@@ -27,8 +27,9 @@ Both dot operands keep rows in the LANE dim (contracting dim (2, 2)) —
 no lane->sublane relayouts, which Mosaic handles poorly.
 
 Layout rules honored (CLAUDE.md Pallas notes): block last-two dims are
-(8, 1024) / equal to array dims; no 64-bit dtypes in-kernel (values
-arrive pre-split as u32 lo/hi words); no traced module constants.
+(S, 1024) with S a multiple of 8 (pick_sublanes VMEM-budget rule) / equal
+to array dims; no 64-bit dtypes in-kernel (values arrive pre-split as u32
+lo/hi words); no traced module constants.
 
 DEFAULT ON (config.use_pallas_group; KNOX_NO_PALLAS_GROUP=1 kills):
 unlike round-2-early Mosaic runs, repeat executions of THIS kernel are
@@ -116,6 +117,12 @@ def fused_group_partials(gid, vlo, vhi, G: int, L: int, shift: int,
     C = n_chunks
     if S is None:
         S = pick_sublanes(H, L, C)
+    if S % 8 or not 0 < S <= 64:
+        # S > 64 breaks the f32 per-tile exactness bound (S*1024*255 <
+        # 2^24); S not a multiple of 8 breaks the Mosaic sublane tile
+        # rule (block dims (8k, 128k))
+        raise ValueError(f"fused_group_partials: S={S} must be a "
+                         f"multiple of 8 in (0, 64]")
     n = gid.shape[0]
     T = S * _T8
     B = -(-n // T)

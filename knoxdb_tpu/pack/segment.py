@@ -126,11 +126,16 @@ def _encode_strings(field: Field, raw, bounds, pack_size: int):
     keys (CONSERVATIVE: pruning uses strict compares only — equal prefixes
     cannot decide); optional bloom over full byte values."""
     from ..filter import bloom as BL
+    if field.filter == FilterType.BITS:
+        raise ValueError(
+            f"field {field.name}: FilterType.BITS is not supported for "
+            f"STRING/BYTES (reference filter.go:369-397); use bloom/bfuse")
     vals = list(raw)
     packs = []
     pref_min = []
     pref_max = []
-    blooms = [] if field.filter != FilterType.NONE else None
+    blooms = [] if field.filter.is_bloom else None
+    fuses = [] if field.filter.is_fuse else None
     for lo, hi in bounds:
         p = S.encode_string_dict(vals[lo:hi], pack_size,
                                  width_round=sel.round_width)
@@ -140,11 +145,15 @@ def _encode_strings(field: Field, raw, bounds, pack_size: int):
         if blooms is not None:
             nbits = BL.bloom_bits(pack_size, field.filter)
             blooms.append(BL.build_bytes_np(p.dict_bytes, nbits))
+        if fuses is not None:
+            from ..filter import fuse as FU
+            bits = 8 if field.filter == FilterType.BFUSE8 else 16
+            fuses.append(FU.build_bytes(p.dict_bytes, bits))
     col = EncodedColumn(field, packs, wide=False)
     fs = FieldStats(np.array(pref_min, np.uint64),
                     np.array(pref_max, np.uint64),
                     np.stack(blooms) if blooms else None,
-                    field.filter)
+                    field.filter, pack_filters=fuses)
     fs.is_prefix = True
     return col, fs
 

@@ -45,6 +45,22 @@ class Field:
     is_enum: bool = False
     enum_name: str = ""
 
+    def __post_init__(self):
+        # accept reference-style string kinds ("bfuse8", "bloom2b", ...)
+        # at the Builder API too, not just struct-tag metadata
+        if isinstance(self.filter, str):
+            s = self.filter.lower()
+            if s and s not in _FILTER_NAMES:
+                raise ValueError(f"field {self.name}: unknown pack filter "
+                                 f"kind {self.filter!r}")
+            object.__setattr__(self, "filter",
+                               _FILTER_NAMES[s] if s else FilterType.NONE)
+        if isinstance(self.index, str):
+            object.__setattr__(
+                self, "index",
+                IndexType[self.index.upper()] if self.index
+                else IndexType.NONE)
+
     @property
     def is_visible(self) -> bool:
         return not self.is_meta
@@ -69,15 +85,25 @@ def field_meta(*, pk: bool = False, index: str | IndexType = IndexType.NONE,
     if isinstance(index, str):
         index = IndexType[index.upper()] if index else IndexType.NONE
     if isinstance(filter, str):
-        filter = _FILTER_NAMES[filter] if filter else FilterType.NONE
+        if filter and filter.lower() not in _FILTER_NAMES:
+            raise ValueError(f"unknown pack filter kind {filter!r}; one "
+                             f"of {sorted(_FILTER_NAMES)}")
+        filter = _FILTER_NAMES[filter.lower()] if filter else FilterType.NONE
     return {"knox": dict(pk=pk, index=index, filter=filter, scale=scale,
                          fixed=fixed, type=type, enum=enum)}
 
 
 _FILTER_NAMES = {
+    # reference filter kind names (internal/types/filter.go:26-28):
+    # bits, bloom2b..5b, bfuse8/16 (+ short aliases)
     "bloom": FilterType.BLOOM_2B, "bloom1": FilterType.BLOOM_1B,
     "bloom2": FilterType.BLOOM_2B, "bloom3": FilterType.BLOOM_3B,
-    "bloom4": FilterType.BLOOM_4B, "bits": FilterType.BITS,
+    "bloom4": FilterType.BLOOM_4B, "bloom5": FilterType.BLOOM_5B,
+    "bloom2b": FilterType.BLOOM_2B, "bloom3b": FilterType.BLOOM_3B,
+    "bloom4b": FilterType.BLOOM_4B, "bloom5b": FilterType.BLOOM_5B,
+    "bits": FilterType.BITS,
+    "bfuse8": FilterType.BFUSE8, "bfuse16": FilterType.BFUSE16,
+    "fuse": FilterType.BFUSE8,
 }
 
 _PY_TYPES: dict[Any, FieldType] = {

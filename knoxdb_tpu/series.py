@@ -75,14 +75,27 @@ def run_series(req: SeriesRequest) -> dict:
     G = max(1, -(-(req.end - req.start) // req.interval))
     if G > GB.MAX_GROUPS:
         raise ValueError(f"series: {G} buckets exceeds {GB.MAX_GROUPS}")
+    def _is_flt(f):
+        return t.full_schema.field(f).type.is_float
+
+    # float sum/mean ride the moments kernel, float min/max the fminmax
+    # keyform kernel (keyform SUMS are meaningless for floats — the int
+    # group_scan path takes only non-float fields)
     agg_fields = sorted({f for op, f in req.aggs
-                         if f and op in BASIC_OPS})
+                         if f and op in BASIC_OPS and not _is_flt(f)})
 
     # dispatch extended reducers to their device kernels
     kinds: dict[str, set] = {}
     fallback_join: set[str] = set()       # *_join on float columns
     for op, f in req.aggs:
-        if op == "count" or op in BASIC_OPS:
+        if op == "count":
+            continue
+        if op in BASIC_OPS:
+            if f and _is_flt(f):
+                if op in ("sum", "mean", "avg"):
+                    kinds.setdefault(f, set()).add("moments")
+                else:
+                    kinds.setdefault(f, set()).add("fminmax")
             continue
         if op not in EXT_OPS:
             raise ValueError(f"series reducer {op}")
@@ -125,7 +138,8 @@ def run_series(req: SeriesRequest) -> dict:
 
         segments, jdata, jrids, dead = t._read_view(snap)
         excl_by_seg = t._exclude_masks_of(segments, dead)
-        need_minmax = any(op in ("min", "max") for op, _ in req.aggs)
+        need_minmax = any(op in ("min", "max") and f and not _is_flt(f)
+                          for op, f in req.aggs)
         for h, excl in zip(segments, excl_by_seg):
             sc = h.scanner_()
             gplan = GB.plan_buckets(sc.d, req.time_field, t0_key,
@@ -225,6 +239,21 @@ def run_series(req: SeriesRequest) -> dict:
                 vals.append(None)
             elif op in EXT_OPS:
                 vals.append(ext_vals[(op, f)][g])
+            elif ftf.is_float and op in ("sum", "mean", "avg"):
+                parts = ext_parts.get((f, "moments"), [])
+                S = sum(float(p[1][g]) for p in parts)
+                vals.append(S / int(counts[g])
+                            if op in ("mean", "avg") else S)
+            elif ftf.is_float and op in ("min", "max"):
+                best = None
+                for p in ext_parts.get((f, "fminmax"), []):
+                    if int(p[0][g]) == 0:
+                        continue
+                    k = int(p[1][g]) if op == "min" else int(p[2][g])
+                    if best is None or (k < best if op == "min"
+                                        else k > best):
+                        best = k
+                vals.append(None if best is None else _kv(best, ftf))
             elif op in ("sum", "mean", "avg"):
                 v = sums[f][g] - int(counts[g]) * bias
                 vals.append(v / int(counts[g]) if op in ("mean", "avg") else v)
@@ -274,6 +303,15 @@ def _np_series_part(kind: str, g_of, ts_k, keys, G: int, ftf: FieldType):
             S[g] = fv.sum()
             Q[g] = (fv * fv).sum()
         return (n, S, Q)
+    if kind == "fminmax":
+        n = np.zeros(G, np.int64)
+        mn = np.full(G, _U64MAX, object)
+        mx = np.zeros(G, object)
+        for g in np.unique(g_of):
+            kk = [k_int[i] for i in np.flatnonzero(g_of == g)]
+            n[g] = len(kk)
+            mn[g], mx[g] = min(kk), max(kk)
+        return (n, mn, mx)
     if kind == "firstlast":
         f_ts = np.full(G, _U64MAX, object)
         f_v = np.zeros(G, object)

@@ -96,6 +96,22 @@ def dump_segment(seg: Segment) -> bytes:
         ent = {"filter_type": int(fs.filter_type), "wide": wide,
                "is_prefix": fs.is_prefix,
                "bloom": _arr_out(arrays, fs.bloom_words)}
+        if fs.pack_filters is not None:
+            if fs.filter_type.is_fuse:
+                # per-pack xor-filter fingerprints (sizes vary): one
+                # concatenated array + per-pack (seed, len) pairs
+                ent["fuse_seeds"] = [int(f.seed) for f in fs.pack_filters]
+                ent["fuse_lens"] = [len(f.fp) for f in fs.pack_filters]
+                ent["fuse_fp"] = _arr_out(
+                    arrays, np.concatenate([f.fp for f in fs.pack_filters]))
+            elif fs.filter_type == FilterType.BITS:
+                # exact sets as concatenated sorted u64 keys (zlib-outer
+                # compressed like every payload); rebuilt on load
+                vals = [f.to_array() for f in fs.pack_filters]
+                ent["bits_lens"] = [len(v) for v in vals]
+                ent["bits_keys"] = _arr_out(
+                    arrays, np.concatenate(vals) if vals
+                    else np.empty(0, np.uint64))
         if wide:
             ent["min_b"] = _ints_to_bytes(
                 (int(v) for v in fs.min_key), nb).hex()
@@ -191,9 +207,25 @@ def load_segment(buf: bytes) -> Segment:
                                            sd["nb"]), object)
         else:
             mins, maxs = A(sd["min"]), A(sd["max"])
+        pf = None
+        if "fuse_fp" in sd:
+            from ..filter.fuse import XorFilter
+            fp = A(sd["fuse_fp"])
+            pf, o = [], 0
+            for seed, ln in zip(sd["fuse_seeds"], sd["fuse_lens"]):
+                pf.append(XorFilter(seed, fp[o:o + ln].copy()))
+                o += ln
+        elif "bits_keys" in sd:
+            from ..utils.ridset import RidSet
+            keys = A(sd["bits_keys"])
+            pf, o = [], 0
+            for ln in sd["bits_lens"]:
+                pf.append(RidSet.from_array(keys[o:o + ln]))
+                o += ln
         fstats[name] = FieldStats(mins, maxs, A(sd["bloom"]),
                                   FilterType(sd["filter_type"]),
-                                  is_prefix=sd.get("is_prefix", False))
+                                  is_prefix=sd.get("is_prefix", False),
+                                  pack_filters=pf)
 
     stats = SegmentStats(A(man["nrows"]), A(man["rid_base"]), fstats)
     return Segment(schema, man["pack_size"], man["nrows_total"],

@@ -304,6 +304,18 @@ def _check_rich(t, model: dict, rng) -> None:
     got_top = [int(r["val"]) for r in rows]
     want_top = sorted((r[2] for r in model.values()), reverse=True)[:k]
     A.always(got_top == want_top, "topk", (got_top, want_top))
+    # float GROUP sums/min (r3): moments path, dyadic k/64 -> exact
+    outp = t.query().group_by("grp").aggregate(("sum", "price"),
+                                               ("min", "price"))
+    wantf: dict[int, list] = {}
+    for g, _nm, _v, _b, pr in model.values():
+        wantf.setdefault(g, []).append(pr)
+    okf = True
+    for k_, s_, mn_ in zip(outp["keys"], outp[("sum", "price")],
+                           outp[("min", "price")]):
+        vv = wantf[int(k_)]
+        okf = okf and float(s_) == math.fsum(vv) and float(mn_) == min(vv)
+    A.always(okf and len(outp["keys"]) == len(wantf), "group.fsum", okf)
     # string point query (bloom-backed bytes matcher)
     nm = next(iter(model.values()))[1]
     want_nm = sum(1 for r in model.values() if r[1] == nm)

@@ -48,8 +48,12 @@ _MODE_SYMBOLS = {
 }
 
 _MODE_NAMES = {
+    # full reference ParseFilterMode alias set (internal/types/mode.go:
+    # 60-85): "" and "eq" -> EQ, "gte"/"lte" synonyms accepted
+    "": FilterMode.EQ,
     "eq": FilterMode.EQ, "ne": FilterMode.NE, "gt": FilterMode.GT,
-    "ge": FilterMode.GE, "lt": FilterMode.LT, "le": FilterMode.LE,
+    "ge": FilterMode.GE, "gte": FilterMode.GE,
+    "lt": FilterMode.LT, "le": FilterMode.LE, "lte": FilterMode.LE,
     "in": FilterMode.IN, "ni": FilterMode.NOT_IN, "nin": FilterMode.NOT_IN,
     "not_in": FilterMode.NOT_IN, "rg": FilterMode.RANGE,
     "range": FilterMode.RANGE, "re": FilterMode.REGEXP,
@@ -188,13 +192,26 @@ class JoinType(enum.IntEnum):
 
 class FilterType(enum.IntEnum):
     """Per-pack auxiliary filter kinds attached to stats (reference
-    internal/types/filter.go:10-19)."""
+    internal/types/filter.go:10-19: bits, bloom2b..5b, bfuse8/16)."""
     NONE = 0
     BLOOM_1B = 1   # 1 byte/entry -> ~2% fpr
     BLOOM_2B = 2   # 2 bytes/entry -> ~0.2% fpr
     BLOOM_3B = 3
     BLOOM_4B = 4
-    BITS = 5       # exact small-domain bitmap
+    BITS = 5       # EXACT membership (roaring set of keyform values)
+    BFUSE8 = 6     # binary-fuse/xor filter, 8-bit fingerprints
+    BFUSE16 = 7    # 16-bit fingerprints (~0.0015% fpr)
+    BLOOM_5B = 8
+
+    @property
+    def is_bloom(self) -> bool:
+        return self in (FilterType.BLOOM_1B, FilterType.BLOOM_2B,
+                        FilterType.BLOOM_3B, FilterType.BLOOM_4B,
+                        FilterType.BLOOM_5B)
+
+    @property
+    def is_fuse(self) -> bool:
+        return self in (FilterType.BFUSE8, FilterType.BFUSE16)
 
 
 @dataclass(frozen=True)

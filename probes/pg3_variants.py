@@ -195,8 +195,11 @@ def main():
         )(g3, l3, h3)
 
     def call_v0(gid, vlo, vhi):
+        # S=8 pinned: v0 is the documented r2 S=8 baseline (the
+        # production pick_sublanes rule now auto-picks S=16 for this
+        # shape, which would alias v0 onto v3/v4)
         return PG.fused_group_partials(gid, vlo, vhi, G, L, shift,
-                                       n_chunks=C, H=H,
+                                       n_chunks=C, H=H, S=8,
                                        interpret=INTERP)
 
     def make_call(S: int, vec: bool):

@@ -10,6 +10,8 @@ import pytest
 import knoxdb_tpu.knox as knox
 from dataclasses import dataclass
 
+pytestmark = pytest.mark.slow  # full tier only (see pytest.ini)
+
 
 @dataclass
 class R:

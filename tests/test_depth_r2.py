@@ -28,6 +28,8 @@ def _mkdb(tmp_path, **kw):
 
 # ------------------------------------------------------------- sorted --
 
+
+@pytest.mark.slow
 def test_sorted_query_across_many_segments(tmp_path, rng):
     """ORDER BY + LIMIT must k-way merge per-segment top-k with journal
     rows: 3 sealed segments (separate merges, sizes above the compaction

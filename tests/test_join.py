@@ -242,13 +242,17 @@ def test_join_pairs_unique_all_match_and_empty(rng):
         jnp.asarray(lkeys), jnp.asarray(rkeys), JoinType.INNER)
     assert int(total) == 50 and not bool(dups)
     li, ri = np.asarray(li), np.asarray(ri)
-    assert (li >= 0).all() and (ri == 49 - li).all()
+    keep = li != -2
+    assert int(keep.sum()) == 50
+    assert (ri[keep] == 49 - li[keep]).all()
     # no matches at all
     li, ri, total, _ = join_pairs_core_unique(
         jnp.asarray(lkeys + np.uint64(100)), jnp.asarray(rkeys),
         JoinType.LEFT)
     assert int(total) == 50
-    assert (np.asarray(ri) == -1).all()
+    li, ri = np.asarray(li), np.asarray(ri)
+    keep = li != -2
+    assert int(keep.sum()) == 50 and (ri[keep] == -1).all()
 
 
 @pytest.mark.parametrize("how", [JoinType.INNER, JoinType.LEFT])
@@ -276,7 +280,9 @@ def test_join_pairs_core_oracle(rng, how, nl, nr, krange):
     assert int(tot) == total
     li = np.asarray(lidx)
     ri = np.asarray(ridx)
-    assert (li[total:] == -2).all() and (ri[total:] == -2).all()
-    li, ri = li[:total], ri[:total]
+    keep = li != -2           # r3 contract: pairs interspersed, -2 rest
+    assert (ri[~keep] == -2).all()
+    li, ri = li[keep], ri[keep]
+    assert len(li) == total
     assert sorted(zip(li.tolist(), ri.tolist())) == \
         sorted(zip(want.lidx.tolist(), want.ridx.tolist()))

@@ -11,6 +11,8 @@ import knoxdb_tpu.knox as knox
 from knoxdb_tpu.knox import F
 from knoxdb_tpu.parallel import multihost
 
+pytestmark = pytest.mark.slow  # full tier only (see pytest.ini)
+
 
 @dataclass
 class Row:

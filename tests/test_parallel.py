@@ -9,6 +9,8 @@ import pytest
 from knoxdb_tpu.encode import schemes as S
 from knoxdb_tpu.parallel import shard as PS
 
+pytestmark = pytest.mark.slow  # full tier only (see pytest.ini)
+
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device")
 def test_sharded_range_scan(rng):

@@ -6,6 +6,8 @@ import pytest
 
 from knoxdb_tpu.testing.scenario import run_scenario
 
+pytestmark = pytest.mark.slow  # full tier only (see pytest.ini)
+
 
 @pytest.mark.parametrize("seed", [1, 7, 42])
 def test_workload_model_equivalence(seed, tmp_path):

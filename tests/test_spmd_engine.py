@@ -14,6 +14,8 @@ from knoxdb_tpu.knox import F
 from knoxdb_tpu.parallel.engine_spmd import ShardedScanner
 from knoxdb_tpu.parallel.shard import make_mesh
 
+pytestmark = pytest.mark.slow  # full tier only (see pytest.ini)
+
 
 @dataclass
 class Row:

@@ -77,6 +77,8 @@ def test_topk_select(rng, want_max, k):
     assert int(nb) + int(tiem.sum()) >= kk
 
 
+
+@pytest.mark.slow
 def test_wide_int128_bit_descent(rng):
     """End-to-end wide top-k through the bit-descent fast path
     (clustered int128 -> wide BITPACK planes; exec/sort)."""
