@@ -100,6 +100,22 @@ def main():
         marginal, t_lo, t_hi, t_compile = _timed_loop(sc2, tree, aggs)
 
     rows_per_s = n_rows / marginal
+
+    # SAME-RUN bandwidth self-calibration (VERDICT r2 weak #1): measure
+    # what a plain HBM stream achieves on THIS pool load, so a throttled
+    # run can't read as a regression (or vice versa). The scan's device
+    # traffic model: the fused plan reads the filtered+summed column's
+    # bit planes once (+ the valid words, negligible).
+    col_bytes = sum(p.planes.nbytes for p in seg.columns["val"].packs)
+    try:
+        stream_bps = _stream_bandwidth()
+        eff_bps = col_bytes / marginal
+        pct = 100.0 * eff_bps / stream_bps
+        bw_note = (f" stream={stream_bps/1e9:.0f}GB/s "
+                   f"eff={eff_bps/1e9:.0f}GB/s pct_of_measured_bw={pct:.0f}")
+    except Exception as e:                    # pragma: no cover
+        bw_note = f" stream_failed={type(e).__name__}"
+
     print(json.dumps({
         "metric": "scan_filter_agg_rows_per_s",
         "value": rows_per_s,
@@ -108,7 +124,36 @@ def main():
     }))
     print(f"# n_rows={n_rows} marginal={marginal*1e3:.3f}ms t_lo={t_lo*1e3:.1f}ms "
           f"t_hi={t_hi*1e3:.1f}ms compile={t_compile:.1f}s build={t_build:.1f}s "
-          f"platform={jax.devices()[0].platform}", file=sys.stderr)
+          f"platform={jax.devices()[0].platform}{bw_note}", file=sys.stderr)
+
+
+def _stream_bandwidth() -> float:
+    """Achievable HBM read bandwidth (bytes/s), measured with the same
+    marginal-throughput method as the query loop: K xor+reduce passes
+    over a 256 MB u32 array inside one jit (per-iteration xor with the
+    traced index defeats CSE; one read pass per iteration)."""
+    import jax
+    import jax.numpy as jnp
+    n = (256 << 20) // 4
+    x = jnp.arange(n, dtype=jnp.uint32)
+
+    def many(x, idxs):
+        def body(acc, i):
+            return acc + (x ^ i).sum(dtype=jnp.uint32), None
+        out, _ = jax.lax.scan(body, jnp.uint32(0), idxs)
+        return out
+
+    g = jax.jit(many)
+
+    def run(k):
+        return int(g(x, jnp.arange(k, dtype=jnp.uint32)))
+
+    run(1)
+    K_LO, K_HI = 1, 33
+    pairs = [(_time(run, K_LO), _time(run, K_HI)) for _ in range(3)]
+    margs = sorted(max((hi - lo) / (K_HI - K_LO), 1e-9)
+                   for lo, hi in pairs)
+    return x.nbytes / margs[len(margs) // 2]
 
 
 def _timed_loop(sc, tree, aggs):

@@ -435,6 +435,7 @@ class Engine:
                 # checkpoint LSN so crash recovery always sees a matched
                 # (segments, replay-start) pair
                 "segkeys": t._seg_keys,
+                "segdead": t._seg_dead,
                 "next_blob": t._next_blob,
             } for t in self.tables.values()],
         }
@@ -464,6 +465,7 @@ class Engine:
                       history=td.get("history", False))
             t.state = TableState.from_dict(td["state"])
             t._seg_keys = td.get("segkeys", [])
+            t._seg_dead = td.get("segdead", {})
             t._next_blob = td.get("next_blob", 0)
             t.load_segments()
             t.replay_wal()

@@ -196,6 +196,7 @@ class Table:
         self._mu = threading.RLock()
         self._merge_mu = threading.Lock()
         self._seg_keys: list[str] = []       # persisted blob manifest
+        self._seg_dead: dict[str, str] = {}  # blob key -> dead-rid blob
         self._next_blob = 0
 
     def _read_view(self, snap: Snapshot):
@@ -1031,13 +1032,24 @@ class Table:
                             | set(self.journal._aborted))
             segments = list(self.segments)
         dead_set = set(int(r) for r in dead)
+        dead_arr = np.asarray(dead, np.uint64)
 
         # fold in undersized tail segments (simple compaction policy)
         keep: list[_SegHandle] = []
         fold: list[_SegHandle] = []
         thresh = self.pack_size * self.MIN_MERGE_TAIL
         for h in segments:
-            (fold if h.seg.nrows_total < thresh else keep).append(h)
+            (fold if h.n_live < thresh else keep).append(h)
+        # bounded segment count: fold the smallest sealed segments
+        # beyond the cap (keeps scanner/jit state from proliferating on
+        # long-lived tables; list ORDER of survivors is preserved —
+        # first/last tie semantics follow segment order)
+        over = len(keep) + 1 - self.MAX_SEGMENTS
+        if over > 0:
+            by_size = sorted(keep, key=lambda h: h.n_live)[:over + 1]
+            victims = set(id(h) for h in by_size)
+            fold.extend(h for h in keep if id(h) in victims)
+            keep = [h for h in keep if id(h) not in victims]
         if not len(jrids) and not fold and not dead_set:
             with self._mu:
                 self.journal.drop_drained(drained_tail, drained_tomb,
@@ -1046,24 +1058,44 @@ class Table:
 
         cols: dict[str, list] = {f.name: [] for f in self.full_schema.fields}
         pks: list[np.ndarray] = []
-        for h in fold:
-            alive = ~np.isin(h.host_rid, dead) if dead_set else \
-                np.ones(len(h.host_rid), bool)
-            mat = self._materialize_all(h, alive)
+
+        def _alive_of(h: _SegHandle) -> np.ndarray:
+            alive = np.ones(len(h.host_rid), bool)
+            if dead_set:
+                alive &= ~np.isin(h.host_rid, dead_arr)
+            if h.dead_rids is not None and len(h.dead_rids):
+                alive &= ~np.isin(h.host_rid, h.dead_rids)
+            return alive
+
+        def _fold_in(h: _SegHandle) -> None:
+            mat = self._materialize_all(h, _alive_of(h))
             for name in cols:
                 cols[name].append(mat[name])
             pks.append(mat[self.schema.pk.name].astype(np.uint64))
-        # segments kept but containing dead rows must also be rewritten
+
+        for h in fold:
+            _fold_in(h)
+        # kept segments with NEW dead rows: extend the persistent dead
+        # bitmap in place (O(tombstones)); rewrite only past the dead-
+        # fraction threshold. Swapped in as FRESH handles so in-flight
+        # readers keep their captured (handle, journal-tombstone) view.
         still_keep = []
         for h in keep:
-            if dead_set and np.isin(h.host_rid, dead).any():
-                alive = ~np.isin(h.host_rid, dead)
-                mat = self._materialize_all(h, alive)
-                for name in cols:
-                    cols[name].append(mat[name])
-                pks.append(mat[self.schema.pk.name].astype(np.uint64))
-            else:
+            hits = np.isin(h.host_rid, dead_arr) if dead_set else None
+            if hits is None or not hits.any():
                 still_keep.append(h)
+                continue
+            combined = np.unique(np.concatenate(
+                [h.dead_rids, h.host_rid[hits]])) \
+                if h.dead_rids is not None and len(h.dead_rids) \
+                else np.unique(h.host_rid[hits])
+            if len(combined) >= h.seg.nrows_total * self.DEAD_REWRITE_FRAC:
+                _fold_in(h)                     # reclaim: full rewrite
+                continue
+            still_keep.append(_SegHandle(
+                h.seg, h.host_pk, h.host_rid, table=self,
+                blob_key=h.blob_key, blob_bytes=h.blob_bytes,
+                dead_rids=combined, dead_key=None))
         keep = still_keep
         if len(jrids):
             for name in cols:
@@ -1115,7 +1147,8 @@ class Table:
         self.state.checkpoint_lsn = lsn
         self.metrics.merges += 1
         for idx in self.indexes:
-            idx.rebuild(self)
+            idx.apply_merge(self, dead_arr, jdata if len(jrids) else None,
+                            jrids)
         self.engine.save_state(self)
         self._gc_blobs()
 
@@ -1178,6 +1211,7 @@ class Table:
         b = self.engine.store.bucket(f"table_{self.id}_segments")
         total = 0
         live: list[str] = []
+        dead_map: dict[str, str] = {}
         for h in self.segments:
             if h.blob_key is None:
                 key = f"{h.seg.epoch:08x}_{self._next_blob:06x}"
@@ -1186,9 +1220,21 @@ class Table:
                 b.put(key.encode(), blob)
                 h.blob_key = key
                 h.blob_bytes = len(blob)
+            if h.dead_rids is not None and len(h.dead_rids):
+                if h.dead_key is None:
+                    # fresh VERSIONED blob per change: the old manifest
+                    # keeps referencing the old one until the catalog
+                    # flip (same staged-blob protocol as segments)
+                    dk = f"{h.blob_key}_dead_{self._next_blob:06x}"
+                    self._next_blob += 1
+                    b.put(dk.encode(),
+                          np.asarray(h.dead_rids, np.uint64).tobytes())
+                    h.dead_key = dk
+                dead_map[h.blob_key] = h.dead_key
             live.append(h.blob_key)
             total += h.blob_bytes
         self._seg_keys = live
+        self._seg_dead = dead_map
         self.metrics.bytes_stored = total
 
     def _gc_blobs(self) -> None:
@@ -1197,7 +1243,7 @@ class Table:
         if self.engine.store is None:
             return
         b = self.engine.store.bucket(f"table_{self.id}_segments")
-        live = set(self._seg_keys)
+        live = set(self._seg_keys) | set(self._seg_dead.values())
         for k in list(b.keys()):
             if k.decode() not in live:
                 b.delete(k)
@@ -1229,9 +1275,19 @@ class Table:
             pk_name = self.schema.pk.name
             pkv = _decode_u64_column(seg, pk_name)
             ridv = _decode_u64_column(seg, META_RID)
+            dead = None
+            dkey = self._seg_dead.get(k.decode())
+            if dkey is not None:
+                db = b.get(dkey.encode())
+                if db is None:
+                    raise IOError(f"dead-rid blob {dkey!r} missing for "
+                                  f"table {self.schema.name}")
+                dead = np.frombuffer(db, np.uint64).copy()
             self.segments.append(_SegHandle(seg, pkv, ridv, table=self,
                                             blob_key=k.decode(),
-                                            blob_bytes=len(blob)))
+                                            blob_bytes=len(blob),
+                                            dead_rids=dead,
+                                            dead_key=dkey))
 
     def replay_wal(self) -> None:
         """Rebuild journal from WAL records after the checkpoint

@@ -111,3 +111,41 @@ def test_walview(dbdir, capsys):
     out = capsys.readouterr().out
     assert len(out.strip().splitlines()) == 3
     assert n_all > 3
+
+
+def test_packview_deep(dbdir, capsys):
+    """r3 inspector depth: schema knobs, compression ratio, width
+    histograms, stats tree, pack content dump (reference packview.go
+    PrintSchema/PrintMetadata/PrintDetail/PrintContent surfaces)."""
+    from knoxdb_tpu.tools.packview import main
+    assert main([dbdir, "acct", "--schema", "--stats", "--packs",
+                 "--json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    rec = data[0]
+    assert rec["schema"][0]["name"] == "id"
+    si = rec["segments"][0]
+    ci = si["columns"]["bal"]
+    assert ci["ratio"] > 0 and ci["width_hist"]
+    assert "min" in ci and "max" in ci and "tree" in ci
+    assert len(ci["zone_maps"]) == si["packs"]
+    assert len(ci["pack_detail"]) == si["packs"]
+
+    # content dump of pack 0
+    seg_key = si["key"]
+    assert main([dbdir, "acct", "--content", f"{seg_key}:0",
+                 "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "# pack 0" in out and "bal" in out
+    assert len(out.strip().splitlines()) >= 7   # header + cols + 5 rows
+
+
+def test_walview_filters(dbdir, capsys):
+    from knoxdb_tpu.tools.walview import main
+    assert main([dbdir, "--type", "insert"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().splitlines() if l.startswith("lsn=")]
+    assert lines and all("INSERT" in l for l in lines)
+
+    assert main([dbdir, "--summary"]) == 0
+    out = capsys.readouterr().out
+    assert "INSERT" in out and "COMMIT" in out and "# entities:" in out
