@@ -330,7 +330,7 @@ def bench_config5(n_packs: int, rng):
     from knoxdb_tpu.exec.join import join_pairs_core_unique
     rku = rng.permutation(np.arange(nr, dtype=np.uint64) * np.uint64(2))
     liu, riu, tot_u, dup_u = join_pairs_core_unique(
-        jnp.asarray(lkeys), jnp.asarray(rku), JoinType.INNER)
+        jnp.asarray(lkeys), jnp.asarray(rku), JoinType.INNER, keys32=True)
     wantu = join_keys_np(lkeys, rku, JoinType.INNER)
     liu_np, riu_np = np.asarray(liu), np.asarray(riu)
     keep = liu_np != -2
@@ -341,7 +341,7 @@ def bench_config5(n_packs: int, rng):
     def many_u(lk, rk, idxs):
         def body(acc, i):
             lidx, ridx, total, dups = join_pairs_core_unique(
-                lk + i, rk + i, JoinType.INNER)
+                lk + i, rk + i, JoinType.INNER, keys32=True)
             chk = lidx.astype(jnp.int64).sum() + ridx.astype(
                 jnp.int64).sum()
             return acc + chk + total + dups.astype(jnp.int64), None
@@ -357,6 +357,40 @@ def bench_config5(n_packs: int, rng):
     run_u(1)
     marg_u = _marginal(run_u, k_hi=17)
     _emit("device_join_unique_rows_per_s", (nl + nr) / marg_u, 11e9)
+
+    # --- r3 shift core: the GENERAL dup-expansion join at the single-
+    # sort roofline (one merged sort + S shifted equal-key compares;
+    # bounded key-run spans, device-checked). keys32: bench keys are
+    # < 2^21, the stats-proven common case.
+    from knoxdb_tpu.exec.join import join_pairs_core_shift
+    li_s, ri_s, tot_s, mn_s = join_pairs_core_shift(
+        jnp.asarray(lkeys), jnp.asarray(rkeys), S=16, how=JoinType.INNER,
+        keys32=True)
+    assert int(mn_s) <= 16, f"bench workload run span {int(mn_s)} > 16"
+    assert int(tot_s) == want.n, "config5 shift-core total mismatch"
+    li_np, ri_np = np.asarray(li_s), np.asarray(ri_s)
+    keep_s = li_np != -2
+    assert (lkeys[li_np[keep_s]] == rkeys[ri_np[keep_s]]).all(), \
+        "config5 shift-core pairs mismatch"
+
+    def many_s(lk, rk, idxs):
+        def body(acc, i):
+            lidx, ridx, total, mn = join_pairs_core_shift(
+                lk + i, rk + i, S=16, how=JoinType.INNER, keys32=True)
+            chk = lidx.astype(jnp.int64).sum() + ridx.astype(
+                jnp.int64).sum()
+            return acc + chk + total + mn.astype(jnp.int64), None
+        out, _ = jax.lax.scan(body, jnp.int64(0), idxs)
+        return out
+
+    gs = jax.jit(many_s)
+
+    def run_s(k):
+        return int(gs(lk, rk, jnp.arange(k, dtype=jnp.uint64)))
+
+    run_s(1)
+    marg_s = _marginal(run_s, k_hi=17)
+    _emit("device_join_shift_rows_per_s", (nl + nr) / marg_s, 11e9)
 
 
 def bench_config6(n_packs: int, rng):

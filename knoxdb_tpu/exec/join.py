@@ -71,26 +71,34 @@ def join_keys_np(lkeys: np.ndarray, rkeys: np.ndarray,
     return JoinResult(np.asarray(lidx, np.int64), np.asarray(ridx, np.int64))
 
 
+SHIFT_S = 16     # shift-core span: covers key runs up to 17 entries
+
+
 def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER,
-                      unique_build: bool = False
+                      unique_build: bool = False,
+                      keys32: bool = False
                       ) -> tuple[np.ndarray, np.ndarray]:
     """Device sort-probe join with duplicate expansion.
 
     lkeys/rkeys: u64 device arrays in a common join domain. Returns
     (lidx i64[M], ridx i64[M]) host arrays of matched index pairs into
-    the input arrays; LEFT-join misses emit ridx == -1. The expansion is
-    two-phase: count matches per probe row on device, fetch the scalar
-    total, then materialize pairs at a static pow2 cap — gather-free
+    the input arrays; LEFT-join misses emit ridx == -1. Gather-free
     co-sorts only (no [rows]-scale host fetch; reference merge-join
     semantics, join.go:536-556).
 
-    unique_build=True (build keys guaranteed unique — e.g. join on the
-    build table's pk) takes join_pairs_core_unique: ONE sort + 2 forward
-    fills instead of the general core's ~7 sorts, no expansion
-    machinery. A device-side duplicate check falls back to the general
-    core if the guarantee does not hold."""
-    import jax.numpy as jnp
+    Core ladder (each rung falls back to the next on a device-checked
+    violation; all rungs share one oracle contract):
+      unique_build=True  -> join_pairs_core_unique: ONE sort + fills
+                            (dup check falls back)
+      default            -> join_pairs_core_shift: ONE sort + SHIFT_S
+                            shifted compares; key runs spanning > SHIFT_S
+                            entries fall back
+      fallback           -> join_pairs_core: cap-retry expansion core
+                            (3 sorts + 2 output-scale sorts), any data
 
+    keys32=True (both sides' keys < 2^32 — pass it when zone maps /
+    stats prove it) drops the hi-limb sort operand, ~15% off the
+    dominant sort."""
     Nl = int(lkeys.shape[0])
     Nr = int(rkeys.shape[0])
     empty = np.empty(0, np.int64)
@@ -101,37 +109,45 @@ def join_pairs_device(lkeys, rkeys, how: JoinType = JoinType.INNER,
             return np.arange(Nl, dtype=np.int64), np.full(Nl, -1, np.int64)
         return empty, empty
 
-    if unique_build:
-        lidx, ridx, total_d, dups_d = _unique_jit()(lkeys, rkeys, how=how)
-        if not bool(dups_d):
-            total = int(total_d)
-            if total == 0:
-                return empty, empty
-            lidx_np = np.asarray(lidx)
-            ridx_np = np.asarray(ridx)
-            keep = lidx_np != -2
-            return (lidx_np[keep].astype(np.int64),
-                    ridx_np[keep].astype(np.int64))
-        # stale uniqueness hint: fall through to the general core
+    def filtered(lidx, ridx):
+        lidx_np = np.asarray(lidx)
+        ridx_np = np.asarray(ridx)
+        keep = lidx_np != -2
+        return (lidx_np[keep].astype(np.int64),
+                ridx_np[keep].astype(np.int64))
 
-    # optimistic single pass: guess one match per probe row (exact for
-    # unique-build joins); join_pairs_core always returns the TRUE total
-    # even when cap truncates, so one retry with the right cap covers
-    # duplicate-heavy joins. Saves a whole count program + relay round
-    # trip vs the two-phase count-then-materialize flow.
+    if unique_build:
+        lidx, ridx, total_d, dups_d = _unique_jit()(
+            lkeys, rkeys, how=how, keys32=keys32)
+        if not bool(dups_d):
+            if int(total_d) == 0:
+                return empty, empty
+            return filtered(lidx, ridx)
+        # stale uniqueness hint: fall through
+
+    # shift core first: one sort + elementwise shifts; exact whenever no
+    # key run spans more than SHIFT_S entries (device-checked)
+    lidx, ridx, total_d, maxneed_d = _shift_jit()(
+        lkeys, rkeys, S=SHIFT_S, how=how, keys32=keys32)
+    if int(maxneed_d) <= SHIFT_S:
+        if int(total_d) == 0:
+            return empty, empty
+        return filtered(lidx, ridx)
+
+    # cap-retry expansion core: join_pairs_core always returns the TRUE
+    # total even when cap truncates, so one retry with the right cap
+    # covers duplicate-heavy joins.
     cap = 1 << max(0, (Nl - 1).bit_length())
     while True:
-        lidx, ridx, total_d = join_pairs_core(lkeys, rkeys, cap, how)
+        lidx, ridx, total_d = join_pairs_core(lkeys, rkeys, cap, how,
+                                              keys32=keys32)
         total = int(total_d)
         if total <= cap:
             break
         cap = 1 << (total - 1).bit_length()
     if total == 0:
         return empty, empty
-    lidx_np = np.asarray(lidx)
-    ridx_np = np.asarray(ridx)
-    keep = lidx_np != -2
-    return lidx_np[keep].astype(np.int64), ridx_np[keep].astype(np.int64)
+    return filtered(lidx, ridx)
 
 
 def join_count_device(lkeys, rkeys, how: JoinType = JoinType.INNER):
@@ -181,48 +197,18 @@ def _fill_forward_last(vals, sent):
 def merge_sorted_stable(na: int, key, *payloads):
     """Stable merge of two concatenated ASCENDING u32 runs key[:na] and
     key[na:] with payload channels (equal keys keep concatenation
-    order). Bitonic MERGE network — log2(M) elementwise compare-
-    exchange passes instead of lax.sort's ~log^2 full network; every
-    pass is pure where/min/max at bandwidth. Key values must be
-    < 0xFFFFFFFF (the pad). Returns (key_merged, *payloads_merged).
+    order, which lax.sort's stability guarantees).
 
-    Used for the expansion step of the join cores: the offs run
-    (cumsum, nondecreasing) merges with the slot iota run — both
-    pre-sorted, so a full sort is ~10x more network passes than
-    needed."""
-    import jax.numpy as jnp
-    M = key.shape[0]
-    m2 = 1 << max(0, (M - 1).bit_length())
-    MAXK = jnp.uint32(0xFFFFFFFF)
-    k2 = jnp.arange(M, dtype=jnp.uint32)       # stability tiebreak
-
-    def prep(x, pad):
-        # B padded at its END with MAX-key pads, then reversed: the
-        # concatenation A(asc) ++ [pads, B desc] is bitonic
-        b = jnp.concatenate([x[na:], jnp.full(m2 - M, pad, x.dtype)])
-        return jnp.concatenate([x[:na], b[::-1]])
-
-    ks = prep(key, MAXK)
-    k2s = prep(k2, jnp.uint32(0))
-    chans = [prep(p, jnp.zeros((), p.dtype)) for p in payloads]
-    s = m2 >> 1
-    while s >= 1:
-        ka = ks.reshape(-1, 2, s)
-        k2a = k2s.reshape(-1, 2, s)
-        gt = (ka[:, 0] > ka[:, 1]) | ((ka[:, 0] == ka[:, 1])
-                                      & (k2a[:, 0] > k2a[:, 1]))
-
-        def swap(x, gt=gt, s=s):
-            xa = x.reshape(-1, 2, s)
-            lo = jnp.where(gt, xa[:, 1], xa[:, 0])
-            hi = jnp.where(gt, xa[:, 0], xa[:, 1])
-            return jnp.stack([lo, hi], axis=1).reshape(-1)
-
-        ks = swap(ks)
-        k2s = swap(k2s)
-        chans = [swap(c) for c in chans]
-        s >>= 1
-    return (ks[:M],) + tuple(c[:M] for c in chans)
+    r3 TPU finding (probes/join_phase_probe.py): the hand-rolled
+    bitonic-merge network this used to be is ~15x SLOWER than a full
+    lax.sort on this stack — each compare-exchange pass reshapes at
+    stride s, and sub-lane strides force relayouts (61.7 ms vs 8.7 ms
+    for 4.2M rows x 3 channels). XLA's own sort stages its passes
+    through VMEM; log-pass arithmetic does not beat it from HBM. Kept
+    as an API (callers say "merge") but implemented AS the sort."""
+    import jax
+    srt = jax.lax.sort((key,) + payloads, dimension=0, num_keys=1)
+    return srt
 
 
 def _probe_bounds_merged(rs_hi, rs_lo, qk_hi, qk_lo):
@@ -306,7 +292,111 @@ def _probe_bounds_merged_limbs(b_cols, q_cols):
     return lo_q[:Nq], hi_q[:Nq]
 
 
-def _merged_bounds_inorder(lkeys, rkeys):
+def _merged_sort_tagged(lkeys, rkeys, keys32: bool):
+    """ONE merged sort of [build ∪ probe] with the side tag riding bit
+    31 of the id operand (builds sort first within a key run). Returns
+    (key_limbs_sorted tuple, pidt_s u32[M]). keys32=True drops the hi
+    limb from the sort operands (r3 probe: each operand costs ~15% of
+    the sort; u32 join keys are the common case)."""
+    import jax
+    import jax.numpy as jnp
+    Nr = rkeys.shape[0]
+    Nl = lkeys.shape[0]
+    TAGBIT = jnp.uint32(1 << 31)
+    rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)  # [Nr, 2]
+    lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)  # [Nl, 2]
+    kl = jnp.concatenate([rh[:, 0], lh[:, 0]])
+    pidt = jnp.concatenate([jnp.arange(Nr, dtype=jnp.uint32),
+                            jnp.arange(Nl, dtype=jnp.uint32) | TAGBIT])
+    if keys32:
+        kl_s, pidt_s = jax.lax.sort((kl, pidt), dimension=0, num_keys=2)
+        return (kl_s,), pidt_s
+    kh = jnp.concatenate([rh[:, 1], lh[:, 1]])
+    kh_s, kl_s, pidt_s = jax.lax.sort((kh, kl, pidt), dimension=0,
+                                      num_keys=3)
+    return (kh_s, kl_s), pidt_s
+
+
+def join_pairs_core_shift(lkeys, rkeys, S: int = 16,
+                          how: JoinType = JoinType.INNER,
+                          keys32: bool = False):
+    """General dup-expansion join at the SINGLE-SORT roofline for
+    bounded key-run spans: ONE merged sort + S shifted equal-key
+    compares (all elementwise, bandwidth-speed).
+
+    After the merged sort, a key run is [builds..., probes...]; every
+    (probe, build) pair of a run sits at a unique position distance
+    s ∈ [1, span-1], so shift-compare s emits exactly the pairs at that
+    distance:  valid(p, s) = probe(p) & build(p-s) & key[p]==key[p-s].
+
+    Returns (lidx i32[C*M], ridx i32[C*M], total i64, maxneed i32) with
+    C = S (+1 for LEFT's miss channel), M = Nl + Nr. Valid pairs are
+    INTERSPERSED (-2 elsewhere, LEFT misses ridx == -1 in the extra
+    channel) — the house join contract. maxneed is the max distance any
+    matched probe needs; maxneed > S means runs span wider than S and
+    the output UNDERCOUNTS: the caller must fall back to
+    join_pairs_core (the cap-retry expansion core). total is the
+    EMITTED pair count (== true count iff maxneed <= S).
+
+    r3 probe numbers (1M x 1M u64): the general expansion core costs 3
+    population sorts + 2 output-scale sorts ~= 40 ms; this core is one
+    ~4-5 ms sort + ~2 ms of shifts/fills. Reference semantics: merge
+    join join.go:536-556 with dup expansion."""
+    import jax
+    import jax.numpy as jnp
+    Nl = lkeys.shape[0]
+    Nr = rkeys.shape[0]
+    M = Nl + Nr
+    assert Nl < (1 << 30) and Nr < (1 << 30) and S >= 1
+    left = how == JoinType.LEFT
+    SENT = jnp.uint32(0xFFFFFFFF)
+    TAGBIT = jnp.uint32(1 << 31)
+
+    ks, pidt_s = _merged_sort_tagged(lkeys, rkeys, keys32)
+    is_b = (pidt_s & TAGBIT) == 0
+    pid_s = (pidt_s & ~TAGBIT).astype(jnp.int32)
+
+    pos = jnp.arange(M, dtype=jnp.uint32)
+    start = pos == 0
+    for k in ks:
+        start = start | (k != jnp.roll(k, 1))
+    # run start position, forward-filled; builds sort first in-run so
+    # the run's builds occupy [rs, rs+nb) and a probe at p needs
+    # shift distances (p - rs - nb + 1) .. (p - rs)
+    rs = _fill_forward_max(jnp.where(start, pos, jnp.uint32(0)))
+    # does this run start with a build (<=> run contains any build)?
+    hb = _fill_forward_last(
+        jnp.where(start, is_b.astype(jnp.uint32), SENT), SENT)
+    matched = (~is_b) & (hb == 1)
+    need = jnp.where(matched, pos - rs, jnp.uint32(0))
+    maxneed = need.max().astype(jnp.int32)
+
+    lidx_ch = []
+    ridx_ch = []
+    total = jnp.int64(0)
+    for s in range(1, S + 1):
+        if s >= M:
+            break
+        eq = jnp.ones(M, bool)
+        for k in ks:
+            eq = eq & (k == jnp.concatenate([k[:s], k[:-s]]))
+        eq = eq & (pos >= s)
+        b_sh = jnp.concatenate([jnp.zeros(s, bool), is_b[:-s]])
+        pid_sh = jnp.concatenate([jnp.zeros(s, jnp.int32), pid_s[:-s]])
+        valid = (~is_b) & b_sh & eq
+        lidx_ch.append(jnp.where(valid, pid_s, jnp.int32(-2)))
+        ridx_ch.append(jnp.where(valid, pid_sh, jnp.int32(-2)))
+        total = total + valid.sum(dtype=jnp.int64)
+    if left:
+        miss = (~is_b) & (hb != 1)
+        lidx_ch.append(jnp.where(miss, pid_s, jnp.int32(-2)))
+        ridx_ch.append(jnp.where(miss, jnp.int32(-1), jnp.int32(-2)))
+        total = total + miss.sum(dtype=jnp.int64)
+    return (jnp.concatenate(lidx_ch), jnp.concatenate(ridx_ch),
+            total, maxneed)
+
+
+def _merged_bounds_inorder(lkeys, rkeys, keys32: bool = False):
     """ONE merged 3-key sort of [build ∪ probe] -> per-MERGED-position
     arrays (is_probe, probe-id, lo, hi): lo/hi are the probe's build-
     rank bounds, valid at probe positions. The side tag rides bit 31 of
@@ -314,27 +404,20 @@ def _merged_bounds_inorder(lkeys, rkeys):
     arrive as payloads and NO probe-order restore sort is needed — the
     r3 join cores consume bounds in merged key order. Returns
     (is_q bool[M], pid u32[M], lo i32[M], hi i32[M])."""
-    import jax
     import jax.numpy as jnp
     Nr = rkeys.shape[0]
     Nl = lkeys.shape[0]
     M = Nl + Nr
     TAGBIT = jnp.uint32(1 << 31)
-    rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)  # [Nr, 2]
-    lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)  # [Nl, 2]
-    kh = jnp.concatenate([rh[:, 1], lh[:, 1]])
-    kl = jnp.concatenate([rh[:, 0], lh[:, 0]])
-    pidt = jnp.concatenate([jnp.arange(Nr, dtype=jnp.uint32),
-                            jnp.arange(Nl, dtype=jnp.uint32) | TAGBIT])
-    kh_s, kl_s, pidt_s = jax.lax.sort((kh, kl, pidt), dimension=0,
-                                      num_keys=3)
+    ks, pidt_s = _merged_sort_tagged(lkeys, rkeys, keys32)
     is_q = (pidt_s & TAGBIT) != 0
     pid = pidt_s & ~TAGBIT
     pos = jnp.arange(M, dtype=jnp.int32)
     cq = jnp.cumsum(is_q.astype(jnp.int32))          # inclusive
     bb = pos + 1 - cq - (1 - is_q.astype(jnp.int32))  # builds before
-    start = (pos == 0) | (kh_s != jnp.roll(kh_s, 1)) \
-        | (kl_s != jnp.roll(kl_s, 1))
+    start = pos == 0
+    for k in ks:
+        start = start | (k != jnp.roll(k, 1))
     # builds sort before equal-key probes, so at a probe slot the
     # exclusive build count IS hi; lo is the run-start build count,
     # forward-filled (log-doubling max — lax.cummax overflows scoped
@@ -344,7 +427,8 @@ def _merged_bounds_inorder(lkeys, rkeys):
 
 
 def join_pairs_core(lkeys, rkeys, cap: int,
-                    how: JoinType = JoinType.INNER):
+                    how: JoinType = JoinType.INNER,
+                    keys32: bool = False):
     """Pure jittable sort-probe join with duplicate expansion at a
     STATIC cap: returns DEVICE arrays (lidx, ridx, total) of length
     Nr + Nl + Nr + cap with valid pairs INTERSPERSED in build-rank
@@ -384,10 +468,15 @@ def join_pairs_core(lkeys, rkeys, cap: int,
     MISSBIT = jnp.uint32(1 << 31)
 
     rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)  # [Nr, 2]
-    _rs_hi, _rs_lo, order_s = jax.lax.sort(
-        (rh[:, 1], rh[:, 0], jnp.arange(Nr, dtype=jnp.uint32)),
-        dimension=0, num_keys=2)                # rank -> original index
-    is_q, pid_m, lo_m, hi_m = _merged_bounds_inorder(lkeys, rkeys)
+    if keys32:
+        _rs_lo, order_s = jax.lax.sort(
+            (rh[:, 0], jnp.arange(Nr, dtype=jnp.uint32)),
+            dimension=0, num_keys=1)            # rank -> original index
+    else:
+        _rs_hi, _rs_lo, order_s = jax.lax.sort(
+            (rh[:, 1], rh[:, 0], jnp.arange(Nr, dtype=jnp.uint32)),
+            dimension=0, num_keys=2)
+    is_q, pid_m, lo_m, hi_m = _merged_bounds_inorder(lkeys, rkeys, keys32)
     counts = jnp.where(is_q, hi_m - lo_m, 0)
     eff = jnp.where(is_q & left, jnp.maximum(counts, 1), counts) \
         if left else counts
@@ -471,6 +560,7 @@ def join_pairs_core(lkeys, rkeys, cap: int,
 
 
 _UNIQUE_JIT = None
+_SHIFT_JIT = None
 
 
 def _unique_jit():
@@ -478,11 +568,21 @@ def _unique_jit():
     if _UNIQUE_JIT is None:
         import jax
         _UNIQUE_JIT = jax.jit(join_pairs_core_unique,
-                              static_argnames=("how",))
+                              static_argnames=("how", "keys32"))
     return _UNIQUE_JIT
 
 
-def join_pairs_core_unique(lkeys, rkeys, how: JoinType = JoinType.INNER):
+def _shift_jit():
+    global _SHIFT_JIT
+    if _SHIFT_JIT is None:
+        import jax
+        _SHIFT_JIT = jax.jit(join_pairs_core_shift,
+                             static_argnames=("S", "how", "keys32"))
+    return _SHIFT_JIT
+
+
+def join_pairs_core_unique(lkeys, rkeys, how: JoinType = JoinType.INNER,
+                           keys32: bool = False):
     """Sort-probe join for a UNIQUE build side (e.g. joining on the
     build table's pk): every probe has at most one match, so the dup-
     expansion machinery (expansion sort + slot restore + rank merge +
@@ -521,20 +621,13 @@ def join_pairs_core_unique(lkeys, rkeys, how: JoinType = JoinType.INNER):
     SENT = jnp.uint32(0xFFFFFFFF)
     TAGBIT = jnp.uint32(1 << 31)
 
-    rh = jax.lax.bitcast_convert_type(rkeys, jnp.uint32)   # [Nr, 2]
-    lh = jax.lax.bitcast_convert_type(lkeys, jnp.uint32)   # [Nl, 2]
-    kh = jnp.concatenate([rh[:, 1], lh[:, 1]])
-    kl = jnp.concatenate([rh[:, 0], lh[:, 0]])
-    pidt = jnp.concatenate([jnp.arange(Nr, dtype=jnp.uint32),
-                            jnp.arange(Nl, dtype=jnp.uint32) | TAGBIT])
-    kh_s, kl_s, pidt_s = jax.lax.sort(
-        (kh, kl, pidt), dimension=0, num_keys=3)
+    ks, pidt_s = _merged_sort_tagged(lkeys, rkeys, keys32)
     is_b = (pidt_s & TAGBIT) == 0
     pid_s = pidt_s & ~TAGBIT
 
-    pos0 = jnp.arange(M, dtype=jnp.uint32) == 0
-    start = pos0 | (kh_s != jnp.roll(kh_s, 1)) \
-        | (kl_s != jnp.roll(kl_s, 1))
+    start = jnp.arange(M, dtype=jnp.uint32) == 0
+    for k in ks:
+        start = start | (k != jnp.roll(k, 1))
     seg = jnp.cumsum(start.astype(jnp.uint32))             # run id, >= 1
     # unique-violation probe: a build NOT at its run start can only
     # follow another build of the same key (builds sort first in-run)

@@ -644,8 +644,15 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
             how="left" if how == JoinType.LEFT else "inner",
             axis=mesh.axis_names[0], unique_build=unique)
     else:
+        # keys32: both sides' TYPES prove the join domain fits u32
+        # (unsigned <=32-bit; signed types bias to the 2^63 flip domain
+        # and never qualify) — drops the hi-limb sort operand (~15% off
+        # the dominant sort, r3 probe)
+        k32 = (not lft.is_signed and not rft.is_signed
+               and lft.bits <= 32 and rft.bits <= 32)
         lidx, ridx = J.join_pairs_device(lkeys, rkeys, how,
-                                         unique_build=unique)
+                                         unique_build=unique,
+                                         keys32=k32)
 
     import jax.numpy as jnp
     lp = np.asarray(jnp.take(lpos, jnp.asarray(lidx, jnp.int32))) \

@@ -29,6 +29,7 @@ bool channel — a u64 key sentinel would collide with the legal key
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -221,6 +222,7 @@ def _expand_positions(lo, hi, lok, lpos, rp_rank, cap: int,
             jnp.where(ok, rpos_out, jnp.int64(-2)))
 
 
+@functools.lru_cache(maxsize=64)
 def _phase1(mesh: Mesh, axis: str, ndev: int):
     def local(lk, lv, rk, rv):
         def hist(k, v):
@@ -234,6 +236,7 @@ def _phase1(mesh: Mesh, axis: str, ndev: int):
         out_specs=(P(), P())))
 
 
+@functools.lru_cache(maxsize=64)
 def _phase2(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
             how_left: bool):
     def local(lk, lv, rk, rv, heavy):
@@ -245,13 +248,17 @@ def _phase2(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
                                      lhh[:, 1], lhh[:, 0])
         cnt = jnp.where(lox, hi - lo, 0)
         eff = jnp.where(lox, jnp.maximum(cnt, 1), 0) if how_left else cnt
+        # per-device match count returned SHARDED; the caller (which
+        # host-fetches this anyway to size the pair cap) takes the max.
+        # NOT pmax: this harness's TPU compiler lowers only SUM
+        # all-reduces ("Supported lowering only of Sum all reduce",
+        # r3-measured on the max all-reduce HLO).
         nmatch = eff.sum(dtype=jnp.int64)
-        return (lkx, lpx, lox, rkx, rpx, rox,
-                jax.lax.pmax(nmatch, axis))
+        return (lkx, lpx, lox, rkx, rpx, rox, nmatch[None])
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(axis),) * 6 + (P(),)))
+        out_specs=(P(axis),) * 6 + (P(axis),)))
 
 
 def _unique_local(lk, lp, lok, rk, rp, rok, how_left: bool):
@@ -341,6 +348,7 @@ def _salted_exchange(lk, lv, rk, rv, heavy, axis: str, ndev: int,
                  for x in (lkb, lpb, lok, rkb, rpb, rok))
 
 
+@functools.lru_cache(maxsize=64)
 def _phase23u(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
               how_left: bool):
     """Fused exchange + local unique join: ONE compiled program, no
@@ -351,13 +359,17 @@ def _phase23u(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
             lk, lv, rk, rv, heavy, axis, ndev, cap_l, cap_r)
         lpo, rpo, dup = _unique_local(lkx, lpx, lox, rkx, rpx, rox,
                                       how_left)
-        return lpo, rpo, jax.lax.pmax(dup.astype(jnp.int32), axis)
+        # psum, not pmax: this harness's TPU compiler lowers only SUM
+        # all-reduces ("Supported lowering only of Sum all reduce",
+        # r3-measured); any-dup is a sum of 0/1 flags anyway
+        return lpo, rpo, jax.lax.psum(dup.astype(jnp.int32), axis)
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(axis), P(axis), P())))
 
 
+@functools.lru_cache(maxsize=64)
 def _phase3(mesh: Mesh, axis: str, cap_m: int, how_left: bool):
     def local(lk, lp, lok, rk, rp, rok):
         # valid-first key-sorted build positions: rank r = r-th VALID
@@ -446,7 +458,7 @@ def shuffle_join_rows(mesh: Mesh, lkeys, rkeys, how: str = "inner",
         out2 = _phase2(mesh, axis, ndev, cap_l, cap_r, how_left)(
             lk_d, lv_d, rk_d, rv_d, jnp.asarray(heavy))
         lkx, lpx, lox, rkx, rpx, rox, nmax = out2
-        cap_m = _pow2(max(int(nmax), 1))
+        cap_m = _pow2(max(int(np.asarray(nmax).max()), 1))
 
         lpos, rpos = _phase3(mesh, axis, cap_m, how_left)(
             lkx, lpx, lox, rkx, rpx, rox)

@@ -8,23 +8,46 @@ travel as fixed-width big-endian bytes). Blobs are immutable; the store
 key is (table id, epoch, segment no).
 
 OUTER COMPRESSION (reference block/compress.go:54-70 snappy/lz4/zstd):
-every array payload is individually zlib-compressed when that shrinks it
+every array payload is individually compressed when that shrinks it
 (bit-packed planes are already dense; dict blobs / value arrays / stats
-usually compress well) and the per-array choice is recorded in the array
-header — mirroring the reference's per-block compression byte. zlib is
-the stdlib codec available here; level 1 keeps encode ~100 MB/s.
-KNOX_SEG_COMPRESS=off disables. KXSEG001 blobs (round 1) still load.
+usually compress well) and the per-codec choice is recorded in the array
+header — mirroring the reference's per-block compression byte. Codecs
+(r3, matching the reference's variety with what this image ships):
+  zstd (default when the zstandard module is present — fastest decode,
+  best ratio at level 1), zlib (stdlib fallback/default otherwise),
+  lzma (stdlib, high-ratio cold archival). KNOX_SEG_COMPRESS selects
+  (zstd|zlib|lzma|off); the LOAD path decodes every codec regardless of
+  the knob, so blobs written under any setting interoperate. KXSEG001
+  blobs (round 1) still load.
 """
 
 from __future__ import annotations
 
 import io
 import json
+import lzma
 import os
 import struct
 import zlib
 
 import numpy as np
+
+try:                                    # not in every image; gated
+    import zstandard as _zstd
+except ImportError:                     # pragma: no cover
+    _zstd = None
+
+# name -> (compress(bytes)->bytes, decompress(bytes)->bytes)
+_CODECS: dict = {
+    "zlib": (lambda b: zlib.compress(b, 1), zlib.decompress),
+    "lzma": (lambda b: lzma.compress(b, preset=0), lzma.decompress),
+}
+if _zstd is not None:
+    _ZC = _zstd.ZstdCompressor(level=1)
+    _ZD = _zstd.ZstdDecompressor()
+    _CODECS["zstd"] = (_ZC.compress, _ZD.decompress)
+
+_DEFAULT_CODEC = "zstd" if _zstd is not None else "zlib"
 
 from ..encode.schemes import EncodedPack, Scheme
 from ..pack.segment import EncodedColumn, Segment
@@ -123,7 +146,11 @@ def dump_segment(seg: Segment) -> bytes:
             ent["max"] = _arr_out(arrays, fs.max_key)
         man["stats"][name] = ent
 
-    compress = os.environ.get("KNOX_SEG_COMPRESS", "zlib") != "off"
+    codec = os.environ.get("KNOX_SEG_COMPRESS", _DEFAULT_CODEC)
+    if codec not in _CODECS and codec != "off":
+        raise ValueError(f"unknown KNOX_SEG_COMPRESS codec {codec!r}; "
+                         f"have {sorted(_CODECS)} or 'off'")
+    compress = codec != "off"
     out = io.BytesIO()
     out.write(_MAGIC2 if compress else _MAGIC)
     mb = json.dumps(man).encode()
@@ -134,10 +161,10 @@ def dump_segment(seg: Segment) -> bytes:
         body = a.tobytes()
         h = {"dtype": a.dtype.str, "shape": a.shape}
         if compress:
-            z = zlib.compress(body, 1)
+            z = _CODECS[codec][0](body)
             if len(z) < len(body):          # per-array choice, recorded
                 body = z
-                h["comp"] = "zlib"
+                h["comp"] = codec
         hdr = json.dumps(h).encode()
         out.write(struct.pack("<I", len(hdr)))
         out.write(hdr)
@@ -165,8 +192,14 @@ def load_segment(buf: bytes) -> Segment:
         (blen,) = struct.unpack_from("<Q", buf, off)
         off += 8
         body = buf[off:off + blen]
-        if h.get("comp") == "zlib":
-            body = zlib.decompress(body)
+        comp = h.get("comp")
+        if comp is not None:
+            try:
+                body = _CODECS[comp][1](body)
+            except KeyError:
+                raise ValueError(
+                    f"segment array compressed with unavailable codec "
+                    f"{comp!r} (have {sorted(_CODECS)})") from None
         a = np.frombuffer(body, dtype=np.dtype(h["dtype"]))
         arrays.append(a.reshape(h["shape"]).copy())
         off += blen

@@ -286,3 +286,125 @@ def test_join_pairs_core_oracle(rng, how, nl, nr, krange):
     assert len(li) == total
     assert sorted(zip(li.tolist(), ri.tolist())) == \
         sorted(zip(want.lidx.tolist(), want.ridx.tolist()))
+
+
+@pytest.mark.parametrize("how", [JoinType.INNER, JoinType.LEFT])
+@pytest.mark.parametrize("nl,nr,krange", [
+    (257, 129, 400),     # light dups
+    (64, 512, 1000),     # sparse matches
+    (100, 73, 40),       # multi-dup runs (spans still <= S)
+])
+def test_join_pairs_core_shift_oracle(rng, how, nl, nr, krange):
+    """r3 shift core vs host oracle: ONE sort + S shifted compares.
+    Pair sets equal; maxneed reports the true max run distance."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec.join import join_keys_np, join_pairs_core_shift
+    lkeys = rng.integers(0, krange, nl, dtype=np.uint64)
+    rkeys = rng.integers(0, krange, nr, dtype=np.uint64)
+    lkeys[0] = krange + 5          # probe miss at index 0
+    want = join_keys_np(lkeys, rkeys, how)
+    lidx, ridx, total, maxneed = join_pairs_core_shift(
+        jnp.asarray(lkeys), jnp.asarray(rkeys), S=16, how=how)
+    assert int(maxneed) <= 16, "test shapes sized for the fast path"
+    li = np.asarray(lidx)
+    ri = np.asarray(ridx)
+    keep = li != -2
+    assert int(total) == want.n == int(keep.sum())
+    assert sorted(zip(li[keep].tolist(), ri[keep].tolist())) == \
+        sorted(zip(want.lidx.tolist(), want.ridx.tolist()))
+
+
+def test_join_pairs_shift_overflow_fallback(rng):
+    """Key runs spanning > S entries: maxneed flags the undercount and
+    join_pairs_device falls back to the expansion core."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec.join import (join_keys_np, join_pairs_core_shift,
+                                      join_pairs_device)
+    # one key with 30 builds and 10 probes: span 40 > S=16
+    lkeys = np.concatenate([np.full(10, 7, np.uint64),
+                            rng.integers(100, 200, 50, dtype=np.uint64)])
+    rkeys = np.concatenate([np.full(30, 7, np.uint64),
+                            rng.integers(100, 200, 50, dtype=np.uint64)])
+    _, _, total, maxneed = join_pairs_core_shift(
+        jnp.asarray(lkeys), jnp.asarray(rkeys), S=16, how=JoinType.INNER)
+    assert int(maxneed) > 16
+    assert int(total) < 300        # undercounted — the flag matters
+    li, ri = join_pairs_device(jnp.asarray(lkeys), jnp.asarray(rkeys),
+                               JoinType.INNER)
+    want = join_keys_np(lkeys, rkeys, JoinType.INNER)
+    assert sorted(zip(li.tolist(), ri.tolist())) == \
+        sorted(zip(want.lidx.tolist(), want.ridx.tolist()))
+
+
+@pytest.mark.parametrize("core", ["general", "unique", "shift"])
+def test_join_keys32_parity(rng, core):
+    """keys32=True must agree with keys32=False AND the host oracle —
+    including keys at the 2^32-1 boundary (max representable u32)."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec.join import (join_keys_np, join_pairs_core,
+                                      join_pairs_core_shift,
+                                      join_pairs_core_unique)
+    top = (1 << 32) - 1
+    if core == "unique":
+        rkeys = rng.choice(1 << 20, 200, replace=False).astype(np.uint64)
+        rkeys[0] = top
+        lkeys = rng.integers(0, 1 << 20, 300, dtype=np.uint64)
+        lkeys[:3] = top
+        outs = [join_pairs_core_unique(jnp.asarray(lkeys),
+                                       jnp.asarray(rkeys),
+                                       JoinType.INNER, keys32=k)
+                for k in (False, True)]
+        assert not bool(outs[0][3]) and not bool(outs[1][3])
+    else:
+        rkeys = rng.integers(0, 500, 200, dtype=np.uint64)
+        lkeys = rng.integers(0, 500, 300, dtype=np.uint64)
+        rkeys[:2] = top
+        lkeys[:5] = top
+        if core == "general":
+            outs = [join_pairs_core(jnp.asarray(lkeys), jnp.asarray(rkeys),
+                                    1024, JoinType.INNER, keys32=k)
+                    for k in (False, True)]
+        else:
+            outs = [join_pairs_core_shift(jnp.asarray(lkeys),
+                                          jnp.asarray(rkeys),
+                                          S=16, how=JoinType.INNER,
+                                          keys32=k)
+                    for k in (False, True)]
+    want = join_keys_np(lkeys, rkeys, JoinType.INNER)
+    for out in outs:
+        li, ri = np.asarray(out[0]), np.asarray(out[1])
+        keep = li != -2
+        assert int(out[2]) == want.n == int(keep.sum())
+        assert sorted(zip(li[keep].tolist(), ri[keep].tolist())) == \
+            sorted(zip(want.lidx.tolist(), want.ridx.tolist()))
+
+
+def test_device_join_uint32_keys32_path(db, rng):
+    """UINT32-keyed join rides the keys32 device cores end to end."""
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+    accts_s = (Builder("ka").pk("id").add("id32", FieldType.UINT32)
+               .add("code", FieldType.UINT64).finish())
+    txns_s = (Builder("kt").pk("id").add("acct", FieldType.UINT32)
+              .add("amount", FieldType.INT64).finish())
+    accts = db.create_table(accts_s)
+    txns = db.create_table(txns_s)
+    na, nt = 40, 1200
+    accts.insert({"id": np.zeros(na, np.uint64),
+                  "id32": np.arange(1, na + 1, dtype=np.uint32),
+                  "code": np.arange(na, dtype=np.uint64) * 7})
+    aid = rng.integers(1, na + 1, nt).astype(np.uint32)
+    amt = rng.integers(-100, 100, nt)
+    txns.insert({"id": np.zeros(nt, np.uint64), "acct": aid,
+                 "amount": amt})
+    accts.merge()
+    txns.merge()
+    out = knox.join(txns.query().where(knox.F("amount") > 0),
+                    accts.query(), on=("acct", "id32"))
+    m = amt > 0
+    assert out["__n"] == int(m.sum())
+    got = sorted((int(a), int(c)) for a, c in zip(out["amount"],
+                                                  out["code"]))
+    want = sorted((int(a), (int(k) - 1) * 7) for a, k in
+                  zip(amt[m], aid[m]))
+    assert got == want
