@@ -107,6 +107,9 @@ def main():
     # traffic model: the fused plan reads the filtered+summed column's
     # bit planes once (+ the valid words, negligible).
     col_bytes = sum(p.planes.nbytes for p in seg.columns["val"].packs)
+    # fused plan also streams the valid words + rest mask in and the
+    # match mask out (the XLA plan reads the planes ~twice instead)
+    col_bytes += 3 * (n_rows // 8)
     try:
         stream_bps = _stream_bandwidth()
         eff_bps = col_bytes / marginal
@@ -159,8 +162,13 @@ def _stream_bandwidth() -> float:
 def _timed_loop(sc, tree, aggs):
     import jax
     import jax.numpy as jnp
+
+    from knoxdb_tpu.query.filter import Filter, leaf
+    from knoxdb_tpu.types import FilterMode
+
     _fn, args, raw = sc.prepare(tree, aggs)
     arrays, consts, overrides, valid, excl = args
+    fused = len(consts) > 0 and isinstance(consts[-1], tuple)
 
     def shift_consts(consts, i):
         step = (i * jnp.uint64(0x9E3779B1)) % jnp.uint64(4096)
@@ -171,14 +179,43 @@ def _timed_loop(sc, tree, aggs):
             return x
         return jax.tree_util.tree_map(bump, consts)
 
+    if fused:
+        # WEDGE-SAFE variant loop for the fused-Pallas plan: a Mosaic
+        # kernel whose operands are COMPUTED inside the lax.scan body
+        # wedges the TPU grant on the program's 2nd execution
+        # (probes/scan_wedge_engine.py). The engine binds kernel
+        # operands on the host per query, so the timing loop stacks TWO
+        # fully-bound query variants and dynamic_indexes between them —
+        # the shape probes/scan_wedge_probe.py proved clean 28/28.
+        sch = sc.d.seg.schema
+        tree2 = leaf(Filter(sch.field("val"), FilterMode.RANGE,
+                            (1001, 50000))).optimize()
+        _f2, args2, _r2 = sc.prepare(tree2, aggs)
+        consts_st = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), consts, args2[1])
+        over_st = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), overrides, args2[2])
+    else:
+        consts_st, over_st = consts, overrides
+
     # lax.scan, NOT fori_loop: the Mosaic kernel inside fori_loop hangs
     # the remote compiler at grid 32 on this harness; the identical body
     # under lax.scan compiles in seconds (measured round 2). Static scan
     # length -> one compiled program per K (two Ks total).
     def many(arrays, consts, overrides, valid, excl, idxs):
         def body(acc, i):
-            c = shift_consts(consts, i)
-            _mask, counts, parts = raw(arrays, c, overrides, valid, excl)
+            if fused:
+                j = (i % 2).astype(jnp.int32)
+                c = jax.tree_util.tree_map(
+                    lambda s: jax.lax.dynamic_index_in_dim(s, j, 0, False),
+                    consts)
+                o = jax.tree_util.tree_map(
+                    lambda s: jax.lax.dynamic_index_in_dim(s, j, 0, False),
+                    overrides)
+            else:
+                c = shift_consts(consts, i)
+                o = overrides
+            _mask, counts, parts = raw(arrays, c, o, valid, excl)
             p = parts[1][0]
             if isinstance(p, dict):       # fused Pallas pcnt form
                 chk = p["pcnt"].sum(dtype=jnp.int64) \
@@ -191,6 +228,7 @@ def _timed_loop(sc, tree, aggs):
         return out
 
     g = jax.jit(many)
+    consts, overrides = consts_st, over_st
 
     def run(k):
         out = g(arrays, consts, overrides, valid, excl,

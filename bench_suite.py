@@ -447,8 +447,9 @@ def bench_config6(n_packs: int, rng):
             sh = (i % jnp.int32(2)).astype(jnp.uint64) * jnp.uint64(iv)
             g2 = [(c[0] - sh, c[1]) if isinstance(c, tuple) else c
                   for c in gconsts]
+            # av = traced ALP decode constants (empty: integer columns)
             out = sfn_raw((arrays, consts, overrides, valid, excl),
-                          garrays, g2, mb)
+                          garrays, g2, mb, ())
             parts = out[("val", "moments")]
             acc0 = acc[0] + parts[0].sum()
             acc1 = acc[1] + i.astype(jnp.float64)

@@ -42,18 +42,23 @@ def is_tpu() -> bool:
         return False
 
 
-# Pallas fused scan kernels (ops/pallas_scan.py): OPT-IN via
-# KNOX_PALLAS=1. Round-2-early finding: the kernels compile and produce
-# bit-exact results on this harness's TPU (verified vs the XLA oracle),
-# but REPEAT executions of a Mosaic program were unstable through the
-# version-skewed remote-compile relay (first run ok, second raises
-# INVALID_ARGUMENT and wedges the whole TPU session — every later
-# device_put in ANY process fails FAILED_PRECONDITION until the grant
-# recycles). Until re-validated, the default scan path is the proven
-# pure-XLA bitslice plan. Off-TPU the kernels run in interpret mode
-# (tests keep covering them).
+# Pallas fused scan kernels (ops/pallas_scan.py): DEFAULT ON on TPU
+# since round 3 (KNOX_PALLAS=0 kills; KNOX_PALLAS=1 forces on-CPU
+# interpret mode for tests). History: rounds 1-2 the fused plan wedged
+# the TPU grant on the SECOND execution of any lax.scan-wrapped run
+# (INVALID_ARGUMENT, grant dead minutes). Round-3 isolation
+# (probes/scan_wedge_probe.py 28/28 clean, probes/scan_wedge_engine.py)
+# pinned the trigger: Mosaic kernel operands COMPUTED IN-GRAPH inside
+# the scan body. The engine now binds the kernel's per-plane select
+# masks on the HOST per query (exec/scan._prepare_tail) — the proven-
+# clean shape — and the fused plan captured 228 G rows/s at 93% of
+# same-run measured HBM bandwidth (vs the XLA plan's 51%, which pays a
+# second plane read for the masked popcount sweep).
 def use_pallas() -> bool:
-    return os.environ.get("KNOX_PALLAS", "") == "1"
+    env = os.environ.get("KNOX_PALLAS", "")
+    if env == "0":
+        return False
+    return env == "1" or is_tpu()
 
 
 # Pallas fused GROUP-BY kernel (ops/pallas_group.py): DEFAULT ON.

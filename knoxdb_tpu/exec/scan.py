@@ -78,6 +78,7 @@ class SegmentScanner:
         self.d = dseg
         self._fns: dict = {}
         self._acache: dict = {}    # (tdesc, leaf values) -> uploaded args
+        self._fused_ops: dict = {}  # (field, w, lo, hi) -> kernel operands
 
     # ------------------------------------------------------------ public --
 
@@ -144,8 +145,12 @@ class SegmentScanner:
 
         has_excl = exclude_words is not None
         has_incl = include_words is not None
+        # fusion state is part of the plan signature: use_pallas() is a
+        # live env read, and a cached fused fn expects the extra
+        # operand entry in consts
+        fuse = self._plan_fusion(tdesc, leaves, skip_leaf, aggs)
         sig = (d.sig(used), tdesc, tuple(skip_leaf), has_excl, has_incl,
-               tuple((a.op, a.field) for a in aggs),
+               tuple((a.op, a.field) for a in aggs), fuse,
                tuple(RW.leaf_group_static(leaves[i], g)
                      for i in range(len(leaves)) if not skip_leaf[i]
                      for g in d.column(leaves[i].field.name).groups))
@@ -157,6 +162,33 @@ class SegmentScanner:
             pair = (jax.jit(raw), raw)
             self._fns[sig] = pair
         fn, raw = pair
+
+        # fused Pallas plan: bind the kernel's per-plane select-mask
+        # operands on the HOST (tiny numpy over P packs) and append them
+        # to the consts pytree — in-graph derivation from traced consts
+        # is the r3 wedge trigger (probes/scan_wedge_engine.py e1).
+        # Cached per (field, width, lo, hi): repeated queries re-use the
+        # device upload like every other leaf constant.
+        if fuse is not None:
+            fuse_i, fuse_f = fuse
+            fl = leaves[fuse_i]
+            lo_v, hi_v = _mode_to_range_host(
+                fl.mode, int(fl.key), int(getattr(fl, "key_hi", 0) or 0))
+            fw = d.column(fuse_f).groups[0].sig()[1]
+            okey = (fuse_f, fw, lo_v, hi_v)
+            ops = self._fused_ops.get(okey)
+            if ops is None:
+                from ..ops import pallas_scan as PSC
+                g = d.column(fuse_f).groups[0]
+                mk = np.array([d.seg.columns[fuse_f].packs[i].min_key
+                               for i in g.idx], np.uint64)
+                lo_b, hi_b, flags = PSC.range_consts(
+                    mk, np.uint64(lo_v), np.uint64(hi_v), fw)
+                ops = (jnp.asarray(lo_b), jnp.asarray(hi_b),
+                       jnp.asarray(flags))
+                if len(self._fused_ops) < 256:
+                    self._fused_ops[okey] = ops
+            consts = list(consts) + [ops]
 
         arrays = d.arrays_pytree(used)
         excl = (jnp.asarray(exclude_words),) if has_excl else ()
@@ -637,7 +669,6 @@ class SegmentScanner:
         fuse = self._plan_fusion(tdesc, leaves, skip_leaf, aggs)
         if fuse is not None:
             fuse_i, fuse_f = fuse
-            fuse_mode = leaves[fuse_i].mode
             fuse_width = d.column(fuse_f).groups[0].sig()[1]
             tdesc_rest = self._drop_leaf(tdesc, fuse_i)
             from ..config import is_tpu
@@ -646,7 +677,13 @@ class SegmentScanner:
         def fn(arrays, consts, overrides, valid, excl=()):
             if fuse is not None:
                 # one-pass Pallas kernel: the fused column's planes are
-                # read ONCE for predicate + aggregate (ops/pallas_scan)
+                # read ONCE for predicate + aggregate (ops/pallas_scan).
+                # The kernel's per-plane select masks arrive PRE-BOUND
+                # from the host as the trailing consts entry (r3:
+                # deriving them in-graph from the traced range consts
+                # wedges the grant on the 2nd execution of any lax.scan-
+                # wrapped run of this program — scan_wedge_engine.py e1;
+                # host-bound operands are the probe-proven clean shape)
                 from ..ops import pallas_scan as PSC
                 rest = eval_node(tdesc_rest, arrays, consts, overrides,
                                  valid) & valid
@@ -655,9 +692,7 @@ class SegmentScanner:
                 if has_incl:
                     rest = rest & excl[1 if has_excl else 0]
                 garr = arrays[fuse_f][0]
-                lo_v, hi_v = _mode_to_range(fuse_mode, consts[fuse_i][0])
-                lo_b, hi_b, flags = PSC.range_consts(
-                    garr["min_keys"], lo_v, hi_v, fuse_width)
+                lo_b, hi_b, flags = consts[-1]
                 mask, pcnt, cnt = PSC.fused_range_sum_masked(
                     garr["planes"], lo_b, hi_b, flags, rest, fuse_width,
                     interpret=interp)
@@ -964,6 +999,28 @@ class SegmentScanner:
                     v = (v << 32) | limbs[l][m].astype(object)
                 out[m] = v - bias
         return out
+
+
+def _mode_to_range_host(mode: FilterMode, lo: int, hi: int):
+    """Host-int twin of _mode_to_range: inclusive u64 (lo, hi) for the
+    fused kernel's HOST-side operand binding (r3: Mosaic operands are
+    bound on the host per query — computing them in-graph from traced
+    consts wedges the TPU grant on the 2nd execution of any lax.scan-
+    wrapped program, probes/scan_wedge_engine.py)."""
+    U = (1 << 64) - 1
+    if mode == FilterMode.RANGE:
+        return lo, hi
+    if mode == FilterMode.EQ:
+        return lo, lo
+    if mode == FilterMode.GE:
+        return lo, U
+    if mode == FilterMode.LE:
+        return 0, lo
+    if mode == FilterMode.GT:
+        return (1, 0) if lo == U else (lo + 1, U)
+    if mode == FilterMode.LT:
+        return (1, 0) if lo == 0 else (0, lo - 1)
+    raise ValueError(f"_mode_to_range_host: {mode}")
 
 
 def _mode_to_range(mode: FilterMode, consts: dict):
