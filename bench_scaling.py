@@ -91,6 +91,52 @@ def main():
           f"core-adjusted weak-scaling: "
           f"{ {d: f'{e:.2f}' for d, e in eff.items()} }", file=sys.stderr)
 
+    # ---- shuffle-join STRONG scaling (fixed total size, 1..N devices).
+    # r4 tight tile caps make local work O(N/ndev); this measures
+    # whether the sharded program keeps that (a flat curve would mean
+    # the caps or the exchange serialize). Same core-adjustment caveat:
+    # XLA:CPU multithreads ONE virtual device across all host cores, so
+    # ideal strong-scaling time is flat once ndev saturates the cores —
+    # report raw medians + the core-adjusted efficiency.
+    from jax.sharding import Mesh
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    n = 1 << 19
+    lk = rng.integers(1, n * 2, n).astype(np.uint64)
+    rk = rng.integers(1, n * 2, n).astype(np.uint64)
+    jt = {}
+    for ndev in [d for d in (1, 2, 4, 8) if d <= ndev_all]:
+        mesh = Mesh(np.array(jax.devices()[:ndev]), ("shards",))
+        shuffle_join_rows(mesh, lk, rk)                 # warm/compile
+        ts = []
+        for _ in range(3):
+            _l, _r, st = shuffle_join_rows(mesh, lk, rk)
+            ts.append(st["seconds"])
+        jt[ndev] = sorted(ts)[1]
+        print(f"# join ndev={ndev}: {jt[ndev]*1e3:.0f}ms "
+              f"core={st['core']} work_eff={st['work_eff']:.2f}",
+              file=sys.stderr)
+    jeff = {d: jt[1] / (min(d, max(ncores, 1)) * t) if d > 1 else 1.0
+            for d, t in jt.items()}
+    topj = max(jt)
+    print(json.dumps({
+        "metric": f"cpu_mesh_join_strong_scaling_{topj}dev",
+        "value": jeff[topj],
+        "unit": "ratio",
+        "vs_baseline": jeff[topj] / 0.80,
+    }))
+    print(f"# join strong-scaling core-adjusted eff: "
+          f"{ {d: f'{e:.2f}' for d, e in jeff.items()} }", file=sys.stderr)
+    # deterministic work efficiency (ideal local rows / actual slots):
+    # the local sort dominates pod-scale join cost, so this ratio is
+    # the harness-independent strong-scaling predictor (the time ratio
+    # above is 4-core-box noise at ndev > ncores)
+    print(json.dumps({
+        "metric": f"join_strong_scaling_work_eff_{topj}dev",
+        "value": st["work_eff"],
+        "unit": "ratio",
+        "vs_baseline": st["work_eff"] / 0.80,
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -80,10 +80,33 @@ def main():
         "unit": "GB/s",
         "vs_baseline": None,   # reference has no distributed join at all
     }))
-    print(f"# n={n}x{n} ndev=8 bytes/row=17x2 pairs={len(li)} "
+    print(f"# n={n}x{n} ndev=8 core={stats['core']} bytes/slot=17x2 "
+          f"exchanged={stats['shuffle_bytes']/1e6:.0f}MB pairs={len(li)} "
           f"rows/s_e2e={sorted(rows_s)[1]/1e6:.1f}M "
           f"device_seconds={stats['seconds']*1e3:.0f}ms "
           f"heavy={stats['heavy_buckets']}", file=sys.stderr)
+
+    # per-rung device seconds at the same size (docs/bench.md table):
+    # unique build (pk join), shift default, forced general fallback
+    nr_u = rng.permutation(np.arange(1, n + 1)).astype(np.uint64)
+    for label, kw, keys in (
+            ("unique+keys32", dict(unique_build=True, keys32=True), nr_u),
+            ("shift+keys32", dict(keys32=True), rk),
+            ("general", dict(), None)):
+        probes = lk
+        if keys is None:
+            # a > SHIFT_S-wide matched build run forces the general
+            # phases (maxneed counts MATCHED probe distances)
+            keys = np.concatenate([rk[:-40], np.full(40, 7, np.uint64)])
+            probes = np.concatenate([lk[:-8], np.full(8, 7, np.uint64)])
+        shuffle_join_rows(mesh, probes, keys, **kw)      # warm/compile
+        ts = []
+        for _ in range(3):
+            _li, _ri, st = shuffle_join_rows(mesh, probes, keys, **kw)
+            ts.append(st["seconds"])
+        print(f"# rung {label}: core={st['core']} "
+              f"device_seconds={sorted(ts)[1]*1e3:.0f}ms "
+              f"rows/s={2*n/sorted(ts)[1]/1e6:.1f}M", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -70,3 +70,18 @@ def use_pallas() -> bool:
 # regresses.
 def use_pallas_group() -> bool:
     return os.environ.get("KNOX_NO_PALLAS_GROUP", "") != "1"
+
+
+# Pallas group kernel in the SERIES MOMENTS path (exec/scan.series_scan:
+# TWO fused_group_partials calls per program, one per moment half).
+# r4 TPU probe (probes/series_profile.py): repeat executions stable
+# (4/4 bit-exact vs the XLA factored kernel incl. under the lax.scan
+# marginal loop, no grant wedge — same shape discipline as the default-
+# on group kernel), cfg #6 2.33x end-to-end. DEFAULT ON with the group
+# kernel; KNOX_SERIES_PALLAS=0 kills just the series path if a future
+# libtpu pair regresses the two-kernel program.
+def use_pallas_series() -> bool:
+    env = os.environ.get("KNOX_SERIES_PALLAS", "")
+    if env == "0":
+        return False
+    return use_pallas_group()

@@ -47,49 +47,99 @@ class Options:
 
 
 class CacheManager:
-    """Device-residency budget for uploaded segments (reference
-    engine.go:87-94 block/buffer CacheManager + pkg/cache/rclru 2Q):
-    segments upload lazily; above the byte budget the least-recently-
-    scanned handle drops its device image (host arrays stay — re-upload
-    on next use)."""
+    """Device-residency budget for uploaded segments — SCAN-RESISTANT
+    2Q (r4; reference engine.go:87-94 block/buffer CacheManager backed
+    by the refcounted 2Q of pkg/cache/rclru/2q.go:22-26): segments
+    upload lazily; above the byte budget eviction drops a handle's
+    device image (host arrays stay — re-upload on next use).
+
+    2Q policy: first-touch handles enter a bounded PROBATION fifo
+    (A1in, 25% of the budget); only a RE-reference promotes to the
+    protected LRU (Am). A one-pass full-table scan therefore cycles
+    probation and can never evict another table's re-referenced hot
+    set — the exact property rclru's 2Q buys the reference. A ghost
+    list (A1out, ids only) promotes recently-demoted entries straight
+    to Am on their next touch."""
+
+    PROBATION_FRAC = 0.25          # rclru 2q.go: A1in sized at 25%
+    GHOSTS = 256                   # A1out id capacity
 
     def __init__(self, budget_bytes: int = 8 << 30):
         self.budget = budget_bytes
         self._clock = 0
-        self._live: dict[int, tuple] = {}   # id -> (handle, bytes, last_use)
-        self._mu = threading.Lock()         # readers + merge workers race
+        # id -> (handle, bytes, last_use); insertion order = fifo age
+        self._prob: dict[int, tuple] = {}
+        self._hot: dict[int, tuple] = {}
+        self._ghost: dict[int, int] = {}     # id -> demote clock
+        self._mu = threading.Lock()          # readers + merge workers race
         self.evictions = 0
         self.hits = 0
         self.misses = 0
+
+    def _evict(self, keep: int) -> None:
+        """Drop device images until under budget (never the just-touched
+        `keep`). Probation first (fifo), then protected LRU."""
+        def total():
+            return (sum(b for _, b, _ in self._prob.values())
+                    + sum(b for _, b, _ in self._hot.values()))
+        prob_budget = self.budget * self.PROBATION_FRAC
+        while len(self._prob) + len(self._hot) > 1:
+            over = total() > self.budget
+            prob_over = sum(b for _, b, _ in self._prob.values()) \
+                > prob_budget and len(self._prob) > 1
+            if not over and not prob_over:
+                break
+            pool = self._prob if (self._prob and (prob_over or over)) \
+                else self._hot
+            victim = None
+            if pool is self._prob:       # fifo: oldest insertion first
+                for k in pool:
+                    if k != keep:
+                        victim = k
+                        break
+            else:                        # protected: LRU
+                victim = min((k for k in pool if k != keep),
+                             key=lambda k: pool[k][2], default=None)
+            if victim is None:
+                break
+            h, b, _ = pool.pop(victim)
+            self._ghost[victim] = self._clock
+            while len(self._ghost) > self.GHOSTS:
+                self._ghost.pop(next(iter(self._ghost)))
+            # a thread mid-scan keeps its scanner alive via its own
+            # reference; dropping here only forces a later re-upload
+            h.dseg = None
+            h.scanner = None
+            self.evictions += 1
 
     def note_use(self, handle) -> None:
         with self._mu:
             self._clock += 1
             key = id(handle)
-            if key in self._live:
-                h, b, _ = self._live[key]
-                self._live[key] = (h, b, self._clock)
+            if key in self._hot:
+                h, b, _ = self._hot[key]
+                self._hot[key] = (h, b, self._clock)
                 self.hits += 1
+                return
+            if key in self._prob:        # second touch -> protected
+                h, b, _ = self._prob.pop(key)
+                self._hot[key] = (h, b, self._clock)
+                self.hits += 1
+                self._evict(key)
                 return
             self.misses += 1
             nbytes = handle.seg.nbytes
-            self._live[key] = (handle, nbytes, self._clock)
-            total = sum(b for _, b, _ in self._live.values())
-            while total > self.budget and len(self._live) > 1:
-                victim_key = min(self._live, key=lambda k: self._live[k][2])
-                if victim_key == key:
-                    break
-                h, b, _ = self._live.pop(victim_key)
-                # a thread mid-scan keeps its scanner alive via its own
-                # reference; dropping here only forces a later re-upload
-                h.dseg = None
-                h.scanner = None
-                self.evictions += 1
-                total -= b
+            if self._ghost.pop(key, None) is not None:
+                self._hot[key] = (handle, nbytes, self._clock)
+            else:
+                self._prob[key] = (handle, nbytes, self._clock)
+            self._evict(key)
 
     def drop(self, handle) -> None:
         with self._mu:
-            self._live.pop(id(handle), None)
+            self._prob.pop(id(handle), None)
+            self._hot.pop(id(handle), None)
+            self._ghost.pop(id(handle), None)
 
 
 class TaskService:

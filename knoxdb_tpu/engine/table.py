@@ -546,10 +546,17 @@ class Table:
         global_keys = np.unique(np.concatenate(keysets))
         G = len(global_keys)
 
+        # vectorized accumulators (r4, VERDICT weak #6): sums are OBJECT
+        # ndarrays (exact python-int adds driven by numpy); min/max are
+        # u64 keyform arrays with absorbing sentinels (a group's true
+        # min/max can legally EQUAL a sentinel — combining stays exact
+        # because min(x, MAX)=x and validity is keyed on counts>0, not
+        # the sentinel value). No per-group python loops at any G.
+        U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
         counts = np.zeros(G, np.int64)
-        sums = {f: [0] * G for f in agg_fields}
-        mins = {f: [None] * G for f in agg_fields_all}
-        maxs = {f: [None] * G for f in agg_fields_all}
+        sums = {f: np.zeros(G, object) for f in agg_fields}
+        mins = {f: np.full(G, U64MAX, np.uint64) for f in agg_fields_all}
+        maxs = {f: np.zeros(G, np.uint64) for f in agg_fields_all}
         # var/std + float sum/avg: f64 moment partials (reference
         # reducer.go semantics; float contract documented in series.py)
         mom_fields = sorted({f for op, f in aggs
@@ -582,32 +589,29 @@ class Table:
                     moments[f][2] += q_
                 for f in flt_mm:
                     cf, mn_f, mx_f = sp[(f, "fminmax")]
-                    for g in np.flatnonzero(cf > 0):
-                        k_mn, k_mx = int(mn_f[g]), int(mx_f[g])
-                        if mins[f][g] is None or k_mn < mins[f][g]:
-                            mins[f][g] = k_mn
-                        if maxs[f][g] is None or k_mx > maxs[f][g]:
-                            maxs[f][g] = k_mx
+                    has = cf > 0
+                    mins[f] = np.minimum(mins[f], np.where(
+                        has, np.asarray(mn_f, np.uint64), U64MAX))
+                    maxs[f] = np.maximum(maxs[f], np.where(
+                        has, np.asarray(mx_f, np.uint64), np.uint64(0)))
             for f in agg_fields:
                 s, mn, mx = res[f]
-                for g in range(G):
-                    if c[g] == 0:
-                        continue
-                    sums[f][g] += s[g]
-                    k_mn, k_mx = int(mn[g]), int(mx[g])
-                    if mins[f][g] is None or k_mn < mins[f][g]:
-                        mins[f][g] = k_mn
-                    if maxs[f][g] is None or k_mx > maxs[f][g]:
-                        maxs[f][g] = k_mx
+                has = c > 0
+                sums[f] = sums[f] + np.where(has, s, 0)
+                mins[f] = np.minimum(mins[f], np.where(
+                    has, np.asarray(mn, np.uint64), U64MAX))
+                maxs[f] = np.maximum(maxs[f], np.where(
+                    has, np.asarray(mx, np.uint64), np.uint64(0)))
 
         if jmask is not None and jmask.any():
             from ..series import _group_reduce_exact
             sel = np.flatnonzero(jmask)
             if ft_g.is_bytes_like or global_keys.dtype == object:
-                gid_of = {k if ft_g.is_bytes_like else int(k): i
-                          for i, k in enumerate(global_keys)}
-                gsel = np.array([gid_of[k if ft_g.is_bytes_like else int(k)]
-                                 for k in jkeys[sel]], np.int64)
+                # per-UNIQUE-key python compares only (searchsorted on
+                # the sorted unique journal keys), never per-row dicts
+                uq, inv = np.unique(jkeys[sel], return_inverse=True)
+                gsel = np.searchsorted(global_keys, uq)[inv] \
+                    .astype(np.int64)
             else:
                 gsel = np.searchsorted(
                     global_keys, jkeys[sel].astype(np.uint64))
@@ -616,15 +620,14 @@ class Table:
                 ftf = self.full_schema.field(f).type
                 keys = ORC.column_keys(jdata[f][sel], ftf)
                 gsum, gmin, gmax, hit = _group_reduce_exact(gsel, keys, G)
-                for g in np.flatnonzero(hit):
-                    if not is_flt[f]:
-                        # float sums ride the moments loop below; float
-                        # keyform min/max combine exactly here
-                        sums[f][g] += gsum[g]
-                    if mins[f][g] is None or gmin[g] < mins[f][g]:
-                        mins[f][g] = gmin[g]
-                    if maxs[f][g] is None or gmax[g] > maxs[f][g]:
-                        maxs[f][g] = gmax[g]
+                if not is_flt[f]:
+                    # float sums ride the moments loop below; float
+                    # keyform min/max combine exactly here
+                    sums[f] = sums[f] + np.where(hit, gsum, 0)
+                gm = np.where(hit, gmin, int(U64MAX)).astype(np.uint64)
+                gx = np.where(hit, gmax, 0).astype(np.uint64)
+                mins[f] = np.minimum(mins[f], gm)
+                maxs[f] = np.maximum(maxs[f], gx)
             for f in mom_fields:
                 from ..series import _np_series_part
                 ftf = self.full_schema.field(f).type
@@ -640,42 +643,36 @@ class Table:
         gp = GroupPlan(global_keys[keep], int(keep.sum()), [])
         out = {"keys": gp.key_values(ft_g), "count": counts[keep]}
         kept = np.flatnonzero(keep)
+        ck = counts[kept]
         for op, f in aggs:
             if op == "count" or not f:
                 continue
             ftf = self.full_schema.field(f).type
             if ftf.is_float and op in ("sum", "avg"):
                 n_, s_, _q = moments[f]
-                if op == "sum":
-                    vals = [float(s_[g]) for g in kept]
-                else:
-                    vals = [float(s_[g]) / int(counts[g]) for g in kept]
-                out[(op, f)] = np.array(vals, object)
+                vals = s_[kept] if op == "sum" else s_[kept] / ck
+                out[(op, f)] = np.array(vals.tolist(), object)
                 continue
             bias = (1 << (ftf.bits - 1)) if ftf.is_signed else 0
             if op in ("sum", "avg"):
-                vals = [sums[f][g] - int(counts[g]) * bias for g in kept]
+                vals = sums[f][kept] - ck.astype(object) * bias
                 if op == "avg":
-                    vals = [v / int(counts[g]) for v, g in zip(vals, kept)]
-                out[(op, f)] = np.array(vals, object)
+                    vals = vals / ck        # object/int -> float, exact
+                out[(op, f)] = vals
             elif op == "min":
-                out[(op, f)] = np.array(
-                    [_from_key(mins[f][g], ftf) for g in kept], object)
+                out[(op, f)] = _keys64_to_values(mins[f][kept], ftf)
             elif op == "max":
-                out[(op, f)] = np.array(
-                    [_from_key(maxs[f][g], ftf) for g in kept], object)
+                out[(op, f)] = _keys64_to_values(maxs[f][kept], ftf)
             elif op in ("var", "std"):
-                import math
                 n_, s_, q_ = moments[f]
-                vals = []
-                for g in kept:
-                    n = int(n_[g])
-                    if n < 2:               # reducer.go:375-378
-                        vals.append(float("nan") if n else None)
-                        continue
-                    var = max(0.0, q_[g] - s_[g] * s_[g] / n) / (n - 1)
-                    vals.append(math.sqrt(var) if op == "std" else var)
-                out[(op, f)] = np.array(vals, object)
+                n = n_[kept].astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    var = np.maximum(
+                        0.0, q_[kept] - s_[kept] * s_[kept]
+                        / np.maximum(n, 1.0)) / np.maximum(n - 1.0, 1.0)
+                    vals = np.where(n < 2, np.nan,    # reducer.go:375-378
+                                    np.sqrt(var) if op == "std" else var)
+                out[(op, f)] = np.array(vals.tolist(), object)
         return out
 
     # above this fraction of table rows a LIMIT stops being a top-k: the
@@ -736,7 +733,14 @@ class Table:
             res.count = len(order)
             return res
         k = limit
-        entries = []   # (key_int, source, row_index)
+        # per-source candidates merged with ONE stable host argsort over
+        # keyform keys, then every projected column assembles by
+        # per-source fancy indexing + vectorized limbs->values
+        # (lb.from_keyform) — no per-row python at any k (r4, VERDICT
+        # weak #6; the old path called _limbs_to_value per CELL)
+        key_parts: list[np.ndarray] = []   # object arrays of python ints
+        src_parts: list[np.ndarray] = []
+        row_parts: list[np.ndarray] = []
 
         excl_by_seg = self._exclude_masks_of(segments, dead)
         seg_rows = []
@@ -747,37 +751,61 @@ class Table:
                 project=project, exclude_words=excl)
             si = len(seg_rows)
             seg_rows.append(rows)
-            for i, key in enumerate(keys):
-                entries.append((key, si, i))
+            if keys:
+                key_parts.append(np.array(keys, object))
+                src_parts.append(np.full(len(keys), si, np.int64))
+                row_parts.append(np.arange(len(keys), dtype=np.int64))
 
         jmask = None
         if len(jrids):
             jmask = ORC.eval_tree(tree, jdata, len(jrids))
-            jkeys = ORC.column_keys(jdata[order_by], ft)
-            for i in np.flatnonzero(jmask):
-                entries.append((int(jkeys[i]), -1, int(i)))
-
-        entries.sort(key=lambda e: e[0], reverse=desc)
-        if limit:
-            entries = entries[:limit]
+            jsel = np.flatnonzero(jmask)
+            if len(jsel):
+                jkeys = ORC.column_keys(jdata[order_by], ft)
+                key_parts.append(
+                    np.array([int(x) for x in jkeys[jsel]], object))
+                src_parts.append(np.full(len(jsel), -1, np.int64))
+                row_parts.append(jsel.astype(np.int64))
 
         res = ScanResult()
-        res.count = len(entries)
-        cols: dict[str, list] = {name: [] for name in project}
-        for key, src, i in entries:
+        if not key_parts:
+            res.count = 0
             for name in project:
-                if src < 0:
-                    cols[name].append(jdata[name][i])
-                else:
-                    lim = seg_rows[src][name][:, i]
-                    cols[name].append(self._limbs_to_value(name, lim))
+                ftf = self.full_schema.field(name).type
+                dt = lb.numpy_dtype(ftf) \
+                    if ftf.nlimbs <= 2 and not ftf.is_bytes_like else object
+                res.rows[name] = np.empty(0, dt)
+            return res
+        allkeys = np.concatenate(key_parts)
+        allsrc = np.concatenate(src_parts)
+        allrow = np.concatenate(row_parts)
+        # stable merge matching list.sort(reverse=desc): ties keep
+        # source order in BOTH directions (argsort[::-1] would not)
+        order = np.argsort(-allkeys if desc else allkeys, kind="stable")
+        if limit:
+            order = order[:limit]
+        src_t = allsrc[order]
+        row_t = allrow[order]
+        n_out = len(order)
+
+        res.count = n_out
         for name in project:
             ftf = self.full_schema.field(name).type
-            if ftf.nlimbs <= 2 and not ftf.is_bytes_like:
-                res.rows[name] = np.asarray(
-                    [v for v in cols[name]], lb.numpy_dtype(ftf))
-            else:
-                res.rows[name] = np.array(cols[name], object)
+            narrow = ftf.nlimbs <= 2 and not ftf.is_bytes_like
+            col = np.empty(n_out, lb.numpy_dtype(ftf) if narrow else object)
+            for si in range(len(seg_rows)):
+                at = np.flatnonzero(src_t == si)
+                if not len(at):
+                    continue
+                lim = seg_rows[si][name][:, row_t[at]]
+                col[at] = lb.from_keyform(lim, ftf)
+            at = np.flatnonzero(src_t == -1)
+            if len(at):
+                jc = jdata[name][row_t[at]]
+                if narrow:
+                    jc = np.asarray(list(jc), lb.numpy_dtype(ftf))
+                col[at] = jc
+            res.rows[name] = col
         return res
 
     # -------------------------------------------------------------- join --
@@ -1399,6 +1427,20 @@ def _dict_vals(p) -> np.ndarray:
 def _from_key(key: int, ft: FieldType):
     from ..exec.scan import _key_to_value
     return _key_to_value(key, ft)
+
+
+def _keys64_to_values(keys: np.ndarray, ft: FieldType) -> np.ndarray:
+    """Vectorized u64 keyform -> native values (object ndarray of
+    python scalars) — the array form of _from_key (r4: group/top-k
+    output materialization without per-value python)."""
+    k = np.asarray(keys, np.uint64)
+    if ft.nlimbs == 2:
+        limbs = np.stack([(k >> np.uint64(32)).astype(np.uint32),
+                          (k & np.uint64(0xFFFFFFFF)).astype(np.uint32)])
+    else:
+        limbs = k.astype(np.uint32)[None]
+    vals = lb.from_keyform(limbs, ft)
+    return np.array(vals.tolist(), object)
 
 
 def _combine_agg(op, vals, jval):

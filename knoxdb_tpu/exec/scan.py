@@ -341,14 +341,14 @@ class SegmentScanner:
                 sums = GB.mxu_chunk_sums(chunks)
                 b = cplan[f][1]
                 if b:
-                    sums = [s + b * int(cc)
-                            for s, cc in zip(sums, np.asarray(c))]
+                    sums = sums + b * np.asarray(c).astype(object)
             else:
                 c, slo, shi, mn, mx = out[f]
-                sums = [int(l) + (int(h) << 32)
-                        for l, h in zip(np.asarray(slo), np.asarray(shi))]
+                sums = (np.asarray(slo).astype(object)
+                        + (np.asarray(shi).astype(object) << 32))
             if counts is None:
                 counts = np.asarray(c)
+            # sums: OBJECT ndarray of exact python ints [G]
             results[f] = (sums, np.asarray(mn), np.asarray(mx))
         return gplan, counts, results
 
@@ -496,12 +496,19 @@ class SegmentScanner:
                         C_m, _gm, qC = mplan[f]
                         rlo, rhi = GB._value_halves(vk, mb[f])
                         qlo, qhi = GB.square_halves(rlo)
+                        # r4: the two moment halves ride the Pallas
+                        # VMEM-one-hot kernel (2.5x the XLA factored
+                        # kernel; two Mosaic calls per program probed
+                        # stable — probes/series_profile.py, config
+                        # gate use_pallas_series) unless SPMD
+                        from ..config import use_pallas_series
+                        ap = (not self.spmd) and use_pallas_series()
                         c1, ch1, _, _ = GB.group_aggregate_mxu(
                             gids, mask, (rlo, rhi), gplan.G,
-                            allow_pallas=False, n_chunks=C_m)
+                            allow_pallas=ap, n_chunks=C_m)
                         _c2, ch2, _, _ = GB.group_aggregate_mxu(
                             gids, mask, (qlo, qhi), gplan.G,
-                            allow_pallas=False, n_chunks=qC)
+                            allow_pallas=ap, n_chunks=qC)
                         out[(f, "moments")] = \
                             (c1,) + tuple(ch1) + tuple(ch2)
                     elif "moments" in fk:
@@ -534,9 +541,8 @@ class SegmentScanner:
                 # base = keyform_min - sign_offset (python ints)
                 C_m, gmin_m, qC = mplan[f]
                 counts = np.asarray(v[0]).astype(np.int64)
-                Sr = np.array(GB.mxu_chunk_sums(v[1:1 + C_m]), object)
-                Sq = np.array(GB.mxu_chunk_sums(v[1 + C_m:1 + C_m + qC]),
-                              object)
+                Sr = GB.mxu_chunk_sums(v[1:1 + C_m])
+                Sq = GB.mxu_chunk_sums(v[1 + C_m:1 + C_m + qC])
                 base = gmin_m - int(meta[f][0])
                 no = counts.astype(object)
                 sums = (base * no + Sr).astype(np.float64)

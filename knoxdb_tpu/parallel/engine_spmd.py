@@ -243,17 +243,15 @@ class ShardedScanner(SegmentScanner):
                     for d in range(ndev)]
                 # object-array reduce: exact python-int adds driven by
                 # numpy instead of a G x ndev python loop
-                sums = list(np.array(per_dev, object).sum(axis=0))
+                sums = np.array(per_dev, object).sum(axis=0)
                 b = cplan[f][1]
                 if b:
-                    ct = c.sum(axis=0)
-                    sums = [s + b * int(cc) for s, cc in zip(sums, ct)]
+                    sums = sums + b * c.sum(axis=0).astype(object)
             else:
                 c, slo, shi, mn, mx = (np.asarray(x).reshape(ndev, G)
                                        for x in out[f])
-                sums = [sum(int(l) + (int(h) << 32)
-                            for l, h in zip(slo[:, g], shi[:, g]))
-                        for g in range(G)]
+                sums = (slo.astype(object)
+                        + (shi.astype(object) << 32)).sum(axis=0)
             if counts is None:
                 counts = c.sum(axis=0)
             results[f] = (sums, mn.min(axis=0), mx.max(axis=0))

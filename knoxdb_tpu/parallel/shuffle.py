@@ -16,15 +16,25 @@ one device. Capacity overflow CANNOT occur by construction: a device's
 rows into one bucket tile never exceed its local row count (normal and
 replicated rows are disjoint locally), and tiles are sized exactly so.
 
-Three compiled phases (static caps):
-  1. bucket histograms        -> heavy mask (host)
-  2. sort-based bucketize (O(N log N), not round-1's O(ndev*N) mask
-     loop) + all_to_all exchange + local match COUNT -> pair cap (host)
-  3. local sort-probe         -> (lpos, rpos) pairs, sharded output
+Compiled phases (static caps; r4 ladder mirrors exec/join's single-chip
+core ladder — VERDICT r3 next-#1):
+  1. per-(device, bucket) histograms  -> heavy mask + TIGHT tile caps
+     (host). r4: caps come from the actual max tile fill, not the
+     worst-case local row count — the r3 caps padded every tile to
+     pad/ndev rows, so each device's local join processed O(N) rows
+     instead of O(N/ndev) and strong scaling was impossible.
+  2. fused exchange + local join, ONE program per rung:
+       unique_build -> _phase23u: ONE merged sort + fills (dup check
+                       falls back)
+       default      -> _phase23s: ONE merged sort + SHIFT_S shifted
+                       compares (join_pairs_core_shift distributed);
+                       a per-shard device-checked maxneed falls back
+       fallback     -> _phase2 (count) + _phase3 (cap-retry expansion)
 Phase 2 returns the exchanged partitions sharded in place so phase 3
 reuses them without a second exchange. Validity travels as a separate
 bool channel — a u64 key sentinel would collide with the legal key
-2^64-1 (round-1 bug, VERDICT weak #8).
+2^64-1 (round-1 bug, VERDICT weak #8). keys32=True (both sides' keys
+proven < 2^32) drops the hi-limb operand from every local sort.
 """
 
 from __future__ import annotations
@@ -37,9 +47,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["shuffle_join_rows", "shuffle_join", "SKEW_FACTOR"]
+__all__ = ["shuffle_join_rows", "shuffle_join", "SKEW_FACTOR", "SHIFT_S"]
 
 SKEW_FACTOR = 4.0      # bucket is heavy above this multiple of the mean
+SHIFT_S = 16           # shift-core span (see exec/join.SHIFT_S)
 
 
 def _bucket(keys, ndev: int):
@@ -102,35 +113,122 @@ def _fill_flag(vals, flag):
     return vals, flag
 
 
-def _probe_bounds_valid(rk_hi, rk_lo, r_inv, qk_hi, qk_lo):
+def _probe_bounds_valid(rk_hi, rk_lo, r_inv, qk_hi, qk_lo,
+                        keys32: bool = False):
     """(lo, hi) VALID-build-rank bounds per probe from UNSORTED builds
     with an invalid channel (validity cannot ride the key domain: 2^64-1
     is a legal key). One merged co-sort + one restore sort, gather-free
     (exec/join.py design). Invalid builds tag-sort AFTER in-key queries
-    and are excluded from the valid-build running count."""
+    and are excluded from the valid-build running count. keys32 drops
+    the hi-limb sort operand (~15%/operand, r3 TPU probe)."""
     from ..exec.join import _fill_forward_max
-    Nb, Nq = rk_hi.shape[0], qk_hi.shape[0]
+    Nb, Nq = rk_lo.shape[0], qk_lo.shape[0]
     M = Nb + Nq
-    kh = jnp.concatenate([rk_hi, qk_hi])
     kl = jnp.concatenate([rk_lo, qk_lo])
     tag = jnp.concatenate([
         jnp.where(r_inv, jnp.int32(2), jnp.int32(0)),
         jnp.ones(Nq, jnp.int32)])
     oid = jnp.concatenate([jnp.full(Nb, Nq, jnp.int32),
                            jnp.arange(Nq, dtype=jnp.int32)])
-    kh_s, kl_s, tag_s, oid_s = jax.lax.sort((kh, kl, tag, oid),
-                                            dimension=0, num_keys=3)
+    if keys32:
+        kl_s, tag_s, oid_s = jax.lax.sort((kl, tag, oid),
+                                          dimension=0, num_keys=2)
+        key_chs = (kl_s,)
+    else:
+        kh = jnp.concatenate([rk_hi, qk_hi])
+        kh_s, kl_s, tag_s, oid_s = jax.lax.sort((kh, kl, tag, oid),
+                                                dimension=0, num_keys=3)
+        key_chs = (kh_s, kl_s)
     is_q = tag_s == 1
     is_vb = (tag_s == 0).astype(jnp.int32)
     cvb = jnp.cumsum(is_vb)                     # inclusive valid builds
     pos = jnp.arange(M, dtype=jnp.int32)
-    start = (pos == 0) | (kh_s != jnp.roll(kh_s, 1)) \
-        | (kl_s != jnp.roll(kl_s, 1))
+    start = pos == 0
+    for k in key_chs:
+        start = start | (k != jnp.roll(k, 1))
     lo_all = _fill_forward_max(jnp.where(start, cvb - is_vb, 0))
     key2 = jnp.where(is_q, oid_s, jnp.int32(Nq))
     _k2, lo_q, hi_q = jax.lax.sort((key2, lo_all, cvb), dimension=0,
                                    num_keys=1)
     return lo_q[:Nq], hi_q[:Nq]
+
+
+def _shift_local(lk, lp, lok, rk, rp, rok, S: int, how_left: bool,
+                 keys32: bool):
+    """Local shift-core join on exchanged partitions: the distributed
+    form of exec/join.join_pairs_core_shift. ONE merged sort (validity
+    and side fold into one tag KEY operand: valid build 0 < valid probe
+    1 < invalid 2/3, so valid builds open each key run and invalids
+    sink to the run tail without disturbing probe->build distances) +
+    S shifted elementwise compares. i64 GLOBAL positions ride the sort
+    as two u32 payload halves.
+
+    Returns (lpos i64[C*M], rpos i64[C*M], maxneed i32) with C = S
+    (+1 for LEFT's miss channel): valid pairs INTERSPERSED (-2
+    elsewhere, LEFT misses rpos == -1) — the house join contract,
+    callers filter. maxneed > S means a key run spans wider than S and
+    the output UNDERCOUNTS: the caller must fall back to the general
+    expansion phases."""
+    from ..exec.join import _fill_forward_last, _fill_forward_max
+    SENT32 = jnp.uint32(0xFFFFFFFF)
+    Nq = lk.shape[0]
+    Nb = rk.shape[0]
+    M = Nq + Nb
+    rhh = jax.lax.bitcast_convert_type(rk, jnp.uint32)
+    lhh = jax.lax.bitcast_convert_type(lk, jnp.uint32)
+    rp32 = jax.lax.bitcast_convert_type(rp, jnp.uint32)
+    lp32 = jax.lax.bitcast_convert_type(lp, jnp.uint32)
+
+    kl = jnp.concatenate([rhh[:, 0], lhh[:, 0]])
+    tag = jnp.concatenate([
+        jnp.where(rok, jnp.uint32(0), jnp.uint32(2)),
+        jnp.where(lok, jnp.uint32(1), jnp.uint32(3))])
+    pl = jnp.concatenate([rp32[:, 0], lp32[:, 0]])
+    ph = jnp.concatenate([rp32[:, 1], lp32[:, 1]])
+    if keys32:
+        kl_s, tag_s, pl_s, ph_s = jax.lax.sort(
+            (kl, tag, pl, ph), dimension=0, num_keys=2)
+        ks = (kl_s,)
+    else:
+        kh = jnp.concatenate([rhh[:, 1], lhh[:, 1]])
+        kh_s, kl_s, tag_s, pl_s, ph_s = jax.lax.sort(
+            (kh, kl, tag, pl, ph), dimension=0, num_keys=3)
+        ks = (kh_s, kl_s)
+
+    pos = jnp.arange(M, dtype=jnp.uint32)
+    start = pos == 0
+    for k in ks:
+        start = start | (k != jnp.roll(k, 1))
+    is_vb = tag_s == 0
+    is_vp = tag_s == 1
+    rs = _fill_forward_max(jnp.where(start, pos, jnp.uint32(0)))
+    # run opens with a valid build <=> run contains any valid build
+    hb = _fill_forward_last(
+        jnp.where(start, is_vb.astype(jnp.uint32), SENT32), SENT32)
+    matched = is_vp & (hb == 1)
+    need = jnp.where(matched, pos - rs, jnp.uint32(0))
+    maxneed = need.max().astype(jnp.int32)
+
+    packed = jax.lax.bitcast_convert_type(
+        jnp.stack([pl_s, ph_s], axis=-1), jnp.int64)       # i64[M]
+    lch, rch = [], []
+    for s in range(1, S + 1):
+        if s >= M:
+            break
+        eq = jnp.ones(M, bool)
+        for k in ks:
+            eq = eq & (k == jnp.concatenate([k[:s], k[:-s]]))
+        eq = eq & (pos >= s)
+        b_sh = jnp.concatenate([jnp.zeros(s, bool), is_vb[:-s]])
+        p_sh = jnp.concatenate([jnp.full(s, -2, jnp.int64), packed[:-s]])
+        valid = is_vp & b_sh & eq
+        lch.append(jnp.where(valid, packed, jnp.int64(-2)))
+        rch.append(jnp.where(valid, p_sh, jnp.int64(-2)))
+    if how_left:
+        miss = is_vp & (hb != 1)
+        lch.append(jnp.where(miss, packed, jnp.int64(-2)))
+        rch.append(jnp.where(miss, jnp.int64(-1), jnp.int64(-2)))
+    return jnp.concatenate(lch), jnp.concatenate(rch), maxneed
 
 
 def _expand_positions(lo, hi, lok, lpos, rp_rank, cap: int,
@@ -224,28 +322,52 @@ def _expand_positions(lo, hi, lok, lpos, rp_rank, cap: int,
 
 @functools.lru_cache(maxsize=64)
 def _phase1(mesh: Mesh, axis: str, ndev: int):
+    """Per-(source device, bucket) row histograms, returned SHARDED
+    [ndev, ndev] (row = device, col = bucket). The host derives BOTH
+    the global heavy mask (column sums) and the tight per-tile caps
+    (r4): no psum needed, and no collective-max hazard (this TPU
+    compiler lowers only Sum all-reduces)."""
     def local(lk, lv, rk, rv):
         def hist(k, v):
             d = jnp.where(v, _bucket(k, ndev), jnp.int32(ndev))
             oneh = d[:, None] == jnp.arange(ndev, dtype=jnp.int32)[None, :]
-            return oneh.sum(axis=0, dtype=jnp.int64)
-        return (jax.lax.psum(hist(lk, lv), axis),
-                jax.lax.psum(hist(rk, rv), axis))
+            return oneh.sum(axis=0, dtype=jnp.int64)[None]   # [1, ndev]
+        return hist(lk, lv), hist(rk, rv)
     return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P())))
+        out_specs=(P(axis, None), P(axis, None))))
+
+
+@functools.lru_cache(maxsize=64)
+def _phase23s(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
+              S: int, how_left: bool, keys32: bool):
+    """Fused exchange + local SHIFT-CORE join: ONE compiled program, no
+    match-count host round-trip (output cap is the static channel count
+    C*M). Returns sharded interspersed (lpos, rpos) + per-device
+    maxneed [ndev] — the host falls back to the general phases when
+    any shard's maxneed exceeds S."""
+    def local(lk, lv, rk, rv, heavy):
+        lkx, lpx, lox, rkx, rpx, rox = _salted_exchange(
+            lk, lv, rk, rv, heavy, axis, ndev, cap_l, cap_r)
+        lpo, rpo, maxneed = _shift_local(lkx, lpx, lox, rkx, rpx, rox,
+                                         S, how_left, keys32)
+        return lpo, rpo, maxneed[None]
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis))))
 
 
 @functools.lru_cache(maxsize=64)
 def _phase2(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
-            how_left: bool):
+            how_left: bool, keys32: bool):
     def local(lk, lv, rk, rv, heavy):
         lkx, lpx, lox, rkx, rpx, rox = _salted_exchange(
             lk, lv, rk, rv, heavy, axis, ndev, cap_l, cap_r)
         rhh = jax.lax.bitcast_convert_type(rkx, jnp.uint32)
         lhh = jax.lax.bitcast_convert_type(lkx, jnp.uint32)
         lo, hi = _probe_bounds_valid(rhh[:, 1], rhh[:, 0], ~rox,
-                                     lhh[:, 1], lhh[:, 0])
+                                     lhh[:, 1], lhh[:, 0], keys32)
         cnt = jnp.where(lox, hi - lo, 0)
         eff = jnp.where(lox, jnp.maximum(cnt, 1), 0) if how_left else cnt
         # per-device match count returned SHARDED; the caller (which
@@ -261,7 +383,8 @@ def _phase2(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
         out_specs=(P(axis),) * 6 + (P(axis),)))
 
 
-def _unique_local(lk, lp, lok, rk, rp, rok, how_left: bool):
+def _unique_local(lk, lp, lok, rk, rp, rok, how_left: bool,
+                  keys32: bool = False):
     """Local unique-build join on exchanged partitions (the distributed
     analog of exec/join.join_pairs_core_unique): ONE merged sort
     carrying build POSITION halves + ONE restore sort + flag fills —
@@ -281,7 +404,6 @@ def _unique_local(lk, lp, lok, rk, rp, rok, how_left: bool):
 
     inv = jnp.concatenate([(~rok).astype(jnp.uint32),
                            (~lok).astype(jnp.uint32)])
-    kh = jnp.concatenate([rhh[:, 1], lhh[:, 1]])
     kl = jnp.concatenate([rhh[:, 0], lhh[:, 0]])
     tag = jnp.concatenate([jnp.zeros(Nb, jnp.uint32),
                            jnp.ones(Nq, jnp.uint32)])
@@ -289,13 +411,21 @@ def _unique_local(lk, lp, lok, rk, rp, rok, how_left: bool):
                            jnp.arange(Nq, dtype=jnp.uint32)])
     rpl = jnp.concatenate([rp32[:, 0], jnp.zeros(Nq, jnp.uint32)])
     rph = jnp.concatenate([rp32[:, 1], jnp.zeros(Nq, jnp.uint32)])
-    inv_s, kh_s, kl_s, tag_s, oid_s, rpl_s, rph_s = jax.lax.sort(
-        (inv, kh, kl, tag, oid, rpl, rph), dimension=0, num_keys=4)
+    if keys32:
+        inv_s, kl_s, tag_s, oid_s, rpl_s, rph_s = jax.lax.sort(
+            (inv, kl, tag, oid, rpl, rph), dimension=0, num_keys=3)
+        key_chs = (kl_s,)
+    else:
+        kh = jnp.concatenate([rhh[:, 1], lhh[:, 1]])
+        inv_s, kh_s, kl_s, tag_s, oid_s, rpl_s, rph_s = jax.lax.sort(
+            (inv, kh, kl, tag, oid, rpl, rph), dimension=0, num_keys=4)
+        key_chs = (kh_s, kl_s)
 
     M = Nb + Nq
-    pos0 = jnp.arange(M, dtype=jnp.uint32) == 0
-    start = pos0 | (inv_s != jnp.roll(inv_s, 1)) \
-        | (kh_s != jnp.roll(kh_s, 1)) | (kl_s != jnp.roll(kl_s, 1))
+    start = (jnp.arange(M, dtype=jnp.uint32) == 0) \
+        | (inv_s != jnp.roll(inv_s, 1))
+    for k in key_chs:
+        start = start | (k != jnp.roll(k, 1))
     seg = jnp.cumsum(start.astype(jnp.uint32))
     is_vb = (tag_s == 0) & (inv_s == 0)
     dup = (is_vb & ~start).any()
@@ -334,9 +464,14 @@ def _salted_exchange(lk, lv, rk, rv, heavy, axis: str, ndev: int,
 
     bl = _bucket(lk, ndev)
     br = _bucket(rk, ndev)
-    spread = ((jnp.arange(n_l, dtype=jnp.int32)
+    # round-robin over the RUNNING COUNT of heavy rows (not the raw row
+    # index): guarantees each tile receives <= ceil(n_heavy/ndev) heavy
+    # probe rows regardless of where they sit, which is exactly the
+    # bound the host's tight cap computation assumes (r4)
+    is_hl = jnp.take(heavy, bl) & lv
+    spread = ((jnp.cumsum(is_hl.astype(jnp.int32)) - 1
                + dev.astype(jnp.int32)) % jnp.int32(ndev))
-    dl = jnp.where(jnp.take(heavy, bl), spread, bl)
+    dl = jnp.where(is_hl, spread, bl)
     dl = jnp.where(lv, dl, jnp.int32(ndev + 1))
     dr = jnp.where(jnp.take(heavy, br), jnp.int32(ndev), br)
     dr = jnp.where(rv, dr, jnp.int32(ndev + 1))
@@ -350,7 +485,7 @@ def _salted_exchange(lk, lv, rk, rv, heavy, axis: str, ndev: int,
 
 @functools.lru_cache(maxsize=64)
 def _phase23u(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
-              how_left: bool):
+              how_left: bool, keys32: bool):
     """Fused exchange + local unique join: ONE compiled program, no
     match-count host round-trip (a unique build bounds pairs by the
     probe partition length — static)."""
@@ -358,7 +493,7 @@ def _phase23u(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
         lkx, lpx, lox, rkx, rpx, rox = _salted_exchange(
             lk, lv, rk, rv, heavy, axis, ndev, cap_l, cap_r)
         lpo, rpo, dup = _unique_local(lkx, lpx, lox, rkx, rpx, rox,
-                                      how_left)
+                                      how_left, keys32)
         # psum, not pmax: this harness's TPU compiler lowers only SUM
         # all-reduces ("Supported lowering only of Sum all reduce",
         # r3-measured); any-dup is a sum of 0/1 flags anyway
@@ -370,7 +505,8 @@ def _phase23u(mesh: Mesh, axis: str, ndev: int, cap_l: int, cap_r: int,
 
 
 @functools.lru_cache(maxsize=64)
-def _phase3(mesh: Mesh, axis: str, cap_m: int, how_left: bool):
+def _phase3(mesh: Mesh, axis: str, cap_m: int, how_left: bool,
+            keys32: bool):
     def local(lk, lp, lok, rk, rp, rok):
         # valid-first key-sorted build positions: rank r = r-th VALID
         # build (invalid rows cluster at the tail via the leading inv
@@ -379,11 +515,16 @@ def _phase3(mesh: Mesh, axis: str, cap_m: int, how_left: bool):
         lhh = jax.lax.bitcast_convert_type(lk, jnp.uint32)
         rp32 = jax.lax.bitcast_convert_type(rp, jnp.uint32)
         inv = (~rok).astype(jnp.uint32)
-        _i, _kh, _kl, rpl_s, rph_s = jax.lax.sort(
-            (inv, rhh[:, 1], rhh[:, 0], rp32[:, 0], rp32[:, 1]),
-            dimension=0, num_keys=3)
+        if keys32:
+            _i, _kl, rpl_s, rph_s = jax.lax.sort(
+                (inv, rhh[:, 0], rp32[:, 0], rp32[:, 1]),
+                dimension=0, num_keys=2)
+        else:
+            _i, _kh, _kl, rpl_s, rph_s = jax.lax.sort(
+                (inv, rhh[:, 1], rhh[:, 0], rp32[:, 0], rp32[:, 1]),
+                dimension=0, num_keys=3)
         lo, hi = _probe_bounds_valid(rhh[:, 1], rhh[:, 0], ~rok,
-                                     lhh[:, 1], lhh[:, 0])
+                                     lhh[:, 1], lhh[:, 0], keys32)
         return _expand_positions(lo, hi, lok, lp, (rpl_s, rph_s),
                                  cap_m, how_left)
     return jax.jit(jax.shard_map(
@@ -395,10 +536,23 @@ def _pow2(x: int) -> int:
     return 1 << max(0, (int(x) - 1).bit_length())
 
 
+def _quant(x: int) -> int:
+    """Round up to 4 significant bits (pow2/16 granularity): tile-cap
+    slack <= 6.7% instead of pow2's worst-case 2x — local-join work is
+    proportional to the caps, so this IS the scaling-efficiency knob.
+    Still few distinct shapes per scale -> jit caches stay warm."""
+    x = max(1, int(x))
+    if x <= 16:
+        return x
+    step = 1 << (x.bit_length() - 4)
+    return -(-x // step) * step
+
+
 def shuffle_join_rows(mesh: Mesh, lkeys, rkeys, how: str = "inner",
                       axis: str = "shards",
                       skew_factor: float = SKEW_FACTOR,
-                      unique_build: bool = False):
+                      unique_build: bool = False,
+                      keys32: bool = False):
     """Distributed equi-join returning matched GLOBAL ROW PAIRS.
 
     lkeys/rkeys: u64 numpy (or device) arrays — row i is global index i.
@@ -406,12 +560,17 @@ def shuffle_join_rows(mesh: Mesh, lkeys, rkeys, how: str = "inner",
     ridx == -1. Skew never raises: heavy buckets salt the probe side and
     replicate the build side.
 
-    unique_build=True (globally unique build keys, e.g. a pk join; the
-    per-device partitions inherit uniqueness — a key lives in one
-    bucket, and heavy replication places one copy per device) fuses
-    exchange + local join into ONE program with no match-count
-    round-trip; a device-side dup check falls back to the general
-    path."""
+    Core ladder (r4, mirrors exec/join.join_pairs_device):
+      unique_build=True -> fused exchange + ONE-sort unique local join
+        (globally unique build keys inherit per-device uniqueness — a
+        key lives in one bucket; heavy replication places one copy per
+        device); device dup check falls back.
+      default -> fused exchange + shift-core local join (ONE sort +
+        SHIFT_S compares); per-shard device maxneed check falls back.
+      fallback -> count phase + cap-retry expansion phases (any data).
+
+    keys32=True (both sides' keys proven < 2^32, e.g. by zone maps)
+    drops the hi-limb operand from every local sort (~15%/operand)."""
     ndev = mesh.shape[axis]
     how_left = how == "left"
     nl, nr = len(lkeys), len(rkeys)
@@ -434,33 +593,55 @@ def shuffle_join_rows(mesh: Mesh, lkeys, rkeys, how: str = "inner",
     lk_d, lv_d, rk_d, rv_d = shard(lk), shard(lv), shard(rk), shard(rv)
 
     t0 = time.perf_counter()
-    hl, hr = _phase1(mesh, axis, ndev)(lk_d, lv_d, rk_d, rv_d)
-    hl, hr = np.asarray(hl), np.asarray(hr)
+    hl2, hr2 = _phase1(mesh, axis, ndev)(lk_d, lv_d, rk_d, rv_d)
+    hl2, hr2 = np.asarray(hl2), np.asarray(hr2)   # [src dev, bucket]
+    hl, hr = hl2.sum(axis=0), hr2.sum(axis=0)
     mean = max((hl.sum() + hr.sum()) / ndev, 1.0)
     heavy = (hl + hr) > skew_factor * mean
 
-    # tight safe caps: a device's rows into ONE bucket tile never exceed
-    # its local row count (normal rows and replicated heavy rows are
-    # disjoint locally), so pow2(local) can never overflow
-    cap_l = _pow2(pad_l // ndev)
-    cap_r = _pow2(pad_r // ndev)
+    # TIGHT tile caps from the per-(device, bucket) histograms (r4):
+    # probe tile fill = non-heavy rows into that bucket + round-robin
+    # share of the device's heavy rows; build tile fill = non-heavy rows
+    # + ALL the device's heavy rows (replication). The r3 worst-case cap
+    # (pow2 of the whole local row count) padded every tile ndev x —
+    # each device's local join then processed O(N) rows, not O(N/ndev).
+    nh_l = np.where(heavy[None, :], 0, hl2)
+    nh_r = np.where(heavy[None, :], 0, hr2)
+    hv_l = hl2[:, heavy].sum(axis=1) if heavy.any() \
+        else np.zeros(ndev, np.int64)
+    hv_r = hr2[:, heavy].sum(axis=1) if heavy.any() \
+        else np.zeros(ndev, np.int64)
+    cap_l = _quant((nh_l.max(axis=1) + -(-hv_l // ndev)).max())
+    cap_r = _quant((nh_r.max(axis=1) + hv_r).max())
+    cap_l = min(cap_l, _pow2(pad_l // ndev))
+    cap_r = min(cap_r, _pow2(pad_r // ndev))
 
     cap_m = None
+    core = "general"
     if unique_build:
         lpos_u, rpos_u, dup = _phase23u(
-            mesh, axis, ndev, cap_l, cap_r, how_left)(
+            mesh, axis, ndev, cap_l, cap_r, how_left, keys32)(
                 lk_d, lv_d, rk_d, rv_d, jnp.asarray(heavy))
         if int(dup) == 0:
             lpos, rpos = lpos_u, rpos_u
             cap_m = 0                  # no count phase ran
-        # else: stale hint — cap_m stays None, general path below runs
+            core = "unique"
+        # else: stale hint — cap_m stays None, ladder continues below
     if cap_m is None:
-        out2 = _phase2(mesh, axis, ndev, cap_l, cap_r, how_left)(
+        lpos_s, rpos_s, maxneed = _phase23s(
+            mesh, axis, ndev, cap_l, cap_r, SHIFT_S, how_left, keys32)(
+                lk_d, lv_d, rk_d, rv_d, jnp.asarray(heavy))
+        if int(np.asarray(maxneed).max()) <= SHIFT_S:
+            lpos, rpos = lpos_s, rpos_s
+            cap_m = 0                  # no count phase ran
+            core = "shift"
+    if cap_m is None:
+        out2 = _phase2(mesh, axis, ndev, cap_l, cap_r, how_left, keys32)(
             lk_d, lv_d, rk_d, rv_d, jnp.asarray(heavy))
         lkx, lpx, lox, rkx, rpx, rox, nmax = out2
         cap_m = _pow2(max(int(np.asarray(nmax).max()), 1))
 
-        lpos, rpos = _phase3(mesh, axis, cap_m, how_left)(
+        lpos, rpos = _phase3(mesh, axis, cap_m, how_left, keys32)(
             lkx, lpx, lox, rkx, rpx, rox)
     t1 = time.perf_counter()
 
@@ -469,9 +650,17 @@ def shuffle_join_rows(mesh: Mesh, lkeys, rkeys, how: str = "inner",
     keep = lpos >= 0                      # -2 slot padding
     lidx, ridx = lpos[keep], rpos[keep]
 
-    bytes_moved = (pad_l + pad_r) * (8 + 8 + 1)   # keys + pos + validity
+    # 17 B per EXCHANGED SLOT (key + position + validity); tiles include
+    # the pow2 cap slack, so this is the actual all_to_all volume
+    bytes_moved = ndev * ndev * (cap_l + cap_r) * (8 + 8 + 1)
+    # deterministic scaling diagnostic: a device's local join processes
+    # ndev*(cap_l+cap_r) slots vs the ideal (pad_l+pad_r)/ndev rows —
+    # the local sort dominates pod-scale cost, so this ratio IS the
+    # strong-scaling work efficiency (harness-independent)
+    work_eff = ((pad_l + pad_r) / ndev) / (ndev * (cap_l + cap_r))
     stats = {"ndev": ndev, "heavy_buckets": int(heavy.sum()),
              "cap_exchange": (cap_l, cap_r), "cap_pairs": cap_m,
+             "core": core, "work_eff": work_eff,
              "seconds": t1 - t0, "shuffle_bytes": bytes_moved,
              "shuffle_gbps": bytes_moved / max(t1 - t0, 1e-9) / 1e9}
     return lidx, ridx, stats

@@ -7,7 +7,9 @@ Host-side durability layer mirroring the reference WAL semantics
 - record types insert/update/delete/commit/abort/checkpoint (record.go:12-22)
 - reader with entity filter + seek; GC drops whole segments below a
   checkpoint watermark (wal.go:375)
-- damage policies on recovery: fail | skip | truncate (wal.go:33-40)
+- damage policies on recovery: fail | skip | truncate | ignore
+  (wal.go:33-40; ignore delivers checksum-damaged-but-parseable records,
+  reader.go:271-279)
 
 The TPU engine keeps ALL device-side state reconstructible from (sealed
 segments + WAL): the journal is recovered from the WAL on open, never
@@ -233,6 +235,18 @@ class Wal:
                     body = fh.read(blen)
                     if len(body) < blen or zlib.crc32(body) != crc or \
                             rt == 0 or rt > 6:
+                        if mode == RecoveryMode.IGNORE and \
+                                len(body) == blen and 1 <= rt <= 6:
+                            # reference ignore mode (reader.go:271-279):
+                            # a structurally-plausible record with a bad
+                            # checksum is DELIVERED anyway and reading
+                            # continues; only structural damage (short
+                            # body/header, illegal type) stops the
+                            # segment (wal.go:640 tryRecover -> nil)
+                            if entity is None or ent == entity:
+                                yield Record(RecordType(rt), ent, txid,
+                                             body, tag, lsn=base + pos)
+                            continue
                         if mode == RecoveryMode.SKIP:
                             # true record-level repair (reference
                             # wal.go:33-40 skip mode): resync to the next

@@ -68,7 +68,7 @@ def main():
         sums = GB.mxu_chunk_sums(chunks)
         want_sum = np.zeros(G, dtype=object)
         np.add.at(want_sum, gids.reshape(-1), vals.reshape(-1).astype(object))
-        ok = ok and sums == [int(x) for x in want_sum]
+        ok = ok and list(sums) == [int(x) for x in want_sum]
         print(f"G={G}: exact={bool(ok)}", flush=True)
         if not ok:
             continue

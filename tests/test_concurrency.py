@@ -283,3 +283,47 @@ def test_ddl_waits_for_write_tx():
     tx.commit()
     th.join(timeout=5)
     assert done
+
+
+def test_cache_2q_scan_resistance():
+    """r4 2Q cache (VERDICT r3 next-#9; reference rclru/2q.go:22-26): a
+    one-pass scan of many cold segments must NOT evict another table's
+    re-referenced hot set — first touches cycle the probation fifo and
+    only re-references reach the protected queue."""
+    from knoxdb_tpu.engine.engine import CacheManager
+
+    class H:
+        def __init__(self, nbytes):
+            self.seg = type("S", (), {"nbytes": nbytes})()
+            self.dseg = object()
+            self.scanner = object()
+
+    cm = CacheManager(budget_bytes=1000)
+
+    def touch(h):
+        # the engine's scanner_() re-uploads an evicted handle before
+        # note_use; simulate that so residency reflects the POLICY
+        if h.dseg is None:
+            h.dseg = object()
+            h.scanner = object()
+        cm.note_use(h)
+
+    hot = [H(100) for _ in range(6)]           # 600 B hot set
+    for _ in range(2):                         # re-reference -> protected
+        for h in hot:
+            touch(h)
+    for h in hot:                              # settle everyone into Am
+        touch(h)
+    assert all(h.dseg is not None for h in hot)
+    # one-pass scan of 50 cold segments (5000 B through a 1000 B budget)
+    cold = [H(100) for _ in range(50)]
+    for h in cold:
+        touch(h)
+    assert all(h.dseg is not None for h in hot), \
+        "one-pass scan evicted the protected hot set"
+    assert cm.evictions >= 40                  # the scan churned probation
+    # hot set still hits
+    h0 = cm.hits
+    for h in hot:
+        touch(h)
+    assert cm.hits == h0 + len(hot)

@@ -122,7 +122,7 @@ def test_mxu_group_aggregate_matches_sort(rng):
     s1 = [int(l) + (int(h) << 32) for l, h in zip(np.asarray(lo1),
                                                   np.asarray(hi1))]
     s2 = GB.mxu_chunk_sums(chunks)
-    assert s1 == s2
+    assert s1 == list(s2)
 
 
 def test_mxu_factored_matches_sort(rng):
@@ -146,7 +146,7 @@ def test_mxu_factored_matches_sort(rng):
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
         s1 = [int(l) + (int(h) << 32) for l, h in zip(np.asarray(lo1),
                                                       np.asarray(hi1))]
-        assert s1 == GB.mxu_chunk_sums(chunks), f"G={G}"
+        assert s1 == list(GB.mxu_chunk_sums(chunks)), f"G={G}"
 
 
 def test_group_query_sum_only_uses_mxu(rng):
@@ -273,4 +273,63 @@ def test_mxu_factored_high_g(rng):
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     s1 = [int(l) + (int(h) << 32) for l, h in zip(np.asarray(lo1),
                                                   np.asarray(hi1))]
-    assert s1 == GB.mxu_chunk_sums(chunks)
+    assert s1 == list(GB.mxu_chunk_sums(chunks))
+
+
+@pytest.mark.slow
+def test_group_query_g16384_and_orderby_k_large(rng):
+    """Host-path scaling (r4, VERDICT r3 next-#5): a G=16384 group query
+    and a k=25k top-k ORDER BY run with NO per-group/per-row host
+    python — the vectorized combine must stay oracle-exact at sizes
+    where the old G-loop took ~10^6 interpreter steps."""
+    import time
+    from dataclasses import dataclass
+
+    @dataclass
+    class R:
+        id: int = 0
+        g: int = 0
+        v: int = 0
+
+    db = knox.create_database("bigg", driver="mem", pack_size=8192,
+                              background_merge=False)
+    t = db.create_table(R)
+    n, G = 200_000, 16_384
+    g = rng.integers(0, G, n)
+    v = rng.integers(-1 << 50, 1 << 50, n)
+    t.insert({"id": np.zeros(n, np.uint64), "g": g, "v": v})
+    t.merge()
+
+    t0 = time.perf_counter()
+    out = t.query().group_by("g").aggregate(
+        ("count", ""), ("sum", "v"), ("min", "v"), ("max", "v"))
+    t_group = time.perf_counter() - t0
+
+    keys = np.asarray([int(k) for k in out["keys"]])
+    order = np.argsort(g, kind="stable")
+    gs, vs = g[order], v[order]
+    bounds = np.searchsorted(gs, np.arange(G + 1))
+    have = np.flatnonzero(np.diff(bounds) > 0)
+    np.testing.assert_array_equal(keys, have)
+    cnts = np.diff(bounds)[have]
+    np.testing.assert_array_equal(np.asarray(out["count"]), cnts)
+    csum = np.concatenate([[0], np.cumsum(vs.astype(object))])
+    want_sum = (csum[bounds[1:]] - csum[bounds[:-1]])[have]
+    assert [int(x) for x in out[("sum", "v")]] == [int(x) for x in want_sum]
+    # sampled min/max (full vector min via reduceat is fine too)
+    mn = np.minimum.reduceat(vs, bounds[:-1])[have]
+    mx = np.maximum.reduceat(vs, bounds[:-1])[have]
+    assert [int(x) for x in out[("min", "v")]] == [int(x) for x in mn]
+    assert [int(x) for x in out[("max", "v")]] == [int(x) for x in mx]
+
+    # top-k ORDER BY at k = n/8 (use_topk engages below n/4)
+    k = 25_000
+    t0 = time.perf_counter()
+    res = t.query().order_by("v").limit(k).select("v").rows()
+    t_topk = time.perf_counter() - t0
+    want = np.sort(v)[:k]
+    np.testing.assert_array_equal(np.asarray(res["v"], np.int64), want)
+    # regression guard: the pre-r4 per-row/per-group python paths took
+    # tens of seconds at these sizes on this box
+    assert t_group < 30 and t_topk < 30, (t_group, t_topk)
+    db.close()

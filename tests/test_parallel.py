@@ -162,6 +162,60 @@ def test_shuffle_join_rows_unique_dup_fallback(rng):
     assert got == _oracle_pairs(lk, rk)
 
 
+def test_shuffle_join_rows_shift_core(rng):
+    """Default path rides the distributed shift core (r4): bounded key
+    runs, duplicates on both sides."""
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    from jax.sharding import Mesh
+    import jax
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    # ~4.2 rows/key merged: runs stay well under SHIFT_S=16
+    lk = rng.integers(1, 13_333, 40_000).astype(np.uint64)
+    rk = rng.integers(1, 13_333, 16_000).astype(np.uint64)
+    lidx, ridx, stats = shuffle_join_rows(mesh, lk, rk)
+    assert stats["core"] == "shift"
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    assert got == _oracle_pairs(lk, rk)
+
+
+def test_shuffle_join_rows_shift_fallback(rng):
+    """A build-key run spanning > SHIFT_S entries must trip the
+    per-shard maxneed check and fall back to the general expansion
+    phases — exactly (results stay oracle-correct)."""
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    from jax.sharding import Mesh
+    import jax
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    rk = np.concatenate([np.arange(1, 2000, dtype=np.uint64),
+                         np.full(40, 7, np.uint64)])      # 41-wide run
+    lk = rng.integers(1, 3000, 20_000).astype(np.uint64)
+    lidx, ridx, stats = shuffle_join_rows(mesh, lk, rk)
+    assert stats["core"] == "general"
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    assert got == _oracle_pairs(lk, rk)
+
+
+@pytest.mark.parametrize("unique", [False, True])
+def test_shuffle_join_rows_keys32(rng, unique):
+    """keys32 drops the hi-limb sort operand on every rung; results
+    must stay identical for u32-domain keys."""
+    from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
+    from jax.sharding import Mesh
+    import jax
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    nr = 9_000
+    rk = rng.permutation(np.arange(1, nr + 1)).astype(np.uint64)
+    if not unique:
+        rk = np.concatenate([rk, rk[:500]])               # dups
+    lk = rng.integers(1, nr * 2, 30_000).astype(np.uint64)
+    lidx, ridx, stats = shuffle_join_rows(mesh, lk, rk,
+                                          unique_build=unique,
+                                          keys32=True)
+    assert stats["core"] == ("unique" if unique else "shift")
+    got = sorted(zip(lidx.tolist(), ridx.tolist()))
+    assert got == _oracle_pairs(lk, rk)
+
+
 def test_shuffle_join_rows_left(rng):
     from knoxdb_tpu.parallel.shuffle import shuffle_join_rows
     from jax.sharding import Mesh

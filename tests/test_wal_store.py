@@ -70,6 +70,43 @@ def test_wal_truncate_recovery(tmp_path):
     w2.close()
 
 
+def test_wal_ignore_mode(tmp_path):
+    """Reference ignore mode (wal.go:33-40, reader.go:271-279): a
+    checksum-damaged but structurally-parseable record is DELIVERED
+    anyway and reading continues; skip drops it and resyncs; torn
+    structural damage still ends the segment."""
+    w = Wal(tmp_path / "wal", max_segment=1 << 20)
+    lsns = [w.write(Record(RecordType.INSERT, entity=1, txid=i,
+                           data=b"payload-%d" % i))
+            for i in range(5)]
+    w.sync()
+    w.close()
+    seg = next((tmp_path / "wal").glob("*.seg"))
+    # flip one body byte of record #2 (keeps header + length intact)
+    hdr = 22                     # _HDR.size
+    with open(seg, "r+b") as fh:
+        fh.seek(lsns[2] + hdr)
+        b = fh.read(1)
+        fh.seek(lsns[2] + hdr)
+        fh.write(bytes([b[0] ^ 0xFF]))
+    w2 = Wal(tmp_path / "wal")
+    with pytest.raises(Exception):
+        list(w2.records(mode=RecoveryMode.FAIL))
+    # skip: damaged record dropped, later records survive
+    got_skip = [r.txid for r in w2.records(mode=RecoveryMode.SKIP)]
+    assert got_skip == [0, 1, 3, 4]
+    # ignore: damaged record delivered (corrupted body), all 5 present
+    got_ign = list(w2.records(mode=RecoveryMode.IGNORE))
+    assert [r.txid for r in got_ign] == [0, 1, 2, 3, 4]
+    assert got_ign[2].data != b"payload-2"
+    # structural tail damage under ignore: clean prefix only
+    with open(seg, "ab") as fh:
+        fh.write(b"\x01torn")
+    assert [r.txid for r in w2.records(mode=RecoveryMode.IGNORE)] \
+        == [0, 1, 2, 3, 4]
+    w2.close()
+
+
 def test_wire_roundtrip():
     sch = (Builder("w").pk("id")
            .add("v", FieldType.INT64)
