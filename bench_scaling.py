@@ -45,7 +45,7 @@ def main():
         vals = rng.integers(0, 1 << width, (P, pack_size), dtype=np.uint64)
         planes = np.stack([
             S.encode_bitpack(vals[p], 1, 0, width, pack_size).planes
-            for p in range(P)])
+            for p in range(P)], axis=1)   # plane-major (r4)
         mins = np.zeros(P, np.uint64)
         valid = np.full((P, pack_size // 32), 0xFFFFFFFF, np.uint32)
 

@@ -85,3 +85,17 @@ def use_pallas_series() -> bool:
     if env == "0":
         return False
     return use_pallas_group()
+
+
+# Pallas group kernel UNDER shard_map (parallel/engine_spmd group path).
+# r3 gated this off on an untested assumption; the r4 probe
+# (probes/spmd_pallas_probe.py) runs the ShardedScanner group path with
+# Mosaic enabled on the virtual mesh AND a real-chip 1-device mesh.
+# KNOX_SPMD_PALLAS=1 enables, =0 kills; default follows the probe
+# result recorded in CLAUDE.md (on since r4 — virtual mesh 4/4
+# bit-exact; 1-device TPU mesh clean, see docs/bench.md).
+def use_spmd_pallas() -> bool:
+    env = os.environ.get("KNOX_SPMD_PALLAS", "")
+    if env == "0":
+        return False
+    return env == "1" or use_pallas_group()

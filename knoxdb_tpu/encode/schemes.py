@@ -255,39 +255,56 @@ def _bit_transpose32(x):
     return x
 
 
+def _bit_transpose32_pm(x):
+    """Plane-major form of _bit_transpose32: the 32 axis LEADS
+    (u32[32, ..., W]) so exchange halves slice the leading dim — no
+    middle-axis relayouts under the r4 [w, P, W] device layout."""
+    j = 16
+    for m in _T32_MASKS:
+        sh = x.shape
+        xr = x.reshape(32 // (2 * j), 2, j, *sh[1:])
+        a = xr[:, 0]
+        b = xr[:, 1]
+        t = (a ^ (b >> jnp.uint32(j))) & jnp.uint32(m)
+        x = jnp.stack([a ^ t, b ^ (t << jnp.uint32(j))],
+                      axis=1).reshape(sh)
+        j //= 2
+    return x
+
+
 def decode_bitplanes_pair(planes, width: int):
-    """u32[P, w, N32] -> (lo u32[P, N], hi u32[P, N]) packed-domain value
-    halves via 32x32 BIT-MATRIX TRANSPOSE: plane word b of rows
-    32k..32k+31 is row b of a bit matrix whose transpose's row i IS the
-    value word of row 32k+i. 5 masked exchange passes + one final
-    relayout replace the per-plane expand/or chain, which XLA refuses
-    to fuse (measured r2: 4.8 ms at [64, 65536] w=41 — every plane step
-    materialized — vs ~0.5 ms transposed)."""
-    P, w, n32 = planes.shape
+    """u32[w, P, N32] (plane-major, r4) -> (lo u32[P, N], hi u32[P, N])
+    packed-domain value halves via 32x32 BIT-MATRIX TRANSPOSE: plane
+    word b of rows 32k..32k+31 is row b of a bit matrix whose
+    transpose's row i IS the value word of row 32k+i. 5 masked exchange
+    passes + one final relayout replace the per-plane expand/or chain,
+    which XLA refuses to fuse (measured r2: 4.8 ms at [64, 65536] w=41 —
+    every plane step materialized — vs ~0.5 ms transposed)."""
+    w, P, n32 = planes.shape
 
     def tr(block32):
         # HD transpose32 is the ANTI-transpose (T[i] bit b = M[31-b]
         # bit (31-i)); flipping the 32-axis on both sides straightens it
-        t = _bit_transpose32(block32[:, ::-1, :])[:, ::-1, :]
-        return t.transpose(0, 2, 1).reshape(P, n32 * 32)
+        t = _bit_transpose32_pm(block32[::-1])[::-1]
+        return t.transpose(1, 2, 0).reshape(P, n32 * 32)
 
     def pad32(arr):
-        k = 32 - arr.shape[1]
+        k = 32 - arr.shape[0]
         if k:
             arr = jnp.concatenate(
-                [arr, jnp.zeros((P, k, n32), jnp.uint32)], axis=1)
+                [arr, jnp.zeros((k, P, n32), jnp.uint32)], axis=0)
         return arr
 
-    lo = tr(pad32(planes[:, :min(width, 32)]))
+    lo = tr(pad32(planes[:min(width, 32)]))
     if width > 32:
-        hi = tr(pad32(planes[:, 32:width]))
+        hi = tr(pad32(planes[32:width]))
     else:
         hi = jnp.zeros((P, n32 * 32), jnp.uint32)
     return lo, hi
 
 
 def decode_bitplanes_u64(planes, width: int):
-    """u32[P, w, N32] -> u64[P, N] packed-domain values (transpose
+    """u32[w, P, N32] -> u64[P, N] packed-domain values (transpose
     decode + one bitcast combine — no emulated u64 shifts)."""
     lo, hi = decode_bitplanes_pair(planes, width)
     return jax.lax.bitcast_convert_type(
@@ -301,10 +318,10 @@ def decode_bitplanes_u32(planes, width: int):
     if width > 8:
         lo, _ = decode_bitplanes_pair(planes, width)
         return lo
-    P, w, n32 = planes.shape
+    w, P, n32 = planes.shape
     out = jnp.zeros((P, n32 * 32), dtype=jnp.uint32)
     for p in range(width):
-        bit = _expand_bits(planes[:, p, :])
+        bit = _expand_bits(planes[p])
         out = out | (bit << jnp.uint32(p))
     return out
 

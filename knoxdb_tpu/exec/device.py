@@ -112,8 +112,13 @@ def _upload_column(col: EncodedColumn, pack_size: int) -> DeviceColumn:
         g = DeviceGroup(scheme, width, k, col.nlimbs, col.wide,
                         np.asarray(idxs, np.int64))
         if scheme in (Scheme.BITPACK, Scheme.DELTA, Scheme.DICT, Scheme.ALP):
+            # PLANE-MAJOR device layout [w, P, W] (r4): per-plane
+            # slices hit the LEADING dim — Mosaic pays no sublane
+            # relayout per plane (probes/ps_variants.py: the fused scan
+            # kernel drops 0.067 -> 0.046 ms) and XLA slices whole
+            # contiguous blocks
             g.arrays["planes"] = jnp.asarray(
-                np.stack([p.planes for p in packs]))
+                np.stack([p.planes for p in packs], axis=1))
         if scheme == Scheme.ALP:
             g.bases = [p.min_key for p in packs]
             g.exps = [p.exp for p in packs]
@@ -304,7 +309,7 @@ def group_match(g_sig: tuple, mode: FilterMode, arrays: dict, consts: dict,
         }[mode]
         # shapes derive from traced arrays, not the static sig: under
         # shard_map (parallel/engine_spmd.py) arrays are device-local
-        zero = jnp.zeros(arrays["planes"].shape[0], jnp.uint64)
+        zero = jnp.zeros(arrays["planes"].shape[1], jnp.uint64)
         m = B.match_planes(code_mode, arrays["planes"], zero, width,
                            lo=consts.get("lo"), hi=consts.get("hi"),
                            cs=consts.get("cs"))
@@ -661,7 +666,7 @@ def group_masked_sum(g_sig: tuple, arrays: dict, mask_words, W: int):
         lo = jnp.zeros(Pl, jnp.uint64)
         hi = jnp.zeros(Pl, jnp.uint64)
         for p in range(width):
-            c = B.popcount_words(arrays["planes"][:, p, :] & mask_words)
+            c = B.popcount_words(arrays["planes"][p] & mask_words)
             c = c.astype(jnp.uint64)
             if p < 32:
                 lo = lo + (c << jnp.uint64(p))

@@ -125,10 +125,25 @@ def plan_buckets(dseg: D.DeviceSegment, fname: str, t0: int, interval: int,
                  G: int) -> GroupPlan:
     """Time-bucket grouping: gid = (key - t0) // interval, clamped to
     [0, G) with out-of-range rows -> bin G (dropped). The series layer
-    (knoxdb_tpu/series.py) builds bucket keys t0 + i*interval."""
+    (knoxdb_tpu/series.py) builds bucket keys t0 + i*interval.
+
+    r4 fast paths (the u64-EMULATED division was 3.58 ms of the 10.7 ms
+    series program — probes/series_profile.py stage profile): when the
+    in-range rel domain G*interval fits 31 bits the gid computes from
+    u32 halves with a u32 divide ("bucket32"), and a power-of-two
+    interval becomes a STATIC shift baked into the mode tag
+    ("bucket32s:<k>" — part of the jit signature, one retrace per
+    distinct shift)."""
     dcol = dseg.column(fname)
     keys = np.arange(G, dtype=np.uint64) * np.uint64(interval) + np.uint64(t0)
-    modes = [("bucket", np.uint64(t0), np.uint64(interval))
+    fits32 = G * interval < (1 << 31)
+    if fits32 and interval & (interval - 1) == 0:
+        tag = f"bucket32s:{interval.bit_length() - 1}"
+    elif fits32:
+        tag = "bucket32"
+    else:
+        tag = "bucket"
+    modes = [(tag, np.uint64(t0), np.uint64(interval))
              for _ in dcol.groups]
     return GroupPlan(keys, G, modes)
 
@@ -152,8 +167,15 @@ def segment_group_keys(dseg: D.DeviceSegment, fname: str) -> np.ndarray:
         else:
             dense_range = True
     if dense_range:
-        gmin = int(np.min(fs.min_key))
-        gmax = int(np.max(fs.max_key))
+        # EMPTY packs (SPMD mesh padding appends zero-row packs so P
+        # divides ndev) carry zero stats — including them makes a
+        # signed column's range span the keyform bias (r4 probe find)
+        mk, xk = fs.min_key, fs.max_key
+        nr = np.asarray(getattr(dseg.seg.stats, "nrows", ()))
+        if nr.shape == mk.shape and (nr > 0).any():
+            mk, xk = mk[nr > 0], xk[nr > 0]
+        gmin = int(np.min(mk))
+        gmax = int(np.max(xk))
         if gmax - gmin + 1 > MAX_GROUPS:
             raise ValueError(
                 f"group-by {fname}: key range {gmax - gmin + 1} too wide for "
@@ -172,7 +194,7 @@ def gid_consts(gplan: GroupPlan):
     for m in gplan.mode:
         if m[0] in ("lut", "const"):
             out.append(jnp.asarray(m[1]).astype(jnp.int32))
-        elif m[0] == "bucket":
+        elif m[0].startswith("bucket"):
             out.append((jnp.uint64(m[1]), jnp.uint64(m[2])))
         elif m[0] == "range":
             out.append(jnp.uint64(m[1]))
@@ -204,6 +226,30 @@ def row_gids(mode_tags: tuple, gsigs: tuple, gidxs: tuple,
         elif tag == "const":
             gid = jnp.broadcast_to(gconsts[gi][:, None],
                                    (gconsts[gi].shape[0], W * 32))
+        elif tag.startswith("bucket32"):
+            # 32-BIT bucket gids (r4): rel = key - t0 via u32 borrow
+            # halves; in-range rels fit 31 bits (plan-guaranteed), so
+            # the divide is a native u32 op — or a STATIC shift when
+            # the interval is a power of two (tag "bucket32s:<k>").
+            # The u64-emulated divide this replaces cost 3.58 ms per
+            # 4.2M rows (probes/series_profile.py).
+            t0, iv = gconsts[gi]
+            lo, hi = D.group_decode_halves(gsig, arrs, W)
+            th = jax.lax.bitcast_convert_type(t0, jnp.uint32)
+            borrow = (lo < th[0]).astype(jnp.uint32)
+            rel_lo = lo - th[0]
+            rel_hi = hi - th[1] - borrow
+            below = (hi < th[1]) | ((hi == th[1]) & (lo < th[0]))
+            in32 = rel_hi == 0
+            if tag.startswith("bucket32s:"):
+                sh = jnp.uint32(int(tag.split(":")[1]))
+                g32 = (rel_lo >> sh).astype(jnp.int32)
+            else:
+                g32 = (rel_lo // iv.astype(jnp.uint32)).astype(jnp.int32)
+            # out-of-u32-range rels are necessarily >= G*interval: park
+            # them in a huge bin (callers clamp gid >= G to the drop bin)
+            gid = jnp.where(below, jnp.int32(-1),
+                            jnp.where(in32, g32, jnp.int32(1 << 30)))
         elif tag == "bucket":
             t0, iv = gconsts[gi]
             keys = D.group_decode_keys(gsig, arrs, W)
@@ -645,6 +691,12 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
     here. Same (counts, chunks, mn, mx) contract as the MXU paths."""
     from ..config import is_tpu
     from ..ops import pallas_group as PG
+    if not is_tpu() and getattr(getattr(gids, "aval", None), "vma", None):
+        # interpret-mode pallas under shard_map trips a JAX
+        # hlo_interpreter vma bug (r4 probe); CPU has no Mosaic anyway —
+        # the SPMD-pallas question is a TPU question. XLA kernel there.
+        return _group_mxu_factored(gids, mask_words, value_keys, G,
+                                   n_chunks, bias)
     C = n_chunks
     H = PG.H_BINS
     L = 1
@@ -678,6 +730,57 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
     mn = jnp.full(G, 0xFFFFFFFFFFFFFFFF, jnp.uint64)
     mx = jnp.zeros(G, jnp.uint64)
     return counts, chunks, mn, mx
+
+
+def group_moments_mxu(gids, mask_words, rpair, qpair, G: int,
+                      C1: int, C2: int, allow_pallas: bool = True):
+    """Exact MXU moments: (counts i64[G], chunks1, chunks2) where
+    chunks1/chunks2 are byte-chunk u64[G] tuples of the value and the
+    SQUARE sums. One fused Pallas pass when eligible (r4 — the one-hot
+    builds amortize over both moment halves, probes/series_profile.py);
+    two group_aggregate_mxu passes otherwise."""
+    from ..config import is_tpu, use_pallas_group
+    from ..ops import pallas_group as PG
+    rlo, rhi = rpair
+    qlo, qhi = qpair
+    H = PG.H_BINS
+    L = 1
+    while H * L < G:
+        L <<= 1
+    if L > 32:
+        H, L = 256, L >> 1
+    under_shard_map = getattr(getattr(gids, "aval", None), "vma", None)
+    eligible = (allow_pallas and use_pallas_group() and L <= 32
+                and _MXU_FACTORED_MIN_G <= G
+                and not (not is_tpu() and under_shard_map))
+    if not eligible:
+        c1, ch1, _, _ = group_aggregate_mxu(gids, mask_words, rpair, G,
+                                            allow_pallas=allow_pallas,
+                                            n_chunks=C1)
+        _c2, ch2, _, _ = group_aggregate_mxu(gids, mask_words, qpair, G,
+                                             allow_pallas=allow_pallas,
+                                             n_chunks=C2)
+        return c1, ch1, ch2
+    shift = L.bit_length() - 1
+    SENT = H * L
+    mask = bs.unpack_mask(mask_words)
+    ok = mask & (gids >= 0) & (gids < G)
+    gid = jnp.where(ok, gids, SENT).reshape(-1).astype(jnp.int32)
+    z = jnp.uint32(0)
+    a = jnp.where(ok, rlo, z).reshape(-1)
+    b = jnp.where(ok, rhi, z).reshape(-1)
+    c = jnp.where(ok, qlo, z).reshape(-1)
+    d = jnp.where(ok, qhi, z).reshape(-1)
+    parts = PG.fused_group_moments_partials(
+        gid, a, b, c, d, G, L, shift, C1, C2,
+        interpret=not is_tpu(), H=H)
+    acc = parts.astype(jnp.uint32).astype(jnp.uint64).sum(axis=0)
+    NC = C1 + C2 + 1
+    acc3 = acc.reshape(H, L, NC)
+    counts = acc3[:, :, NC - 1].reshape(-1)[:G].astype(jnp.int64)
+    ch1 = tuple(acc3[:, :, i].reshape(-1)[:G] for i in range(C1))
+    ch2 = tuple(acc3[:, :, C1 + i].reshape(-1)[:G] for i in range(C2))
+    return counts, ch1, ch2
 
 
 def group_aggregate_mxu(gids, mask_words, value_keys, G: int,

@@ -496,19 +496,16 @@ class SegmentScanner:
                         C_m, _gm, qC = mplan[f]
                         rlo, rhi = GB._value_halves(vk, mb[f])
                         qlo, qhi = GB.square_halves(rlo)
-                        # r4: the two moment halves ride the Pallas
-                        # VMEM-one-hot kernel (2.5x the XLA factored
-                        # kernel; two Mosaic calls per program probed
-                        # stable — probes/series_profile.py, config
+                        # r4: BOTH moment halves from ONE fused Pallas
+                        # pass (group_moments_mxu — the one-hot builds
+                        # amortize; two Mosaic calls per program probed
+                        # stable, probes/series_profile.py; config
                         # gate use_pallas_series) unless SPMD
                         from ..config import use_pallas_series
                         ap = (not self.spmd) and use_pallas_series()
-                        c1, ch1, _, _ = GB.group_aggregate_mxu(
-                            gids, mask, (rlo, rhi), gplan.G,
-                            allow_pallas=ap, n_chunks=C_m)
-                        _c2, ch2, _, _ = GB.group_aggregate_mxu(
-                            gids, mask, (qlo, qhi), gplan.G,
-                            allow_pallas=ap, n_chunks=qC)
+                        c1, ch1, ch2 = GB.group_moments_mxu(
+                            gids, mask, (rlo, rhi), (qlo, qhi),
+                            gplan.G, C_m, qC, allow_pallas=ap)
                         out[(f, "moments")] = \
                             (c1,) + tuple(ch1) + tuple(ch2)
                     elif "moments" in fk:

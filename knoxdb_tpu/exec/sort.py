@@ -136,15 +136,14 @@ def segment_topk(scanner, tree, order_field: str, k: int,
     valid = np.asarray(valid)
     nvalid = int(valid.sum())
     okeys = np.asarray(okeys)
-    keys_int = []
-    for i in range(min(k, nvalid)):
-        if wide:
-            x = 0
-            for l in range(okeys.shape[0]):
-                x = (x << 32) | int(okeys[l, i])
-        else:
-            x = int(okeys[i])
-        keys_int.append(x)
+    kk = min(k, nvalid)
+    if wide:                       # vectorized object-int assembly (r4)
+        keys_a = okeys[0, :kk].astype(object)
+        for l in range(1, okeys.shape[0]):
+            keys_a = (keys_a << 32) + okeys[l, :kk].astype(object)
+    else:
+        keys_a = okeys[:kk].astype(object)
+    keys_int = keys_a.tolist()
     rows = {name: np.asarray(v)[..., :nvalid] for name, v in outs.items()}
     return keys_int, rows, nvalid
 
@@ -217,13 +216,14 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
                                            cb, wo)
             else:
                 # groups partition the packs: rebase each group's planes
-                # to width wo, scatter into pack order (P-scale move)
-                absp = jnp.zeros((d.P, wo, d.W), jnp.uint32)
+                # to width wo, scatter into pack order (P-scale move;
+                # plane-major [wo, P, W] since r4)
+                absp = jnp.zeros((wo, d.P, d.W), jnp.uint32)
                 for gi, g in enumerate(groups):
                     idx = jnp.asarray(np.asarray(g.idx))
                     part = BS.add_const_planes(
                         arrays[order_field][gi]["planes"], cb[:, idx], wo)
-                    absp = absp.at[idx].set(part)
+                    absp = absp.at[:, idx].set(part)
             _tw, better, tie, nb = BS.topk_select(
                 absp, mask, kk, wo, want_max=desc)
             bi, _bc = C.first_k_indexes(better, kcap)
@@ -264,13 +264,15 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
         outs[name] = buf[off:off + L * K2].reshape(L, K2)
         off += L * K2
     pick = np.flatnonzero(sel)
-    keys = [gmin + sum(int(w[i]) << (32 * j) for j, w in enumerate(vw))
-            for i in pick]
-    order = np.argsort(np.array(keys, object), kind="stable")
+    # vectorized object-int key assembly (r4: no per-row python at any k)
+    keys_a = np.full(len(pick), gmin, object)
+    for j, w in enumerate(vw):
+        keys_a = keys_a + (w[pick].astype(object) << (32 * j))
+    order = np.argsort(keys_a, kind="stable")
     if desc:
         order = order[::-1]
     pick = pick[order]
-    keys = [keys[int(j)] for j in order]
+    keys = keys_a[order].tolist()
     rows = {}
     for name, v in outs.items():
         a = np.asarray(v)

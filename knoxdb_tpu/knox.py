@@ -634,22 +634,23 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
     unique = rpk is not None and rf == rpk.name
 
     mesh = getattr(lt.engine, "mesh", None)
+    # keys32: both sides' TYPES prove the join domain fits u32
+    # (unsigned <=32-bit; signed types bias to the 2^63 flip domain
+    # and never qualify) — drops the hi-limb sort operand (~15% off
+    # the dominant sort, r3 probe) on every core, local or distributed
+    k32 = (not lft.is_signed and not rft.is_signed
+           and lft.bits <= 32 and rft.bits <= 32)
     if mesh is not None and getattr(rt.engine, "mesh", None) is mesh:
         # distributed path: salted all_to_all shuffle over the mesh
         # (BASELINE config #5), pairs index the key arrays like the
-        # single-chip kernel's
+        # single-chip kernel's; r4 rides the same unique -> shift ->
+        # general core ladder per shard
         from .parallel.shuffle import shuffle_join_rows
         lidx, ridx, _stats = shuffle_join_rows(
             mesh, np.asarray(lkeys), np.asarray(rkeys),
             how="left" if how == JoinType.LEFT else "inner",
-            axis=mesh.axis_names[0], unique_build=unique)
+            axis=mesh.axis_names[0], unique_build=unique, keys32=k32)
     else:
-        # keys32: both sides' TYPES prove the join domain fits u32
-        # (unsigned <=32-bit; signed types bias to the 2^63 flip domain
-        # and never qualify) — drops the hi-limb sort operand (~15% off
-        # the dominant sort, r3 probe)
-        k32 = (not lft.is_signed and not rft.is_signed
-               and lft.bits <= 32 and rft.bits <= 32)
         lidx, ridx = J.join_pairs_device(lkeys, rkeys, how,
                                          unique_build=unique,
                                          keys32=k32)

@@ -72,15 +72,15 @@ def _const_bit_masks(c_rel, width: int):
 
 
 def _lt_eq_planes(planes, cmasks, width: int):
-    """Core MSB-down sweep. planes: u32[P, w, W].
+    """Core MSB-down sweep. planes: u32[w, P, W] (PLANE-MAJOR, r4).
 
     Returns (lt, eq): packed u32[P, W] word masks for x < c and x == c
     over the packed domain."""
-    P, _, W = planes.shape
+    _, P, W = planes.shape
     lt = jnp.zeros((P, W), jnp.uint32)
     eq = jnp.full((P, W), _FULL)
     for p in range(width - 1, -1, -1):
-        x = planes[:, p, :]
+        x = planes[p]
         cm = cmasks[p]
         # c bit 1 & x bit 0 while equal so far => x < c
         lt = lt | (eq & ~x & cm)
@@ -111,9 +111,9 @@ def cmp_planes_rel(mode: FilterMode, planes, rel, width: int):
     cmasks = _const_bit_masks(c_rel, width)
 
     if mode in (FilterMode.EQ, FilterMode.NE):
-        eq = jnp.full(planes.shape[:1] + planes.shape[2:], _FULL)
+        eq = jnp.full(planes.shape[1:], _FULL)
         for p in range(width):
-            eq = eq & ~(planes[:, p, :] ^ cmasks[p])
+            eq = eq & ~(planes[p] ^ cmasks[p])
         eq = jnp.where(in_dom[:, None], eq, _ZERO)
         return ~eq if mode == FilterMode.NE else eq
 
@@ -143,13 +143,13 @@ def range_planes_rel(planes, rel_lo, rel_hi, width: int):
     lo_masks = _const_bit_masks(lo_rel, width)
     hi_masks = _const_bit_masks(hi_rel, width)
 
-    P, _, W = planes.shape
+    _, P, W = planes.shape
     lt_lo = jnp.zeros((P, W), jnp.uint32)
     eq_lo = jnp.full((P, W), _FULL)
     lt_hi = jnp.zeros((P, W), jnp.uint32)
     eq_hi = jnp.full((P, W), _FULL)
     for p in range(width - 1, -1, -1):
-        x = planes[:, p, :]
+        x = planes[p]
         cl, ch = lo_masks[p], hi_masks[p]
         lt_lo = lt_lo | (eq_lo & ~x & cl)
         eq_lo = eq_lo & ~(x ^ cl)
@@ -166,11 +166,11 @@ def range_planes_rel(planes, rel_lo, rel_hi, width: int):
 
 def in_planes_rel(planes, rels, width: int):
     """x in set given per-key precomputed relations (list of rel tuples)."""
-    P, _, W = planes.shape
+    _, P, W = planes.shape
     eq_states = [jnp.full((P, W), _FULL) for _ in rels]
     masks = [_const_bit_masks(r[0], width) for r in rels]
     for p in range(width - 1, -1, -1):
-        x = planes[:, p, :]
+        x = planes[p]
         for k in range(len(rels)):
             eq_states[k] = eq_states[k] & ~(x ^ masks[k][p])
     acc = jnp.zeros((P, W), jnp.uint32)
@@ -182,7 +182,7 @@ def in_planes_rel(planes, rels, width: int):
 def cmp_planes(mode: FilterMode, planes, min_keys, c, width: int):
     """Fused compare on bit-sliced packs.
 
-    planes:   u32[P, width, W] bitplanes (W words of 32 rows each)
+    planes:   u32[width, P, W] bitplanes (plane-major) (W words of 32 rows each)
     min_keys: u64[P] per-pack base (value = packed + min_key)
     c:        u64 keyform constant — scalar, or u64[P] per-pack constants
               (used by the fused dict matcher, which rewrites value-space
@@ -228,14 +228,14 @@ def popcount_words(words):
 def masked_sum_planes(planes, min_keys, mask_words, width: int):
     """Masked sum WITHOUT decode.
 
-    planes u32[P, w, W], min_keys u64[P], mask u32[P, W] packed.
+    planes u32[w, P, W], min_keys u64[P], mask u32[P, W] packed.
     Returns (sums u64[P], counts i64[P]) where sums are in the VALUE
     domain: sum_p 2^p popcount(plane & mask) + count * min_key (mod 2^64;
     caller widens per-pack partials on the host for >64-bit exactness)."""
     counts = popcount_words(mask_words)
-    total = jnp.zeros(planes.shape[0], jnp.uint64)
+    total = jnp.zeros(planes.shape[1], jnp.uint64)
     for p in range(width):
-        c = popcount_words(planes[:, p, :] & mask_words).astype(jnp.uint64)
+        c = popcount_words(planes[p] & mask_words).astype(jnp.uint64)
         total = total + (c << jnp.uint64(p))
     total = total + counts.astype(jnp.uint64) * min_keys
     return total, counts
@@ -244,11 +244,11 @@ def masked_sum_planes(planes, min_keys, mask_words, width: int):
 def _tournament_planes(planes, mask_words, width: int, want_max: bool):
     """MSB-down candidate narrowing. Returns packed-domain winner u64[P]
     (0 when mask empty — caller checks counts)."""
-    P, _, W = planes.shape
+    _, P, W = planes.shape
     cand = mask_words
     out = jnp.zeros(P, jnp.uint64)
     for p in range(width - 1, -1, -1):
-        x = planes[:, p, :]
+        x = planes[p]
         t = cand & (x if want_max else ~x)
         has = (t != 0).any(axis=-1)
         cand = jnp.where(has[:, None], t, cand)
@@ -276,32 +276,38 @@ def masked_max_planes(planes, min_keys, mask_words, width: int):
 def add_const_planes(planes, const_bits, width_out: int):
     """Bit-sliced ripple-carry add of a PER-PACK constant.
 
-    planes u32[P, w, W] encode x (pack-relative offsets); const_bits
-    u32[width_out, P] holds bit b of each pack's constant as a full/zero
-    word mask (0xFFFFFFFF / 0) — computed on the HOST from pack metadata
-    (no device 64-bit shifts: the x64-emulated u64 shift lowering is
-    unreliable on this TPU stack, see exec/scan fused notes). Returns
-    u32[P, width_out, W] bitplanes of (x + c) mod 2^width_out.
+    planes u32[w, P, W] (plane-major) encode x (pack-relative offsets);
+    const_bits u32[width_out, P] holds bit b of each pack's constant as
+    a full/zero word mask (0xFFFFFFFF / 0) — computed on the HOST from
+    pack metadata (no device 64-bit shifts: the x64-emulated u64 shift
+    lowering is unreliable on this TPU stack, see exec/scan fused
+    notes). Returns u32[width_out, P, W] bitplanes of
+    (x + c) mod 2^width_out.
 
     Cost: width_out sequential full-adder steps of [P, W] word ops —
     ~2 reads + 1 write of the plane volume, bandwidth-bound."""
-    P, w, W = planes.shape
+    w, P, W = planes.shape
     carry = jnp.zeros((P, W), jnp.uint32)
     outs = []
     for b in range(width_out):
-        xb = planes[:, b, :] if b < w else jnp.zeros((P, W), jnp.uint32)
+        xb = planes[b] if b < w else jnp.zeros((P, W), jnp.uint32)
         cb = const_bits[b][:, None]
         s = xb ^ cb ^ carry
         carry = (xb & cb) | (carry & (xb ^ cb))
         outs.append(s)
-    return jnp.stack(outs, axis=1)
+    return jnp.stack(outs, axis=0)
 
 
 def topk_select(planes, mask_words, k, width: int, want_max: bool):
-    """Exact top-k THRESHOLD + candidate masks via MSB-first bit descent
-    (radix select): width popcount passes over [P, W] words — bandwidth
-    bound, no sort of the row population (lax.top_k/sort over P*N keys
-    runs ~20x slower at 16M rows).
+    """Exact top-k THRESHOLD + candidate masks via MSB-first RADIX-4 bit
+    descent: ceil(width/2) dependent steps of 4-bucket popcounts over
+    [P, W] words — bandwidth bound, no sort of the row population
+    (lax.top_k/sort over P*N keys runs ~20x slower at 16M rows).
+
+    r4: TWO bits per step (VERDICT r3 next-#6). The op is LATENCY-class
+    at real sizes — each step is a sub-ms dependent kernel, so halving
+    the chain (64 -> 32 steps at w=64) halves device time; the extra
+    popcounts per step are free against bandwidth.
 
     planes must be in a COMPARABLE domain across packs (absolute keys
     minus a global base — see add_const_planes). k is a traced i32.
@@ -311,24 +317,75 @@ def topk_select(planes, mask_words, k, width: int, want_max: bool):
     T = sum_j t_words[j] << 32j strictly, ties equal it; the top-k set =
     better + any (k - n_better) tie rows. Works at ANY width (wide
     int128/256 keyform planes included)."""
-    P, _, W = planes.shape
+    _, P, W = planes.shape
     nw = -(-width // 32)
     pm = mask_words                      # rows still matching the prefix
     better = jnp.zeros((P, W), jnp.uint32)
     t_words = [jnp.uint32(0)] * nw
     k_rem = k.astype(jnp.int32)
-    for b in range(width - 1, -1, -1):
-        x = planes[:, b, :]
-        pref = pm & (x if want_max else ~x)      # preferred-bit rows
+    U1 = jnp.uint32(1)
+    U0 = jnp.uint32(0)
+
+    def setbit(b, tbit):
+        t_words[b // 32] = t_words[b // 32] | (tbit << jnp.uint32(b % 32))
+
+    def pcount(m):
+        return jnp.sum(jax.lax.population_count(m).astype(jnp.int32),
+                       dtype=jnp.int32)
+
+    b = width - 1
+    if width % 2:                        # odd width: one single-bit step
+        x = planes[b]
+        pref = pm & (x if want_max else ~x)
         rest = pm & (~x if want_max else x)
-        c = jnp.sum(jax.lax.population_count(pref).astype(jnp.int32),
-                    dtype=jnp.int32)
-        take = c >= k_rem                        # stay inside preferred
+        c = pcount(pref)
+        take = c >= k_rem
         pm = jnp.where(take, pref, rest)
         better = jnp.where(take, better, better | pref)
         k_rem = jnp.where(take, k_rem, k_rem - c)
-        tbit = jnp.where(take == want_max, jnp.uint32(1), jnp.uint32(0))
-        t_words[b // 32] = t_words[b // 32] | (tbit << jnp.uint32(b % 32))
-    n_better = jnp.sum(jax.lax.population_count(better).astype(jnp.int32),
-                       dtype=jnp.int32)
+        setbit(b, jnp.where(take == want_max, U1, U0))
+        b -= 1
+    while b >= 1:
+        # preferred-direction bit pair: after the conditional complement
+        # "1" always means "sorts toward the top", so bucket preference
+        # is p=3 > 2 > 1 > 0 regardless of want_max
+        x1 = planes[b]
+        x0 = planes[b - 1]
+        if not want_max:
+            x1 = ~x1
+            x0 = ~x0
+        g3 = pm & x1 & x0
+        g2 = pm & x1 & ~x0
+        g1 = pm & ~x1 & x0
+        c3 = pcount(g3)
+        c2 = pcount(g2)
+        c1 = pcount(g1)
+        cum2 = c3 + c2
+        cum1 = cum2 + c1
+        s3 = c3 >= k_rem
+        s2 = (~s3) & (cum2 >= k_rem)
+        s1 = (~s3) & (~s2) & (cum1 >= k_rem)
+        in3 = s3
+        in23 = s3 | s2
+        in123 = in23 | s1
+        pm = jnp.where(in3, g3,
+                       jnp.where(s2, g2,
+                                 jnp.where(s1, g1, pm & ~x1 & ~x0)))
+        better = better | jnp.where(in3, U0, g3) \
+            | jnp.where(in23, U0, g2) | jnp.where(in123, U0, g1)
+        k_rem = k_rem - jnp.where(in3, 0, c3) \
+            - jnp.where(in23, 0, c2) - jnp.where(in123, 0, c1)
+        # chosen bucket bits in preferred space; actual bit = pref bit
+        # for max, complement for min
+        p1 = jnp.where(in23, U1, U0)
+        p0 = jnp.where(s3 | s1, U1, U0)
+        if not want_max:
+            p1 = p1 ^ U1
+            p0 = p0 ^ U1
+        setbit(b, p1)
+        setbit(b - 1, p0)
+        b -= 2
+    # the single-bit MSB step leaves an ODD remaining count in both
+    # parities, so the pair loop always lands exactly on (1, 0)
+    n_better = pcount(better)
     return tuple(t_words), better, pm, n_better

@@ -101,17 +101,18 @@ def first_k_indexes(mask_words, kcap: int):
 
 
 def gather_plane_values(planes, idx, N: int):
-    """Bit-sliced u32[P, w, W] planes + flat row ids i32[K] -> tuple of
-    u32[K] value words, LSW-first (any width incl. wide 128/256-bit).
+    """Bit-sliced u32[w, P, W] planes (plane-major, r4) + flat row ids
+    i32[K] -> tuple of u32[K] value words, LSW-first (any width incl.
+    wide 128/256-bit).
 
     Pure 32-bit gathers/shifts (no device u64 arithmetic — see the
-    x64-emulation notes); K is top-k-small so the [K, w] gather is
+    x64-emulation notes); K is top-k-small so the [w, K] gather is
     cheap."""
-    P, w, W = planes.shape
+    w, P, W = planes.shape
     pk = idx // N
     wd = (idx % N) // 32
     bit = (idx % 32).astype(jnp.uint32)
-    words = planes[pk, :, wd]                 # [K, w]
+    words = planes[:, pk, wd].T               # [K, w]
     bits = (words >> bit[:, None]) & jnp.uint32(1)
     nw = -(-w // 32)
     out = [jnp.zeros(idx.shape[0], jnp.uint32) for _ in range(nw)]

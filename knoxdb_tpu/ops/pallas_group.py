@@ -49,7 +49,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["fused_group_partials", "H_BINS"]
+__all__ = ["fused_group_partials", "fused_group_moments_partials",
+           "H_BINS"]
 
 H_BINS = 128          # hi-axis bins == MXU output tile rows
 _T8 = 1024            # lanes per sublane row; tile rows = 8 * _T8
@@ -85,6 +86,97 @@ def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, H: int, L: int,
         hi_oh, m2, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)             # [S, H, L*(C+1)]
     out_ref[0] = jnp.sum(part, axis=0)
+
+
+def _kernel_moments(gid_ref, rlo_ref, rhi_ref, qlo_ref, qhi_ref,
+                    out_ref, *, H: int, L: int, shift: int, C1: int,
+                    C2: int, S: int):
+    """Moments variant (r4, VERDICT r3 next-#3): ONE pass emits the
+    value chunks (C1), the SQUARE chunks (C2) and the count — the
+    hi-axis one-hot and the per-row lo masks are built once instead of
+    twice (the two-kernel series program spent +1.3 and +5.4 ms on the
+    passes separately; see probes/series_profile.py)."""
+    g = gid_ref[0]
+    rlo = rlo_ref[0]
+    rhi = rhi_ref[0]
+    qlo = qlo_ref[0]
+    qhi = qhi_ref[0]
+    hi = g >> shift
+    lo = g & (L - 1)
+
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (S, H, _T8), 1)
+    hi_oh = (hi[:, None, :] == iota_h).astype(jnp.bfloat16)
+
+    cols = []
+    for c in range(C1):
+        w = rlo if c < 4 else rhi
+        cols.append(((w >> np.uint32(8 * (c % 4))) & np.uint32(0xFF))
+                    .astype(jnp.int32).astype(jnp.bfloat16))
+    for c in range(C2):
+        w = qlo if c < 4 else qhi
+        cols.append(((w >> np.uint32(8 * (c % 4))) & np.uint32(0xFF))
+                    .astype(jnp.int32).astype(jnp.bfloat16))
+    cols.append(jnp.ones(g.shape, jnp.bfloat16))        # count column
+    NC = C1 + C2 + 1
+    rows = []
+    for l in range(L):
+        lm = (lo == l).astype(jnp.bfloat16)
+        for c in range(NC):
+            rows.append(lm * cols[c])
+    m2 = jnp.stack(rows, axis=1)       # [S, L*NC, T8]
+
+    part = jax.lax.dot_general(
+        hi_oh, m2, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # [S, H, L*NC]
+    out_ref[0] = jnp.sum(part, axis=0)
+
+
+def fused_group_moments_partials(gid, rlo, rhi, qlo, qhi, G: int,
+                                 L: int, shift: int, C1: int, C2: int,
+                                 interpret: bool = False,
+                                 H: int = H_BINS, S: int | None = None):
+    """Moments form of fused_group_partials: f32[B, H, L*(C1+C2+1)]
+    per-tile partials with value chunks, square chunks and counts from
+    ONE kernel pass. Same exactness bound (each f32 entry <
+    S*1024*255 < 2^24 for S <= 64)."""
+    NC = C1 + C2 + 1
+    if S is None:
+        S = pick_sublanes(H, L, C1 + C2)
+    if S % 8 or not 0 < S <= 64:
+        raise ValueError(f"fused_group_moments_partials: S={S}")
+    n = gid.shape[0]
+    T = S * _T8
+    B = -(-n // T)
+    pad = B * T - n
+    SENT = H * L
+    if pad:
+        gid = jnp.concatenate([gid, jnp.full(pad, SENT, jnp.int32)])
+        z = jnp.zeros(pad, jnp.uint32)
+        rlo = jnp.concatenate([rlo, z])
+        rhi = jnp.concatenate([rhi, z])
+        qlo = jnp.concatenate([qlo, z])
+        qhi = jnp.concatenate([qhi, z])
+    g3 = gid.reshape(B, S, _T8)
+    a3 = rlo.reshape(B, S, _T8)
+    b3 = rhi.reshape(B, S, _T8)
+    c3 = qlo.reshape(B, S, _T8)
+    d3 = qhi.reshape(B, S, _T8)
+    vma = getattr(getattr(g3, "aval", None), "vma", None)
+    if vma:
+        out_shape = jax.ShapeDtypeStruct((B, H, L * NC), jnp.float32,
+                                         vma=vma)
+    else:
+        out_shape = jax.ShapeDtypeStruct((B, H, L * NC), jnp.float32)
+    spec = pl.BlockSpec((1, S, _T8), lambda i: (i, _Z, _Z))
+    return pl.pallas_call(
+        partial(_kernel_moments, H=H, L=L, shift=shift, C1=C1, C2=C2,
+                S=S),
+        grid=(B,),
+        in_specs=[spec] * 5,
+        out_specs=pl.BlockSpec((1, H, L * NC), lambda i: (i, _Z, _Z)),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(g3, a3, b3, c3, d3)
 
 
 def pick_sublanes(H: int, L: int, n_chunks: int) -> int:
@@ -136,6 +228,15 @@ def fused_group_partials(gid, vlo, vhi, G: int, L: int, shift: int,
     lo3 = vlo.reshape(B, S, _T8)
     hi3 = vhi.reshape(B, S, _T8)
     NC = C + 1
+    # under shard_map (vma-checked), pallas_call's out_shape must state
+    # how the output varies over mesh axes: inherit the input's vma
+    # (per-shard data in -> per-shard partials out). r4 SPMD probe find.
+    vma = getattr(getattr(g3, "aval", None), "vma", None)
+    if vma:
+        out_shape = jax.ShapeDtypeStruct((B, H, L * NC), jnp.float32,
+                                         vma=vma)
+    else:
+        out_shape = jax.ShapeDtypeStruct((B, H, L * NC), jnp.float32)
     return pl.pallas_call(
         partial(_kernel, H=H, L=L, shift=shift, C=C, S=S),
         grid=(B,),
@@ -145,6 +246,6 @@ def fused_group_partials(gid, vlo, vhi, G: int, L: int, shift: int,
             pl.BlockSpec((1, S, _T8), lambda i: (i, _Z, _Z)),
         ],
         out_specs=pl.BlockSpec((1, H, L * NC), lambda i: (i, _Z, _Z)),
-        out_shape=jax.ShapeDtypeStruct((B, H, L * NC), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(g3, lo3, hi3)

@@ -68,20 +68,35 @@ def range_consts(min_keys, lo, hi, width: int):
     return bits(lo_rel), bits(hi_rel), flags
 
 
-_TILE = 8      # packs per grid step (sublane-dim requirement)
+_TILE = 16     # preferred packs per grid step (r4: 16 with the
+               # plane-major layout measured 0.045-0.046 ms vs the r3
+               # pack-major T=8 kernel's 0.054-0.067 across two pool
+               # states — probes/ps_variants.py v5; per-plane slices
+               # now index the LEADING block dim, no sublane relayout
+               # per plane). Wide columns drop to 8: the double-
+               # buffered plane block must fit scoped VMEM (w=48 at
+               # T=16 measured 21.2M > the 16M limit; the compiler's
+               # observed overhead is ~3.4x the raw block bytes).
+
+
+def _pick_tile(w: int, P: int, W: int) -> int:
+    for T in (_TILE, 8):
+        if P % T == 0 and 3.4 * 4 * max(w, 1) * T * W <= 15_500_000:
+            return T
+    return 8
 _Z = np.int32(0)   # index-map zero: a python literal 0 traces as i64 under
                    # jax_enable_x64 and Mosaic fails to legalize the map
 
 
 def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
             mask_ref, pcnt_ref, cnt_ref, *, width: int):
-    T, _, W = planes_ref.shape
+    _, T, W = planes_ref.shape
     lt_lo = jnp.zeros((T, W), jnp.uint32)
     eq_lo = jnp.full((T, W), _FULL_NP, jnp.uint32)
     lt_hi = jnp.zeros((T, W), jnp.uint32)
     eq_hi = jnp.full((T, W), _FULL_NP, jnp.uint32)
     for p in range(width - 1, -1, -1):
-        x = planes_ref[:, p, :]
+        x = planes_ref[p]
         cl = lo_bits_ref[:, p][:, None]
         ch = hi_bits_ref[:, p][:, None]
         lt_lo = lt_lo | (eq_lo & ~x & cl)
@@ -107,7 +122,7 @@ def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
         jax.lax.population_count(mask).astype(jnp.int32), axis=-1,
         dtype=jnp.int32)
     for p in range(width):
-        x = planes_ref[:, p, :]
+        x = planes_ref[p]
         pcnt_ref[:, p] = jnp.sum(
             jax.lax.population_count(x & mask).astype(jnp.int32), axis=-1,
             dtype=jnp.int32)
@@ -118,13 +133,13 @@ def _kernel_masked(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref,
     """fused cmp+sum with an INCOMING mask: mask_out = range-match &
     mask_in; pcnt = per-plane popcounts under mask_out. One HBM pass
     over the column serves both the predicate and the aggregate."""
-    T, _, W = planes_ref.shape
+    _, T, W = planes_ref.shape
     lt_lo = jnp.zeros((T, W), jnp.uint32)
     eq_lo = jnp.full((T, W), _FULL_NP, jnp.uint32)
     lt_hi = jnp.zeros((T, W), jnp.uint32)
     eq_hi = jnp.full((T, W), _FULL_NP, jnp.uint32)
     for p in range(width - 1, -1, -1):
-        x = planes_ref[:, p, :]
+        x = planes_ref[p]
         cl = lo_bits_ref[:, p][:, None]
         ch = hi_bits_ref[:, p][:, None]
         lt_lo = lt_lo | (eq_lo & ~x & cl)
@@ -150,7 +165,7 @@ def _kernel_masked(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref,
         jax.lax.population_count(mask).astype(jnp.int32), axis=-1,
         dtype=jnp.int32)
     for p in range(width):
-        x = planes_ref[:, p, :]
+        x = planes_ref[p]
         pcnt_ref[:, p] = jnp.sum(
             jax.lax.population_count(x & mask).astype(jnp.int32), axis=-1,
             dtype=jnp.int32)
@@ -159,25 +174,27 @@ def _kernel_masked(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref,
 def fused_range_sum_masked(planes, lo_bits, hi_bits, flags, mask_in,
                            width: int, interpret: bool = False):
     """Like fused_range_sum but ANDs an incoming packed mask (the rest of
-    the filter tree) instead of just validity. Returns (mask u32[P, W],
-    plane_counts i32[P, w1], counts i32[P])."""
-    P, w, W = planes.shape
-    assert P % _TILE == 0, f"P must be a multiple of {_TILE}"
+    the filter tree) instead of just validity. planes are PLANE-MAJOR
+    u32[w, P, W] (r4). Returns (mask u32[P, W], plane_counts
+    i32[P, w1], counts i32[P])."""
+    w, P, W = planes.shape
+    T = _pick_tile(w, P, W)
+    assert P % T == 0, f"P must be a multiple of {T}"
     w1 = max(w, 1)
     out = pl.pallas_call(
         partial(_kernel_masked, width=width),
-        grid=(P // _TILE,),
+        grid=(P // T,),
         in_specs=[
-            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, _NFLAGS), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, w, W), lambda i: (i, _Z, _Z)),
-            pl.BlockSpec((_TILE, W), lambda i: (i, _Z)),
+            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((T, _NFLAGS), lambda i: (i, _Z)),
+            pl.BlockSpec((w, T, W), lambda i: (_Z, i, _Z)),
+            pl.BlockSpec((T, W), lambda i: (i, _Z)),
         ],
         out_specs=[
-            pl.BlockSpec((_TILE, W), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, 1), lambda i: (i, _Z)),
+            pl.BlockSpec((T, W), lambda i: (i, _Z)),
+            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((T, 1), lambda i: (i, _Z)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((P, W), jnp.uint32),
@@ -192,26 +209,27 @@ def fused_range_sum_masked(planes, lo_bits, hi_bits, flags, mask_in,
 
 def fused_range_sum(planes, lo_bits, hi_bits, flags, valid, width: int,
                     interpret: bool = False):
-    """planes u32[P, w, W] (P a multiple of 8); consts from range_consts;
-    valid u32[P, W]. Returns (mask u32[P, W], plane_counts i32[P, w],
-    counts i32[P])."""
-    P, w, W = planes.shape
-    assert P % _TILE == 0, f"P must be a multiple of {_TILE}"
+    """planes u32[w, P, W] PLANE-MAJOR (P a multiple of _TILE); consts
+    from range_consts; valid u32[P, W]. Returns (mask u32[P, W],
+    plane_counts i32[P, w], counts i32[P])."""
+    w, P, W = planes.shape
+    T = _pick_tile(w, P, W)
+    assert P % T == 0, f"P must be a multiple of {T}"
     w1 = max(w, 1)
     out = pl.pallas_call(
         partial(_kernel, width=width),
-        grid=(P // _TILE,),
+        grid=(P // T,),
         in_specs=[
-            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, _NFLAGS), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, w, W), lambda i: (i, _Z, _Z)),
-            pl.BlockSpec((_TILE, W), lambda i: (i, _Z)),
+            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((T, _NFLAGS), lambda i: (i, _Z)),
+            pl.BlockSpec((w, T, W), lambda i: (_Z, i, _Z)),
+            pl.BlockSpec((T, W), lambda i: (i, _Z)),
         ],
         out_specs=[
-            pl.BlockSpec((_TILE, W), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((_TILE, 1), lambda i: (i, _Z)),
+            pl.BlockSpec((T, W), lambda i: (i, _Z)),
+            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((T, 1), lambda i: (i, _Z)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((P, W), jnp.uint32),
@@ -231,9 +249,9 @@ def fused_range_sum_ref(planes, min_keys, valid, lo, hi, width: int):
     cnt = jax.lax.population_count(mask).astype(jnp.int32).sum(axis=-1)
     if width:
         pcnt = jnp.stack([
-            jax.lax.population_count(planes[:, p, :] & mask)
+            jax.lax.population_count(planes[p] & mask)
             .astype(jnp.int32).sum(axis=-1)
             for p in range(width)], axis=1)
     else:
-        pcnt = jnp.zeros((planes.shape[0], 1), jnp.int32)
+        pcnt = jnp.zeros((planes.shape[1], 1), jnp.int32)
     return mask, pcnt, cnt

@@ -74,10 +74,14 @@ def _const_entry_specs(entry: dict, axis: str):
 def _arg_specs(args, axis: str):
     arrays, consts, overrides, valid, excl = args
 
-    def arr_spec(x):
+    def arr_spec(k, x):
+        # "planes" are PLANE-MAJOR [w, Pg, W] since r4 (pack axis 1);
+        # every other group array leads with the pack axis
+        if k == "planes":
+            return P(None, axis, *([None] * (x.ndim - 2)))
         return P(axis, *([None] * (x.ndim - 1)))
 
-    arrays_s = {n: [{k: arr_spec(a) for k, a in g.items()} for g in gs]
+    arrays_s = {n: [{k: arr_spec(k, a) for k, a in g.items()} for g in gs]
                 for n, gs in arrays.items()}
     consts_s = [[_const_entry_specs(g, axis) for g in leaf]
                 for leaf in consts]
@@ -122,12 +126,16 @@ class ShardedScanner(SegmentScanner):
     def _place_arrays(self) -> None:
         """Pin segment arrays to the pack-sharded layout once, so every
         query reuses the placement instead of resharding per call."""
-        sh = lambda x: NamedSharding(
-            self.mesh, P(self.axis, *([None] * (x.ndim - 1))))
+        def sh(x, key=None):
+            if key == "planes":   # plane-major [w, Pg, W]: pack axis 1
+                spec = P(None, self.axis, *([None] * (x.ndim - 2)))
+            else:
+                spec = P(self.axis, *([None] * (x.ndim - 1)))
+            return NamedSharding(self.mesh, spec)
         for name in self.d.seg.columns:
             col = self.d.column(name)
             for g in col.groups:
-                g.arrays = {k: jax.device_put(v, sh(v))
+                g.arrays = {k: jax.device_put(v, sh(v, k))
                             for k, v in g.arrays.items()}
         self.d.valid_words = jax.device_put(
             self.d.valid_words, sh(self.d.valid_words))
@@ -196,14 +204,17 @@ class ShardedScanner(SegmentScanner):
                 for f in agg_fields:
                     gi_, gsig_, _ = agg_sigs[f][0]
                     if use_mxu:
-                        # allow_pallas=False: Mosaic programs under
-                        # shard_map are untested on this stack; the
-                        # SPMD path stays pure-XLA (u32 half-pair
-                        # decode, same as single-chip)
+                        # r4: Mosaic under shard_map PROBED clean
+                        # (probes/spmd_pallas_probe.py — virtual mesh +
+                        # 1-device TPU mesh, repeats bit-exact), gate
+                        # config.use_spmd_pallas (KNOX_SPMD_PALLAS=0
+                        # kills). r3 had this off on assumption.
+                        from ..config import use_spmd_pallas
                         dec = D.group_decode_halves(gsig_,
                                                     garrays[f][gi_], W)
                         out[f] = GB.group_aggregate_mxu(
-                            gids, mask, dec, gplan.G, allow_pallas=False,
+                            gids, mask, dec, gplan.G,
+                            allow_pallas=use_spmd_pallas(),
                             n_chunks=cplan[f][0], bias=biases[f])
                     else:
                         dec = D.group_decode_keys(gsig_,
@@ -214,7 +225,10 @@ class ShardedScanner(SegmentScanner):
 
             # garrays spec: every group array shards on its pack axis
             in_specs = (_arg_specs(margs, self.axis),
-                        {n: [{k: P(self.axis, *([None] * (a.ndim - 1)))
+                        {n: [{k: (P(None, self.axis,
+                                    *([None] * (a.ndim - 2)))
+                                  if k == "planes" else
+                                  P(self.axis, *([None] * (a.ndim - 1))))
                               for k, a in g.items()} for g in gs]
                          for n, gs in garrays.items()},
                         _gconst_specs(gconsts, self.axis),

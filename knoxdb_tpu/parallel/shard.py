@@ -7,10 +7,10 @@ filter+aggregate kernel runs on each device's local packs (embarrassingly
 parallel — the scan has no cross-pack dependencies), and only the tiny
 per-query partials cross the ICI via psum.
 
-Layout contract: every per-pack array (planes u32[P, w, W], min_keys
-u64[P], valid u32[P, W]) is sharded on its leading pack axis; P must be a
-multiple of the mesh axis size (the segment builder pads with empty
-packs). Aggregation partials are exact (split-limb sums, see
+Layout contract: per-pack arrays shard on their PACK axis — planes are
+PLANE-MAJOR u32[w, P, W] since r4 (pack axis = dim 1), min_keys u64[P]
+and valid u32[P, W] on dim 0; P must be a multiple of the mesh axis
+size (the segment builder pads with empty packs). Aggregation partials are exact (split-limb sums, see
 exec/device.group_masked_sum).
 """
 
@@ -37,10 +37,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "packs") -> Mesh:
 
 
 def shard_packs(mesh: Mesh, tree, axis: str = "packs"):
-    """Place every array of a pytree with its leading axis sharded over
-    the mesh (pack-partitioned layout)."""
+    """Place every array of a pytree sharded on its pack axis: 3-d
+    arrays are plane-major planes [w, P, W] (pack axis 1, r4); 1-/2-d
+    arrays lead with the pack axis."""
     def put(x):
-        spec = P(axis, *([None] * (x.ndim - 1)))
+        if x.ndim == 3:
+            spec = P(None, axis, None)
+        else:
+            spec = P(axis, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(put, tree)
 
@@ -51,7 +55,7 @@ def sharded_scan_fn(mesh: Mesh, width: int, axis: str = "packs"):
     valid, lo, hi) -> (count i64, sum_lo u64, sum_hi u64) replicated."""
     shard_map = jax.shard_map
 
-    pspec = P(axis, None, None)
+    pspec = P(None, axis, None)
     vspec = P(axis, None)
     kspec = P(axis)
 
@@ -71,10 +75,10 @@ def sharded_scan_fn(mesh: Mesh, width: int, axis: str = "packs"):
 
 def _split_sum(planes, min_keys, mask_words, width: int):
     cnt = B.popcount_words(mask_words).astype(jnp.uint64)
-    lo = jnp.zeros(planes.shape[0], jnp.uint64)
-    hi = jnp.zeros(planes.shape[0], jnp.uint64)
+    lo = jnp.zeros(planes.shape[1], jnp.uint64)
+    hi = jnp.zeros(planes.shape[1], jnp.uint64)
     for p in range(width):
-        c = B.popcount_words(planes[:, p, :] & mask_words).astype(jnp.uint64)
+        c = B.popcount_words(planes[p] & mask_words).astype(jnp.uint64)
         if p < 32:
             lo = lo + (c << jnp.uint64(p))
         else:

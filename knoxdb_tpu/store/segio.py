@@ -14,11 +14,13 @@ usually compress well) and the per-codec choice is recorded in the array
 header — mirroring the reference's per-block compression byte. Codecs
 (r3, matching the reference's variety with what this image ships):
   zstd (default when the zstandard module is present — fastest decode,
-  best ratio at level 1), zlib (stdlib fallback/default otherwise),
-  lzma (stdlib, high-ratio cold archival). KNOX_SEG_COMPRESS selects
-  (zstd|zlib|lzma|off); the LOAD path decodes every codec regardless of
-  the knob, so blobs written under any setting interoperate. KXSEG001
-  blobs (round 1) still load.
+  best ratio at level 1), lz4 (r4: native C++ block codec,
+  native/knox_native.cc — the fast-decode point; no lz4 module in this
+  image), zlib (stdlib fallback/default otherwise), lzma (stdlib,
+  high-ratio cold archival). KNOX_SEG_COMPRESS selects
+  (zstd|lz4|zlib|lzma|off); the LOAD path decodes every codec
+  regardless of the knob, so blobs written under any setting
+  interoperate. KXSEG001 blobs (round 1) still load.
 """
 
 from __future__ import annotations
@@ -46,6 +48,25 @@ if _zstd is not None:
     _ZC = _zstd.ZstdCompressor(level=1)
     _ZD = _zstd.ZstdDecompressor()
     _CODECS["zstd"] = (_ZC.compress, _ZD.decompress)
+
+
+def _lz4_c(b: bytes) -> bytes:
+    # r4 (reference compress.go:54-70 lz4 point on the speed/ratio
+    # curve): native C++ LZ4 block codec (utils/native.py; literal-only
+    # python fallback keeps writes valid without a toolchain). The
+    # block format carries no length, so frame = u64 LE raw length +
+    # block.
+    from ..utils import native as NT
+    return struct.pack("<Q", len(b)) + NT.lz4_compress(b)
+
+
+def _lz4_d(b: bytes) -> bytes:
+    from ..utils import native as NT
+    (n,) = struct.unpack_from("<Q", b, 0)
+    return NT.lz4_decompress(b[8:], n)
+
+
+_CODECS["lz4"] = (_lz4_c, _lz4_d)
 
 _DEFAULT_CODEC = "zstd" if _zstd is not None else "zlib"
 

@@ -15,7 +15,8 @@ from pathlib import Path
 import numpy as np
 
 __all__ = ["lib", "bitplane_pack", "bitplane_unpack", "analyze_u64",
-           "bitset_indexes", "available"]
+           "bitset_indexes", "available", "lz4_compress",
+           "lz4_decompress"]
 
 _ROOT = Path(__file__).resolve().parents[2]
 _SRC = _ROOT / "native" / "knox_native.cc"
@@ -56,6 +57,13 @@ def _load() -> None:
         L.bitset_indexes.argtypes = [u32p, ctypes.c_int64, ctypes.c_uint32,
                                      u32p]
         L.bitset_indexes.restype = ctypes.c_int64
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        L.lz4_compress.argtypes = [u8p, ctypes.c_int64, u8p,
+                                   ctypes.c_int64]
+        L.lz4_compress.restype = ctypes.c_int64
+        L.lz4_decompress.argtypes = [u8p, ctypes.c_int64, u8p,
+                                     ctypes.c_int64]
+        L.lz4_decompress.restype = ctypes.c_int64
         lib = L
     except Exception:
         lib = None
@@ -129,3 +137,91 @@ def bitset_indexes(words: np.ndarray, base: int = 0) -> np.ndarray:
         return out[:k]
     bits = np.unpackbits(words.view(np.uint8), bitorder="little")
     return (np.flatnonzero(bits) + base).astype(np.uint32)
+
+
+# ------------------------------------------------------------------ lz4 --
+# LZ4 block codec (native C++; python fallbacks keep the decode-any-
+# codec contract alive without a toolchain — see store/segio.py).
+
+def lz4_compress(data: bytes) -> bytes:
+    src = np.frombuffer(data, np.uint8)
+    n = len(src)
+    if lib is not None:
+        cap = n + n // 255 + 16
+        out = np.empty(cap, np.uint8)
+        src_c = np.ascontiguousarray(src)
+        k = lib.lz4_compress(src_c if n else np.zeros(1, np.uint8), n,
+                             out, cap)
+        if k > 0:
+            return out[:k].tobytes()
+    # fallback: a literal-only LZ4 block (valid, decodable, ratio 1.0)
+    out = bytearray()
+    lit = n
+    if lit >= 15:
+        out.append(15 << 4)
+        r = lit - 15
+        while r >= 255:
+            out.append(255)
+            r -= 255
+        out.append(r)
+    else:
+        out.append(lit << 4)
+    out += data
+    return bytes(out)
+
+
+def lz4_decompress(data: bytes, out_len: int) -> bytes:
+    src = np.frombuffer(data, np.uint8)
+    if lib is not None:
+        out = np.empty(max(out_len, 1), np.uint8)
+        src_c = np.ascontiguousarray(src)
+        k = lib.lz4_decompress(src_c if len(src) else
+                               np.zeros(1, np.uint8), len(src),
+                               out, out_len)
+        if k == out_len:
+            return out[:k].tobytes()
+        if k >= 0:
+            raise ValueError(f"lz4: decoded {k} != expected {out_len}")
+        raise ValueError("lz4: malformed block")
+    # python fallback decoder (slow; correctness only). Truncated input
+    # must raise the same ValueError contract as the native path, never
+    # a bare IndexError (r4 review find).
+    try:
+        ip, iend = 0, len(data)
+        out = bytearray()
+        while ip < iend:
+            token = data[ip]
+            ip += 1
+            lit = token >> 4
+            if lit == 15:
+                while True:
+                    b = data[ip]
+                    ip += 1
+                    lit += b
+                    if b != 255:
+                        break
+            if ip + lit > iend:
+                raise ValueError("lz4: truncated literals")
+            out += data[ip:ip + lit]
+            ip += lit
+            if ip >= iend:
+                break
+            off = data[ip] | (data[ip + 1] << 8)
+            ip += 2
+            if off == 0 or off > len(out):
+                raise ValueError("lz4: bad offset")
+            mlen = (token & 15) + 4
+            if (token & 15) == 15:
+                while True:
+                    b = data[ip]
+                    ip += 1
+                    mlen += b
+                    if b != 255:
+                        break
+            for _ in range(mlen):
+                out.append(out[-off])
+    except IndexError:
+        raise ValueError("lz4: malformed block") from None
+    if len(out) != out_len:
+        raise ValueError(f"lz4: decoded {len(out)} != expected {out_len}")
+    return bytes(out)

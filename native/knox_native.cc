@@ -223,4 +223,140 @@ int64_t bitset_indexes(const uint32_t* words, int64_t n_words,
     return k;
 }
 
+// ---------------------------------------------------------------- lz4 --
+// LZ4 BLOCK format (https://github.com/lz4/lz4/blob/dev/doc/lz4_Block_format.md)
+// compress/decompress — the reference offers snappy/lz4/zstd outer
+// block codecs (internal/block/compress.go:54-70); this supplies the
+// lz4-class fast-decode point (no lz4 python module in this image).
+// Greedy single-pass hash-table matcher; decompressor validates bounds
+// and returns -1 on malformed input.
+
+static inline uint32_t lz4_hash32(uint32_t v) {
+    return (v * 2654435761u) >> 20;              // 12-bit bucket
+}
+
+int64_t lz4_compress_bound(int64_t n) { return n + n / 255 + 16; }
+
+int64_t lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
+                     int64_t cap) {
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + cap;
+    int64_t anchor = 0;
+    std::vector<int64_t> table(1 << 12, -1);
+    if (n >= 13) {
+        const int64_t mstart_limit = n - 12;     // last match start bound
+        const int64_t mend_limit = n - 5;        // last 5 bytes literal
+        int64_t i = 0;
+        while (i <= mstart_limit) {
+            uint32_t seq;
+            std::memcpy(&seq, src + i, 4);
+            const uint32_t h = lz4_hash32(seq);
+            const int64_t cand = table[h];
+            table[h] = i;
+            uint32_t cseq = 0;
+            if (cand >= 0 && i - cand <= 65535) {
+                std::memcpy(&cseq, src + cand, 4);
+            }
+            if (cand < 0 || i - cand > 65535 || cseq != seq) {
+                ++i;
+                continue;
+            }
+            int64_t mlen = 4;
+            const int64_t maxm = mend_limit - i;
+            while (mlen < maxm && src[cand + mlen] == src[i + mlen])
+                ++mlen;
+            const int64_t lit = i - anchor;
+            // token + ext lens + literals + offset + slack
+            if (op + 1 + lit / 255 + 1 + lit + 2 + mlen / 255 + 1 > oend)
+                return -1;
+            uint8_t* tok = op++;
+            int64_t l = lit;
+            if (l >= 15) {
+                *tok = (uint8_t)(15 << 4);
+                l -= 15;
+                while (l >= 255) { *op++ = 255; l -= 255; }
+                *op++ = (uint8_t)l;
+            } else {
+                *tok = (uint8_t)(l << 4);
+            }
+            std::memcpy(op, src + anchor, lit);
+            op += lit;
+            const uint16_t off = (uint16_t)(i - cand);
+            std::memcpy(op, &off, 2);
+            op += 2;
+            int64_t m = mlen - 4;
+            if (m >= 15) {
+                *tok |= 15;
+                m -= 15;
+                while (m >= 255) { *op++ = 255; m -= 255; }
+                *op++ = (uint8_t)m;
+            } else {
+                *tok |= (uint8_t)m;
+            }
+            i += mlen;
+            anchor = i;
+        }
+    }
+    // final literal run
+    const int64_t lit = n - anchor;
+    if (op + 1 + lit / 255 + 1 + lit > oend) return -1;
+    uint8_t* tok = op++;
+    int64_t l = lit;
+    if (l >= 15) {
+        *tok = (uint8_t)(15 << 4);
+        l -= 15;
+        while (l >= 255) { *op++ = 255; l -= 255; }
+        *op++ = (uint8_t)l;
+    } else {
+        *tok = (uint8_t)(l << 4);
+    }
+    std::memcpy(op, src + anchor, lit);
+    op += lit;
+    return op - dst;
+}
+
+int64_t lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t cap) {
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + n;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + cap;
+    while (ip < iend) {
+        const uint8_t token = *ip++;
+        int64_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                lit += b;
+            } while (b == 255);
+        }
+        if (ip + lit > iend || op + lit > oend) return -1;
+        std::memcpy(op, ip, lit);
+        op += lit;
+        ip += lit;
+        if (ip >= iend) break;                   // last sequence
+        if (ip + 2 > iend) return -1;
+        uint16_t off;
+        std::memcpy(&off, ip, 2);
+        ip += 2;
+        if (off == 0 || op - dst < off) return -1;
+        int64_t mlen = (token & 15) + 4;
+        if ((token & 15) == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        if (op + mlen > oend) return -1;
+        const uint8_t* m = op - off;
+        for (int64_t j = 0; j < mlen; ++j) op[j] = m[j];  // overlap-safe
+        op += mlen;
+    }
+    return op - dst;
+}
+
 }  // extern "C"

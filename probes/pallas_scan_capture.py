@@ -42,7 +42,7 @@ def main():
     vals = rng.integers(0, 1 << W_BITS, n, dtype=np.uint64)
     planes = jnp.asarray(np.stack([
         bitplane_pack(vals.reshape(P, PACK)[i], W_BITS, PACK)
-        for i in range(P)]))
+        for i in range(P)], axis=1))    # plane-major (r4)
     valid = jnp.full((P, W), np.uint32(0xFFFFFFFF))
     mk = np.zeros(P, np.uint64)
 

@@ -57,7 +57,7 @@ def main():
         min_keys = np.zeros(P, np.uint64)
         planes_np = np.stack([
             bitplane_pack(vals.reshape(P, PACK)[i], W_BITS, PACK)
-            for i in range(P)])                     # u32[P, w, W]
+            for i in range(P)], axis=1)             # u32[w, P, W] (r4)
         return vals, jnp.asarray(planes_np), jnp.asarray(min_keys)
 
     vals, planes, min_keys = make_inputs(1)

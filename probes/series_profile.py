@@ -132,6 +132,12 @@ def main():
                 qlo, qhi = GB.square_halves(rlo)
                 acc = acc + rlo.sum(dtype=jnp.int64) \
                     + qlo.sum(dtype=jnp.int64)
+            if depth == 5:       # r4 fused moments kernel (one pass)
+                c1, ch1, ch2 = GB.group_moments_mxu(
+                    gids, mask, (rlo, rhi), (qlo, qhi), G, C_m, qC,
+                    allow_pallas=True)
+                return acc + c1.sum() + ch1[0].sum().astype(jnp.int64) \
+                    + ch2[0].sum().astype(jnp.int64)
             if depth >= 2:
                 c1, ch1, _, _ = GB.group_aggregate_mxu(
                     gids, mask, (rlo, rhi), G, allow_pallas=depth >= 4,
@@ -169,9 +175,14 @@ def main():
     m_pal = marginal(stage_fn(4))
     print(f"# stage +both-kernels(pallas): cumulative {m_pal*1e3:.2f} ms",
           flush=True)
+    # r4 fused moments kernel: one pass for both halves
+    m_fus = marginal(stage_fn(5))
+    print(f"# stage +fused-moments(pallas): cumulative {m_fus*1e3:.2f} ms",
+          flush=True)
     print(f"# end-to-end model: xla {prev*1e3:.2f} ms -> "
           f"{n/prev/1e6:.0f} M rows/s; pallas {m_pal*1e3:.2f} ms -> "
-          f"{n/m_pal/1e6:.0f} M rows/s", flush=True)
+          f"{n/m_pal/1e6:.0f} M rows/s; fused {m_fus*1e3:.2f} ms -> "
+          f"{n/m_fus/1e6:.0f} M rows/s", flush=True)
 
     # host recombine cost
     os.environ["KNOX_SERIES_PALLAS"] = ""

@@ -20,9 +20,11 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 run verify   2400 python probes/verify_drive.py
+run bench    2400 python bench.py
 run suite5   3000 python bench_suite.py 5
 run suite234 3000 python bench_suite.py 2,3,4
 run suite6   2000 python bench_suite.py 6
-run bench    2400 python bench.py
+run series   3600 python probes/series_profile.py
+run spmdpal  2400 python probes/spmd_pallas_probe.py
 run wedge    2400 python probes/scan_wedge_probe.py
 echo done; cat "$OUT/summary.txt"

@@ -23,7 +23,7 @@ def make_packs(rng, P=3, width=7, base=1000):
     planes = np.stack([
         S.encode_bitpack(vals[p], 1, int(mins[p]), width, N).planes
         for p in range(P)
-    ])
+    ], axis=1)          # plane-major [w, P, W] (r4)
     return vals, jnp.asarray(planes), jnp.asarray(mins)
 
 
@@ -87,8 +87,8 @@ def test_width_zero_and_full_mask():
     # width=0 packs are constants; empty plane loops must still be correct
     P = 2
     mins = jnp.asarray(np.array([42, 7], np.uint64))
-    planes = jnp.zeros((P, 1, N // 32), jnp.uint32)
-    m = B.cmp_planes(FilterMode.EQ, planes[:, :0, :], mins, jnp.uint64(42), 0)
+    planes = jnp.zeros((1, P, N // 32), jnp.uint32)   # plane-major (r4)
+    m = B.cmp_planes(FilterMode.EQ, planes[:0], mins, jnp.uint64(42), 0)
     got = np.asarray(bs.unpack_mask(m))
     assert got[0].all() and not got[1].any()
 
@@ -132,12 +132,12 @@ def test_transpose_decode_all_widths(rng):
         vals = rng.integers(0, 1 << 62, (P, N), dtype=np.uint64)
         if width < 64:
             vals &= np.uint64((1 << width) - 1)
-        planes = np.zeros((P, max(width, 1), N // 32), np.uint32)
+        planes = np.zeros((max(width, 1), P, N // 32), np.uint32)
         for p in range(width):
             for pk in range(P):
                 bits = ((vals[pk] >> np.uint64(p)) & np.uint64(1)) \
                     .astype(np.uint32)
-                planes[pk, p] = (bits.reshape(-1, 32)
+                planes[p, pk] = (bits.reshape(-1, 32)
                                  << np.arange(32, dtype=np.uint32)).sum(
                                      axis=1, dtype=np.uint32)
         pj = jnp.asarray(planes)

@@ -17,7 +17,7 @@ def test_fused_range_sum_matches_oracle(rng, width, P):
     vals_abs = vals + mins[:, None]
     planes = np.stack([
         S.encode_bitpack(vals_abs[p], 1, int(mins[p]), width, N).planes
-        for p in range(P)])
+        for p in range(P)], axis=1)     # plane-major [w, P, W] (r4)
     valid = np.full((P, N // 32), 0xFFFFFFFF, np.uint32)
     valid[-1, -2:] = 0x0000FFFF      # partial pack edge
 
@@ -44,7 +44,7 @@ def test_exact_sum_reconstruction(rng):
     vals_abs = vals + mins[:, None]
     planes = np.stack([
         S.encode_bitpack(vals_abs[p], 1, int(mins[p]), width, N).planes
-        for p in range(P)])
+        for p in range(P)], axis=1)     # plane-major [w, P, W] (r4)
     valid = np.full((P, N // 32), 0xFFFFFFFF, np.uint32)
     lo, hi = jnp.uint64(500), jnp.uint64(10**6 + 3000)
     lob, hib, flags = PS.range_consts(jnp.asarray(mins), lo, hi, width)

@@ -24,7 +24,7 @@ def test_sharded_range_scan(rng):
     vals_abs = vals + mins[:, None]
     planes = np.stack([
         S.encode_bitpack(vals_abs[p], 1, int(mins[p]), width, pack_size).planes
-        for p in range(P)])
+        for p in range(P)], axis=1)     # plane-major (r4)
     valid = np.full((P, pack_size // 32), 0xFFFFFFFF, np.uint32)
 
     lo, hi = 600, 1600

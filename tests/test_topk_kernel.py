@@ -11,10 +11,11 @@ from knoxdb_tpu.ops import bitslice as BS
 
 def _mk_planes(vals_rel, width):
     P, N = vals_rel.shape
-    planes = np.zeros((P, width, N // 32), np.uint32)
+    # plane-major [w, P, W] (r4 device layout)
+    planes = np.zeros((width, P, N // 32), np.uint32)
     for p in range(width):
         for pk in range(P):
-            planes[pk, p] = bs.np_pack_mask(
+            planes[p, pk] = bs.np_pack_mask(
                 ((vals_rel[pk] >> p) & 1).astype(bool))
     return planes
 
@@ -38,7 +39,7 @@ def test_add_const_planes(rng):
     want = (rel + consts[:, None]) % (1 << wo)
     for b in range(wo):
         for pk in range(P):
-            got_bits = bs.np_unpack_mask(out[pk, b], N)
+            got_bits = bs.np_unpack_mask(out[b, pk], N)
             np.testing.assert_array_equal(
                 got_bits, ((want[pk] >> b) & 1).astype(bool),
                 err_msg=f"bit {b} pack {pk}")

@@ -249,3 +249,39 @@ def test_wal_delayed_sync(tmp_path):
     assert w.synced_lsn >= futs[-1]._lsn
     assert len(list(w.records())) == 10
     w.close()
+
+
+def test_lz4_block_codec(rng):
+    """r4 native LZ4 block codec (reference compress.go:54-70 lz4):
+    round-trips on adversarial inputs; the python fallback decoder
+    agrees with the native one; malformed input raises."""
+    from knoxdb_tpu.utils import native as NT
+
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 4,
+        bytes(rng.integers(0, 256, 100_000, dtype=np.uint8)),  # random
+        bytes(np.zeros(65_536, np.uint8)),                     # runs
+        bytes(rng.integers(0, 4, 200_000, dtype=np.uint8)),    # low ent
+        b"the quick brown fox " * 5000,                        # text
+    ]
+    for i, data in enumerate(cases):
+        comp = NT.lz4_compress(data)
+        out = NT.lz4_decompress(comp, len(data))
+        assert out == data, f"case {i} native roundtrip"
+        if NT.lib is not None:
+            # python fallback decoder must agree with the native block
+            saved, NT.lib = NT.lib, None
+            try:
+                out2 = NT.lz4_decompress(comp, len(data))
+            finally:
+                NT.lib = saved
+            assert out2 == data, f"case {i} python decoder"
+    # compressible data actually shrinks (native only)
+    if NT.lib is not None:
+        rep = b"0123456789abcdef" * 4096
+        assert len(NT.lz4_compress(rep)) < len(rep) // 4
+    import pytest
+    with pytest.raises(ValueError):
+        NT.lz4_decompress(b"\xf0\xff\xff", 10)   # truncated ext literals
