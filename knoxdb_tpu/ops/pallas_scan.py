@@ -89,7 +89,8 @@ _Z = np.int32(0)   # index-map zero: a python literal 0 traces as i64 under
 
 
 def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
-            mask_ref, pcnt_ref, cnt_ref, *, width: int):
+            mask_ref, pcnt_ref, cnt_ref, *, width: int,
+            blockwise: bool = False):
     _, T, W = planes_ref.shape
     lt_lo = jnp.zeros((T, W), jnp.uint32)
     eq_lo = jnp.full((T, W), _FULL_NP, jnp.uint32)
@@ -121,15 +122,24 @@ def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
     cnt_ref[:, 0] = jnp.sum(
         jax.lax.population_count(mask).astype(jnp.int32), axis=-1,
         dtype=jnp.int32)
-    for p in range(width):
-        x = planes_ref[p]
-        pcnt_ref[:, p] = jnp.sum(
-            jax.lax.population_count(x & mask).astype(jnp.int32), axis=-1,
-            dtype=jnp.int32)
+    if blockwise and width:
+        # wide columns (T=8 tiles): ONE [w, T, W] elementwise op + lane
+        # reduce + a tiny [w, T] -> [T, w] relayout — 2.5-2.7x over the
+        # per-plane second pass at w=41 (probes/ps_variants.py v7)
+        y = jax.lax.population_count(planes_ref[:width] & mask[None])
+        pcnt_ref[:, :] = jnp.sum(y.astype(jnp.int32), axis=-1,
+                                 dtype=jnp.int32).T
+    else:
+        for p in range(width):
+            x = planes_ref[p]
+            pcnt_ref[:, p] = jnp.sum(
+                jax.lax.population_count(x & mask).astype(jnp.int32),
+                axis=-1, dtype=jnp.int32)
 
 
 def _kernel_masked(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref,
-                   mask_in_ref, mask_ref, pcnt_ref, cnt_ref, *, width: int):
+                   mask_in_ref, mask_ref, pcnt_ref, cnt_ref, *, width: int,
+                   blockwise: bool = False):
     """fused cmp+sum with an INCOMING mask: mask_out = range-match &
     mask_in; pcnt = per-plane popcounts under mask_out. One HBM pass
     over the column serves both the predicate and the aggregate."""
@@ -164,11 +174,19 @@ def _kernel_masked(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref,
     cnt_ref[:, 0] = jnp.sum(
         jax.lax.population_count(mask).astype(jnp.int32), axis=-1,
         dtype=jnp.int32)
-    for p in range(width):
-        x = planes_ref[p]
-        pcnt_ref[:, p] = jnp.sum(
-            jax.lax.population_count(x & mask).astype(jnp.int32), axis=-1,
-            dtype=jnp.int32)
+    if blockwise and width:
+        # wide columns (T=8 tiles): ONE [w, T, W] elementwise op + lane
+        # reduce + a tiny [w, T] -> [T, w] relayout — 2.5-2.7x over the
+        # per-plane second pass at w=41 (probes/ps_variants.py v7)
+        y = jax.lax.population_count(planes_ref[:width] & mask[None])
+        pcnt_ref[:, :] = jnp.sum(y.astype(jnp.int32), axis=-1,
+                                 dtype=jnp.int32).T
+    else:
+        for p in range(width):
+            x = planes_ref[p]
+            pcnt_ref[:, p] = jnp.sum(
+                jax.lax.population_count(x & mask).astype(jnp.int32),
+                axis=-1, dtype=jnp.int32)
 
 
 def fused_range_sum_masked(planes, lo_bits, hi_bits, flags, mask_in,
@@ -182,7 +200,7 @@ def fused_range_sum_masked(planes, lo_bits, hi_bits, flags, mask_in,
     assert P % T == 0, f"P must be a multiple of {T}"
     w1 = max(w, 1)
     out = pl.pallas_call(
-        partial(_kernel_masked, width=width),
+        partial(_kernel_masked, width=width, blockwise=T == 8 and w > 28),
         grid=(P // T,),
         in_specs=[
             pl.BlockSpec((T, w1), lambda i: (i, _Z)),
@@ -217,7 +235,7 @@ def fused_range_sum(planes, lo_bits, hi_bits, flags, valid, width: int,
     assert P % T == 0, f"P must be a multiple of {T}"
     w1 = max(w, 1)
     out = pl.pallas_call(
-        partial(_kernel, width=width),
+        partial(_kernel, width=width, blockwise=T == 8 and w > 28),
         grid=(P // T,),
         in_specs=[
             pl.BlockSpec((T, w1), lambda i: (i, _Z)),

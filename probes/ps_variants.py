@@ -132,6 +132,21 @@ def k_v4(lo, hi, fl, planes, valid, mask_ref, pcnt_ref, cnt_ref, *,
             .astype(jnp.int32), axis=-1, dtype=jnp.int32)
 
 
+def k_v7(lo, hi, fl, planes, valid, mask_ref, pcnt_ref, cnt_ref, *,
+         width):
+    """Plane-major ladder + BLOCK-WISE pcnt (one [w, T, W] elementwise
+    op + lane reduce + tiny [w, T] -> [T, w] relayout)."""
+    _, T, W = planes.shape[0], planes.shape[1], planes.shape[2]
+    m = _ladder(lambda p: planes[p, :, :], lo, hi, fl, T, W, width) \
+        & valid[:, :]
+    mask_ref[:, :] = m
+    cnt_ref[:, 0] = jnp.sum(jax.lax.population_count(m).astype(jnp.int32),
+                            axis=-1, dtype=jnp.int32)
+    y = jax.lax.population_count(planes[:width] & m[None, :, :])
+    pcnt_ref[:, :] = jnp.sum(y.astype(jnp.int32), axis=-1,
+                             dtype=jnp.int32).T
+
+
 def build(P, w, W, T, kern, nouts, plane_major):
     w1 = max(w, 1)
     if plane_major:
@@ -218,7 +233,8 @@ def scan_loop(fn, *stacked_consts_and_args):
 
 def main():
     P = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    w, width = 16, 16
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    w = width
     W = 2048
     n = P * 65536
     rng = np.random.default_rng(0xF5)
@@ -270,6 +286,10 @@ def main():
          planes),
         ("v6 T=32 blockwise-pcnt", build(P, w, W, 32, k_v6, 3, False),
          planes),
+        ("v7 T=8 pm+blockwise", build(P, w, W, 8, k_v7, 3, True),
+         planes_pm),
+        ("v7 T=16 pm+blockwise", build(P, w, W, 16, k_v7, 3, True),
+         planes_pm),
     ]
     for name, f, pl_in in variants:
         try:

@@ -334,3 +334,82 @@ def test_group_query_g16384_and_orderby_k_large(rng):
     # under heavy CPU contention
     assert t_group < 120 and t_topk < 120, (t_group, t_topk)
     db.close()
+
+
+def test_group_moments_mxu_fused_vs_oracle(rng):
+    """r4 fused moments kernel (ONE pass for value + square chunks)
+    against a python-int oracle, pallas (interpret) and XLA fallback."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec import groupby as GB
+    from knoxdb_tpu.ops import bitset as bs
+    P, N, G = 2, 2048, 1000
+    gids = rng.integers(-1, G + 1, (P, N)).astype(np.int32)
+    vals = rng.integers(0, 1 << 31, (P, N), dtype=np.uint64)  # r < 2^32
+    mask = rng.random((P, N)) < 0.7
+    mw = jnp.asarray(np.stack([bs.np_pack_mask(mask[p]) for p in range(P)]))
+    gj = jnp.asarray(gids)
+    rlo = jnp.asarray(vals.astype(np.uint32))
+    rhi = jnp.zeros((P, N), jnp.uint32)
+    qlo, qhi = GB.square_halves(rlo)
+    C1, C2 = 4, 8
+    for ap in (True, False):
+        c, ch1, ch2 = GB.group_moments_mxu(gj, mw, (rlo, rhi),
+                                           (qlo, qhi), G, C1, C2,
+                                           allow_pallas=ap)
+        ok = mask & (gids >= 0) & (gids < G)
+        wc = np.zeros(G, np.int64)
+        ws = np.zeros(G, object)
+        wq = np.zeros(G, object)
+        for p in range(P):
+            for i in np.flatnonzero(ok[p]):
+                g = int(gids[p, i])
+                v = int(vals[p, i])
+                wc[g] += 1
+                ws[g] += v
+                wq[g] += v * v
+        np.testing.assert_array_equal(np.asarray(c), wc)
+        s1 = GB.mxu_chunk_sums(ch1)
+        s2 = GB.mxu_chunk_sums(ch2)
+        assert list(s1) == list(ws), f"value sums ap={ap}"
+        assert list(s2) == list(wq), f"square sums ap={ap}"
+
+
+def test_bucket32_gid_paths(rng):
+    """r4 bucket32/bucket32s gid fast paths vs the u64 reference:
+    below-t0 rows -> -1, beyond-range rows -> drop bin, pow2 interval
+    rides the static shift tag."""
+    import jax.numpy as jnp
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec import groupby as GB
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+
+    n = 4096
+    t0, G = 1_000_000, 64
+    sch = Builder("b").pk("id").add("ts", FieldType.UINT64).finish()
+    for iv, want_tag in ((64, "bucket32s:6"), (100, "bucket32"),
+                         ((1 << 40), "bucket")):
+        span = G * iv
+        ts = (t0 - 500 + rng.integers(0, span + 3000, n)).astype(np.uint64)
+        seg = build_segment(sch, {"id": np.zeros(n, np.uint64), "ts": ts},
+                            pack_size=1024)
+        d = DeviceSegment(seg)
+        gplan = GB.plan_buckets(d, "ts", t0, iv, G)
+        assert gplan.mode[0][0] == want_tag, (iv, gplan.mode[0][0])
+        tcol = d.column("ts")
+        gids = GB.row_gids(tuple(m[0] for m in gplan.mode),
+                           tuple(g.sig() for g in tcol.groups),
+                           tuple(g.idx for g in tcol.groups),
+                           [g.arrays for g in tcol.groups],
+                           GB.gid_consts(gplan), d.W)
+        got = np.asarray(gids).reshape(-1)[:n]
+        want = np.where(ts < t0, -1,
+                        ((ts - t0) // np.uint64(iv)).astype(np.int64))
+        # out-of-range rows may carry ANY gid >= G (drop bin); compare
+        # in-range exactly and class out-of-range
+        inr = (ts >= t0) & (ts < t0 + span)
+        np.testing.assert_array_equal(got[inr], want[inr])
+        assert (got[ts < t0] == -1).all()
+        over = (ts >= t0 + span)
+        assert (got[over] >= G).all()

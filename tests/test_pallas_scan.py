@@ -9,7 +9,8 @@ from knoxdb_tpu.encode import schemes as S
 from knoxdb_tpu.ops import pallas_scan as PS
 
 
-@pytest.mark.parametrize("width,P", [(8, 8), (16, 8), (1, 16)])
+@pytest.mark.parametrize("width,P", [(8, 8), (16, 8), (1, 16),
+                                     (41, 8)])  # 41: blockwise pcnt
 def test_fused_range_sum_matches_oracle(rng, width, P):
     N = 1024
     vals = rng.integers(0, 1 << width, (P, N), dtype=np.uint64)

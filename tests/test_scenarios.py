@@ -32,7 +32,7 @@ def test_workload_rich(seed, tmp_path):
     """Wide-surface DST: strings + int128 + hash index + tx aborts with
     group-by/top-k/point/index checks every few steps."""
     from knoxdb_tpu.testing.scenario import run_scenario_rich
-    rep = run_scenario_rich(seed, str(tmp_path / f"r{seed}"), steps=56)
+    rep = run_scenario_rich(seed, str(tmp_path / f"r{seed}"), steps=48)
     assert all(v > 0 for v in rep.values()), rep
 
 
