@@ -97,15 +97,34 @@ def bench_config2(n_packs: int, rng):
     _fn, args, raw = sc.prepare(tree, aggs)
     arrays, consts, overrides, valid, excl = args
 
+    # TWO fully-bound query variants, dynamic_indexed per iteration
+    # (bench.py's wedge-safe shape). r4: the whole-tree fused plan
+    # binds EVERY fused leaf's operands on the host, so scalar-const
+    # bumping no longer varies the program — without real variants XLA
+    # hoists the (now loop-invariant) kernel out of the scan and the
+    # marginal collapses to ~0 (observed: "993 G rows/s").
+    tree2 = and_(
+        leaf(Filter(sch.field("val"), FilterMode.RANGE, (1001, 50000))),
+        leaf(Filter(sch.field("acct"), FilterMode.EQ, b"acct-042")),
+        leaf(Filter(sch.field("bal"), FilterMode.GT, 1)),
+    ).optimize()
+    _f2, args2, _r2 = sc.prepare(tree2, aggs)
+    consts_st = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), consts, args2[1])
+    over_st = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), overrides, args2[2])
+
     # lax.scan (NOT fori_loop: Mosaic-in-fori hangs the remote compiler)
-    def many(arrays, consts, overrides, valid, excl, idxs):
+    def many(arrays, consts2, over2, valid, excl, idxs):
         def body(acc, i):
-            step = (i * jnp.uint64(0x9E3779B1)) % jnp.uint64(4096)
+            j = (i % 2).astype(jnp.int32)
             c = jax.tree_util.tree_map(
-                lambda x: x + step
-                if getattr(x, "dtype", None) == jnp.uint64 and x.ndim == 0
-                else x, consts)
-            _mask, counts, parts = raw(arrays, c, overrides, valid, excl)
+                lambda s: jax.lax.dynamic_index_in_dim(s, j, 0, False),
+                consts2)
+            o = jax.tree_util.tree_map(
+                lambda s: jax.lax.dynamic_index_in_dim(s, j, 0, False),
+                over2)
+            _mask, counts, parts = raw(arrays, c, o, valid, excl)
             p = parts[1][0]
             if isinstance(p, dict):       # fused Pallas pcnt form
                 chk = p["pcnt"].sum(dtype=jnp.int64) \
@@ -116,6 +135,7 @@ def bench_config2(n_packs: int, rng):
             return (acc[0] + counts.sum(), acc[1] + chk), None
         out, _ = jax.lax.scan(body, (jnp.int64(0), jnp.int64(0)), idxs)
         return out
+    consts, overrides = consts_st, over_st
 
     g = jax.jit(many)
 

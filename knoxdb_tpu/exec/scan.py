@@ -170,25 +170,31 @@ class SegmentScanner:
         # Cached per (field, width, lo, hi): repeated queries re-use the
         # device upload like every other leaf constant.
         if fuse is not None:
-            fuse_i, fuse_f = fuse
-            fl = leaves[fuse_i]
-            lo_v, hi_v = _mode_to_range_host(
-                fl.mode, int(fl.key), int(getattr(fl, "key_hi", 0) or 0))
-            fw = d.column(fuse_f).groups[0].sig()[1]
-            okey = (fuse_f, fw, lo_v, hi_v)
-            ops = self._fused_ops.get(okey)
-            if ops is None:
-                from ..ops import pallas_scan as PSC
-                g = d.column(fuse_f).groups[0]
-                mk = np.array([d.seg.columns[fuse_f].packs[i].min_key
-                               for i in g.idx], np.uint64)
-                lo_b, hi_b, flags = PSC.range_consts(
-                    mk, np.uint64(lo_v), np.uint64(hi_v), fw)
-                ops = (jnp.asarray(lo_b), jnp.asarray(hi_b),
-                       jnp.asarray(flags))
-                if len(self._fused_ops) < 256:
-                    self._fused_ops[okey] = ops
-            consts = list(consts) + [ops]
+            def bind(fuse_i, fuse_f):
+                fl = leaves[fuse_i]
+                lo_v, hi_v = _mode_to_range_host(
+                    fl.mode, int(fl.key),
+                    int(getattr(fl, "key_hi", 0) or 0))
+                fw = d.column(fuse_f).groups[0].sig()[1]
+                okey = (fuse_f, fw, lo_v, hi_v)
+                ops = self._fused_ops.get(okey)
+                if ops is None:
+                    from ..ops import pallas_scan as PSC
+                    g = d.column(fuse_f).groups[0]
+                    mk = np.array([d.seg.columns[fuse_f].packs[i].min_key
+                                   for i in g.idx], np.uint64)
+                    lo_b, hi_b, flags = PSC.range_consts(
+                        mk, np.uint64(lo_v), np.uint64(hi_v), fw)
+                    ops = (jnp.asarray(lo_b), jnp.asarray(hi_b),
+                           jnp.asarray(flags))
+                    if len(self._fused_ops) < 256:
+                        self._fused_ops[okey] = ops
+                return ops
+            if fuse[0] == "multi":
+                consts = list(consts) + [tuple(bind(i, f)
+                                               for i, f in fuse[1])]
+            else:
+                consts = list(consts) + [bind(*fuse)]
 
         arrays = d.arrays_pytree(used)
         excl = (jnp.asarray(exclude_words),) if has_excl else ()
@@ -573,13 +579,36 @@ class SegmentScanner:
     _PALLAS_MODES = (FilterMode.RANGE, FilterMode.GT, FilterMode.GE,
                      FilterMode.LT, FilterMode.LE, FilterMode.EQ)
 
+    def _fusable_col(self, fname: str):
+        """Single-group full-coverage narrow BITPACK column -> its
+        device group, else None (the fused kernels' input contract)."""
+        d = self.d
+        col = d.seg.columns.get(fname)
+        if col is None or col.field.type.is_float or col.wide:
+            return None
+        dcol = d.column(fname)
+        if len(dcol.groups) != 1 or dcol.groups[0].npacks != d.P \
+                or dcol.groups[0].scheme != Scheme.BITPACK:
+            return None
+        return dcol.groups[0]
+
     def _plan_fusion(self, tdesc, leaves, skip_leaf, aggs):
-        """Pick one (leaf, sum-agg) pair to fuse into the Pallas
-        cmp+masked-sum kernel: the leaf's column is read ONCE for both
-        the predicate and the aggregate (the reference's matcher-on-
-        compressed-container fusion, container.go:72-76, taken one step
-        further). Returns (leaf_index, field) or None."""
+        """Plan the Pallas scan fusion (the reference's matcher-on-
+        compressed-container idea, container.go:72-76, taken further).
+
+        r4 WHOLE-TREE form: every top-level AND leaf whose column is a
+        single-group narrow BITPACK (+ the sum-agg column) fuses into
+        ONE kernel — each column's planes stream HBM->VMEM exactly once
+        for compare AND aggregate, no intermediate XLA mask
+        materializations. Greedy width-descending selection under the
+        scoped-VMEM budget; non-fusable leaves stay in the XLA rest
+        mask. Returns None | (leaf_i, field)  [legacy single-leaf
+        kernel] | ("multi", ((leaf_i, field), ...), (fields...),
+        agg_slot)."""
+        import os
+
         from ..config import use_pallas
+        from ..ops import pallas_scan as PSC
         d = self.d
         if self.spmd or not use_pallas() or d.P % 8:
             return None
@@ -590,22 +619,53 @@ class SegmentScanner:
             top_leaves = [c for c in tdesc[1] if c[0] == "leaf"]
         if not top_leaves:
             return None
+        agg_f = None
         for a in aggs:
-            if a.op not in ("sum", "avg") or not a.field:
+            if a.op in ("sum", "avg") and a.field \
+                    and self._fusable_col(a.field) is not None:
+                agg_f = a.field
+                break
+        if agg_f is None:
+            return None
+
+        def width_of(fname):
+            return self._fusable_col(fname).sig()[1]
+
+        fusable = []
+        for c in top_leaves:
+            i = c[1]
+            fname = c[2]
+            if skip_leaf[i] or FilterMode(c[3]) not in self._PALLAS_MODES:
                 continue
-            col = d.seg.columns.get(a.field)
-            if col is None or col.field.type.is_float or col.wide:
+            if self._fusable_col(fname) is None:
                 continue
-            dcol = d.column(a.field)
-            if len(dcol.groups) != 1 or dcol.groups[0].npacks != d.P \
-                    or dcol.groups[0].scheme != Scheme.BITPACK:
+            fusable.append((i, fname))
+        if not fusable:
+            return None
+
+        single = next(((i, f) for i, f in fusable if f == agg_f), None)
+        if os.environ.get("KNOX_NO_PALLAS_TREE") == "1":
+            return single
+
+        # greedy: agg column is mandatory; add leaves widest-first while
+        # the total plane working set fits scoped VMEM
+        fields = [agg_f]
+        entries = []
+        for i, fname in sorted(fusable,
+                               key=lambda e: -width_of(e[1])):
+            nf = fields if fname in fields else fields + [fname]
+            if not PSC.tree_fits_vmem([width_of(x) for x in nf],
+                                      d.P, d.W):
                 continue
-            for c in top_leaves:
-                i = c[1]
-                if c[2] == a.field and not skip_leaf[i] \
-                        and FilterMode(c[3]) in self._PALLAS_MODES:
-                    return i, a.field
-        return None
+            fields = nf
+            entries.append((i, fname))
+        if not entries:
+            return single
+        if len(entries) == 1 and entries[0][1] == agg_f:
+            return entries[0]          # proven single-leaf kernel
+        entries.sort()
+        return ("multi", tuple(entries), tuple(fields),
+                fields.index(agg_f))
 
     @staticmethod
     def _drop_leaf(desc, i):
@@ -613,6 +673,15 @@ class SegmentScanner:
             return ("true",) if desc[1] == i else desc
         if desc[0] == "and":
             return ("and", tuple(SegmentScanner._drop_leaf(c, i)
+                                 for c in desc[1]))
+        return desc
+
+    @staticmethod
+    def _drop_leaves(desc, idxs):
+        if desc[0] == "leaf":
+            return ("true",) if desc[1] in idxs else desc
+        if desc[0] == "and":
+            return ("and", tuple(SegmentScanner._drop_leaves(c, idxs)
                                  for c in desc[1]))
         return desc
 
@@ -671,15 +740,24 @@ class SegmentScanner:
 
         fuse = self._plan_fusion(tdesc, leaves, skip_leaf, aggs)
         if fuse is not None:
-            fuse_i, fuse_f = fuse
-            fuse_width = d.column(fuse_f).groups[0].sig()[1]
-            tdesc_rest = self._drop_leaf(tdesc, fuse_i)
             from ..config import is_tpu
             interp = not is_tpu()
+            if fuse[0] == "multi":
+                _tag, f_entries, f_fields, f_agg_slot = fuse
+                fuse_f = f_fields[f_agg_slot]
+                f_slots = tuple(f_fields.index(f) for _i, f in f_entries)
+                f_widths = tuple(d.column(f).groups[0].sig()[1]
+                                 for f in f_fields)
+                tdesc_rest = self._drop_leaves(
+                    tdesc, frozenset(i for i, _f in f_entries))
+            else:
+                fuse_i, fuse_f = fuse
+                fuse_width = d.column(fuse_f).groups[0].sig()[1]
+                tdesc_rest = self._drop_leaf(tdesc, fuse_i)
 
         def fn(arrays, consts, overrides, valid, excl=()):
             if fuse is not None:
-                # one-pass Pallas kernel: the fused column's planes are
+                # one-pass Pallas kernel: each fused column's planes are
                 # read ONCE for predicate + aggregate (ops/pallas_scan).
                 # The kernel's per-plane select masks arrive PRE-BOUND
                 # from the host as the trailing consts entry (r3:
@@ -694,11 +772,20 @@ class SegmentScanner:
                     rest = rest & ~excl[0]
                 if has_incl:
                     rest = rest & excl[1 if has_excl else 0]
-                garr = arrays[fuse_f][0]
-                lo_b, hi_b, flags = consts[-1]
-                mask, pcnt, cnt = PSC.fused_range_sum_masked(
-                    garr["planes"], lo_b, hi_b, flags, rest, fuse_width,
-                    interpret=interp)
+                if fuse[0] == "multi":
+                    # r4 whole-tree kernel: ALL fused AND leaves + the
+                    # agg column in one pass (per-field planes deduped)
+                    planes_list = [arrays[f][0]["planes"]
+                                   for f in f_fields]
+                    mask, pcnt, cnt = PSC.fused_tree_sum(
+                        planes_list, consts[-1], f_slots, rest,
+                        f_widths, f_agg_slot, interpret=interp)
+                else:
+                    garr = arrays[fuse_f][0]
+                    lo_b, hi_b, flags = consts[-1]
+                    mask, pcnt, cnt = PSC.fused_range_sum_masked(
+                        garr["planes"], lo_b, hi_b, flags, rest,
+                        fuse_width, interpret=interp)
                 pack_counts = cnt
                 # per-plane popcounts go to the HOST for exact python-int
                 # recombination (_combine_sum): the x64-emulated u64

@@ -260,6 +260,129 @@ def fused_range_sum(planes, lo_bits, hi_bits, flags, valid, width: int,
     return mask, pcnt, cnt[:, 0]
 
 
+def _kernel_tree(*refs, nleaf: int, nfield: int, fwidths: tuple,
+                 leaf_field: tuple, agg_slot: int, agg_width: int,
+                 blockwise: bool):
+    """WHOLE-TREE fused scan (r4): every AND-leaf's compare ladder runs
+    in ONE kernel sharing each column's single HBM pass, the combined
+    mask feeds the agg column's masked per-plane popcounts. refs layout:
+    [lo_b, hi_b, flags] x nleaf, planes x nfield, mask_in,
+    then outputs mask, pcnt, cnt."""
+    consts = refs[:3 * nleaf]
+    planes = refs[3 * nleaf:3 * nleaf + nfield]
+    mask_in = refs[3 * nleaf + nfield]
+    mask_ref, pcnt_ref, cnt_ref = refs[3 * nleaf + nfield + 1:]
+    T = mask_in.shape[0]
+    W = mask_in.shape[1]
+
+    m = mask_in[:, :]
+    for j in range(nleaf):
+        lo_b, hi_b, fl = consts[3 * j:3 * j + 3]
+        pw = fwidths[leaf_field[j]]
+        pr = planes[leaf_field[j]]
+        lt_lo = jnp.zeros((T, W), jnp.uint32)
+        eq_lo = jnp.full((T, W), _FULL_NP, jnp.uint32)
+        lt_hi = jnp.zeros((T, W), jnp.uint32)
+        eq_hi = jnp.full((T, W), _FULL_NP, jnp.uint32)
+        for p in range(pw - 1, -1, -1):
+            x = pr[p]
+            cl = lo_b[:, p][:, None]
+            ch = hi_b[:, p][:, None]
+            lt_lo = lt_lo | (eq_lo & ~x & cl)
+            eq_lo = eq_lo & ~(x ^ cl)
+            lt_hi = lt_hi | (eq_hi & ~x & ch)
+            eq_hi = eq_hi & ~(x ^ ch)
+        lt_lo = lt_lo | fl[:, _F_LO_LT_ALL][:, None]
+        ge_lo = ~(lt_lo & ~fl[:, _F_LO_GE_NONE][:, None])
+        le_hi = lt_hi | (eq_hi & fl[:, _F_HI_IN][:, None])
+        le_hi = le_hi | fl[:, _F_HI_LT_ALL][:, None]
+        le_hi = le_hi & ~fl[:, _F_HI_GE_NONE][:, None]
+        m = m & ge_lo & le_hi
+    mask_ref[:, :] = m
+
+    cnt_ref[:, 0] = jnp.sum(
+        jax.lax.population_count(m).astype(jnp.int32), axis=-1,
+        dtype=jnp.int32)
+    apr = planes[agg_slot]
+    if blockwise and agg_width:
+        y = jax.lax.population_count(apr[:agg_width] & m[None])
+        pcnt_ref[:, :] = jnp.sum(y.astype(jnp.int32), axis=-1,
+                                 dtype=jnp.int32).T
+    else:
+        for p in range(agg_width):
+            pcnt_ref[:, p] = jnp.sum(
+                jax.lax.population_count(apr[p] & m).astype(jnp.int32),
+                axis=-1, dtype=jnp.int32)
+
+
+def fused_tree_sum(planes_list, leaf_ops, leaf_field, mask_in,
+                   fwidths: tuple, agg_slot: int,
+                   interpret: bool = False):
+    """Whole-AND-tree fused scan + masked agg popcounts (r4).
+
+    planes_list: per-FIELD plane arrays u32[w_f, P, W] (deduped —
+    several leaves may compare the same column); leaf_ops: per-LEAF
+    (lo_bits, hi_bits, flags) from range_consts; leaf_field: per-leaf
+    field slot; fwidths: per-field widths (static); agg_slot: field
+    slot whose planes feed the masked popcounts. Returns
+    (mask u32[P, W], plane_counts i32[P, max(w_agg, 1)], counts i32[P]).
+    """
+    nleaf = len(leaf_ops)
+    nfield = len(planes_list)
+    P = mask_in.shape[0]
+    W = mask_in.shape[1]
+    total_w = sum(fwidths)
+    T = _pick_tile(total_w, P, W)
+    agg_width = fwidths[agg_slot]
+    w1 = max(agg_width, 1)
+    blockwise = T == 8 and agg_width > 28
+
+    in_specs = []
+    args = []
+    for (lo_b, hi_b, fl), fs in zip(leaf_ops, leaf_field):
+        wf1 = max(fwidths[fs], 1)
+        in_specs += [pl.BlockSpec((T, wf1), lambda i: (i, _Z)),
+                     pl.BlockSpec((T, wf1), lambda i: (i, _Z)),
+                     pl.BlockSpec((T, _NFLAGS), lambda i: (i, _Z))]
+        args += [lo_b, hi_b, fl]
+    for fs, pr in enumerate(planes_list):
+        wf = fwidths[fs]
+        in_specs.append(
+            pl.BlockSpec((wf, T, W), lambda i: (_Z, i, _Z)))
+        args.append(pr)
+    in_specs.append(pl.BlockSpec((T, W), lambda i: (i, _Z)))
+    args.append(mask_in)
+
+    out = pl.pallas_call(
+        partial(_kernel_tree, nleaf=nleaf, nfield=nfield,
+                fwidths=tuple(fwidths), leaf_field=tuple(leaf_field),
+                agg_slot=agg_slot, agg_width=agg_width,
+                blockwise=blockwise),
+        grid=(P // T,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((T, W), lambda i: (i, _Z)),
+            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
+            pl.BlockSpec((T, 1), lambda i: (i, _Z)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, W), jnp.uint32),
+            jax.ShapeDtypeStruct((P, w1), jnp.int32),
+            jax.ShapeDtypeStruct((P, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*args)
+    mask, pcnt, cnt = out
+    return mask, pcnt, cnt[:, 0]
+
+
+def tree_fits_vmem(fwidths, P: int, W: int) -> bool:
+    """Host-side gate: does the whole-tree kernel's plane working set
+    fit scoped VMEM at some tile size? (same 3.4x model as _pick_tile)."""
+    total_w = sum(fwidths)
+    return P % 8 == 0 and 3.4 * 4 * max(total_w, 1) * 8 * W <= 15_500_000
+
+
 def fused_range_sum_ref(planes, min_keys, valid, lo, hi, width: int):
     """XLA reference implementation (same outputs) for oracle testing."""
     from . import bitslice as B

@@ -59,3 +59,56 @@ def test_exact_sum_reconstruction(rng):
         got = sum(int(pcnt[p, b]) << b for b in range(width)) \
             + int(mins[p]) * int(cnt[p])
         assert got == want and cnt[p] == m.sum()
+
+
+def test_whole_tree_fusion_vs_oracle(rng):
+    """r4 multi-leaf fused kernel: an AND of two bitpack leaves + a
+    bytes EQ (stays in the XLA rest mask) with sum on a third bitpack
+    column (agg NOT in the tree) — plan must pick the multi kernel and
+    results must match the numpy oracle exactly."""
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import AggSpec, SegmentScanner
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.query.filter import Filter, and_, leaf
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, FilterMode
+
+    n = 16384
+    sch = (Builder("t").pk("id")
+           .add("a", FieldType.UINT64)
+           .add("b", FieldType.INT64)
+           .add("s", FieldType.STRING)
+           .add("v", FieldType.UINT64)
+           .finish())
+    data = {
+        "id": np.arange(1, n + 1, dtype=np.uint64),
+        "a": rng.integers(0, 50_000, n, dtype=np.uint64),
+        "b": rng.integers(-1 << 30, 1 << 30, n, dtype=np.int64),
+        "s": np.array(["x", "y", "z"], object)[rng.integers(0, 3, n)],
+        "v": rng.integers(0, 1 << 40, n, dtype=np.uint64),
+    }
+    seg = build_segment(sch, data, pack_size=2048)
+    sc = SegmentScanner(DeviceSegment(seg))
+    tree = and_(
+        leaf(Filter(sch.field("a"), FilterMode.RANGE, (1000, 40_000))),
+        leaf(Filter(sch.field("b"), FilterMode.GT, 0)),
+        leaf(Filter(sch.field("s"), FilterMode.EQ, "y")),
+    ).optimize()
+    aggs = [AggSpec("count"), AggSpec("sum", "v")]
+    res = sc.scan(tree, aggs)
+    m = ((data["a"] >= 1000) & (data["a"] <= 40_000)
+         & (data["b"] > 0) & (data["s"] == "y"))
+    assert res.count == int(m.sum())
+    assert res.aggs[("sum", "v")] == int(data["v"][m].astype(object).sum())
+    # the plan must have chosen the multi kernel (2 fused leaves + the
+    # separate agg column)
+    multi = [s for s in sc._fns
+             if isinstance(s, tuple) and any(
+                 isinstance(x, tuple) and len(x) and x[0] == "multi"
+                 for x in s if isinstance(x, tuple))]
+    assert multi, "whole-tree fusion not selected"
+
+    # same query with sum on a LEAF column (agg in tree)
+    res2 = sc.scan(tree, [AggSpec("count"), AggSpec("sum", "b")])
+    assert res2.count == int(m.sum())
+    assert res2.aggs[("sum", "b")] == int(data["b"][m].astype(object).sum())
