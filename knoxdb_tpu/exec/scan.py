@@ -171,16 +171,39 @@ class SegmentScanner:
         # device upload like every other leaf constant.
         if fuse is not None:
             def bind(fuse_i, fuse_f):
+                from ..ops import pallas_scan as PSC
                 fl = leaves[fuse_i]
+                g = d.column(fuse_f).groups[0]
+                fw = g.sig()[1]
+                if g.scheme == Scheme.DICT:
+                    # dict leaf: per-pack CODE ranges (r4 phase 2 —
+                    # bytes/int dictionaries are sorted, so value
+                    # predicates are code ranges; misses get an
+                    # above-domain sentinel the range flags turn into
+                    # match-nothing)
+                    vrep = fl.value_bytes if g.dict_bytes is not None \
+                        else (int(fl.key),
+                              int(getattr(fl, "key_hi", 0) or 0))
+                    if isinstance(vrep, list):
+                        vrep = tuple(vrep)
+                    okey = (fuse_f, fw, "dict", fl.mode, vrep)
+                    ops = self._fused_ops.get(okey)
+                    if ops is None:
+                        lo_a, hi_a = _dict_code_range_host(fl, g)
+                        lo_b, hi_b, flags = PSC.range_consts(
+                            np.zeros(g.npacks, np.uint64), lo_a, hi_a,
+                            fw)
+                        ops = (jnp.asarray(lo_b), jnp.asarray(hi_b),
+                               jnp.asarray(flags))
+                        if len(self._fused_ops) < 256:
+                            self._fused_ops[okey] = ops
+                    return ops
                 lo_v, hi_v = _mode_to_range_host(
                     fl.mode, int(fl.key),
                     int(getattr(fl, "key_hi", 0) or 0))
-                fw = d.column(fuse_f).groups[0].sig()[1]
                 okey = (fuse_f, fw, lo_v, hi_v)
                 ops = self._fused_ops.get(okey)
                 if ops is None:
-                    from ..ops import pallas_scan as PSC
-                    g = d.column(fuse_f).groups[0]
                     mk = np.array([d.seg.columns[fuse_f].packs[i].min_key
                                    for i in g.idx], np.uint64)
                     lo_b, hi_b, flags = PSC.range_consts(
@@ -579,18 +602,26 @@ class SegmentScanner:
     _PALLAS_MODES = (FilterMode.RANGE, FilterMode.GT, FilterMode.GE,
                      FilterMode.LT, FilterMode.LE, FilterMode.EQ)
 
-    def _fusable_col(self, fname: str):
-        """Single-group full-coverage narrow BITPACK column -> its
-        device group, else None (the fused kernels' input contract)."""
+    def _fusable_col(self, fname: str, leaf_ok: bool = False):
+        """Single-group full-coverage column whose planes the fused
+        kernels can consume -> its device group, else None. Aggregates
+        need BITPACK value planes; LEAVES (leaf_ok=True) may also be
+        DICT groups — their code planes compare against per-pack
+        code-range constants (r4 phase 2; the reference's
+        matcher-on-dict-container fusion)."""
         d = self.d
         col = d.seg.columns.get(fname)
         if col is None or col.field.type.is_float or col.wide:
             return None
         dcol = d.column(fname)
-        if len(dcol.groups) != 1 or dcol.groups[0].npacks != d.P \
-                or dcol.groups[0].scheme != Scheme.BITPACK:
+        if len(dcol.groups) != 1 or dcol.groups[0].npacks != d.P:
             return None
-        return dcol.groups[0]
+        g = dcol.groups[0]
+        if g.scheme == Scheme.BITPACK:
+            return g
+        if leaf_ok and g.scheme == Scheme.DICT and g.sig()[1] > 0:
+            return g
+        return None
 
     def _plan_fusion(self, tdesc, leaves, skip_leaf, aggs):
         """Plan the Pallas scan fusion (the reference's matcher-on-
@@ -629,7 +660,7 @@ class SegmentScanner:
             return None
 
         def width_of(fname):
-            return self._fusable_col(fname).sig()[1]
+            return self._fusable_col(fname, leaf_ok=True).sig()[1]
 
         fusable = []
         for c in top_leaves:
@@ -637,7 +668,7 @@ class SegmentScanner:
             fname = c[2]
             if skip_leaf[i] or FilterMode(c[3]) not in self._PALLAS_MODES:
                 continue
-            if self._fusable_col(fname) is None:
+            if self._fusable_col(fname, leaf_ok=True) is None:
                 continue
             fusable.append((i, fname))
         if not fusable:
@@ -1089,6 +1120,60 @@ class SegmentScanner:
                     v = (v << 32) | limbs[l][m].astype(object)
                 out[m] = v - bias
         return out
+
+
+def _dict_code_range_host(leaf, g):
+    """Per-pack inclusive CODE ranges for a DICT-group leaf (host twin
+    of exec/rewrite._dict_consts/_dict_consts_bytes for the fused tree
+    kernel): dictionaries are sorted, so EQ/LT/LE/GT/GE/RANGE map to
+    half-open code intervals via bisect; empty intervals encode as the
+    universally-empty (1, 0) and EQ misses as an above-domain sentinel.
+    Returns (lo u64[P], hi u64[P])."""
+    import bisect
+    P = g.npacks
+    lo = np.zeros(P, np.uint64)
+    hi = np.zeros(P, np.uint64)
+    m = leaf.mode
+    is_bytes = g.dict_bytes is not None
+    for j in range(P):
+        if is_bytes:
+            dk = g.dict_bytes[j]
+            v = leaf.value_bytes
+            v0, v1 = (v[0], v[1]) if m == FilterMode.RANGE else (v, v)
+        else:
+            dk = g.dict_keys[j]
+            v0 = np.uint64(int(leaf.key))
+            v1 = np.uint64(int(getattr(leaf, "key_hi", 0) or 0)) \
+                if m == FilterMode.RANGE else v0
+        card = len(dk)
+        if is_bytes:
+            lb0 = bisect.bisect_left(dk, v0)
+            ub0 = bisect.bisect_right(dk, v0)
+            ub1 = bisect.bisect_right(dk, v1)
+            lb1 = lb0
+        else:
+            lb0 = int(np.searchsorted(dk, v0, side="left"))
+            ub0 = int(np.searchsorted(dk, v0, side="right"))
+            ub1 = int(np.searchsorted(dk, v1, side="right"))
+        if m == FilterMode.EQ:
+            l, h = lb0, ub0                    # [pos, pos+1) or empty
+        elif m == FilterMode.LT:
+            l, h = 0, lb0
+        elif m == FilterMode.LE:
+            l, h = 0, ub0
+        elif m == FilterMode.GT:
+            l, h = ub0, card
+        elif m == FilterMode.GE:
+            l, h = lb0, card
+        elif m == FilterMode.RANGE:
+            l, h = lb0, ub1
+        else:
+            raise ValueError(f"_dict_code_range_host: {m}")
+        if h <= l:
+            lo[j], hi[j] = 1, 0                # universally empty
+        else:
+            lo[j], hi[j] = l, h - 1
+    return lo, hi
 
 
 def _mode_to_range_host(mode: FilterMode, lo: int, hi: int):

@@ -112,3 +112,72 @@ def test_whole_tree_fusion_vs_oracle(rng):
     res2 = sc.scan(tree, [AggSpec("count"), AggSpec("sum", "b")])
     assert res2.count == int(m.sum())
     assert res2.aggs[("sum", "b")] == int(data["b"][m].astype(object).sum())
+
+
+def test_dict_leaf_fusion_vs_oracle(rng):
+    """r4 phase 2: DICT (bytes + int-dict) leaves fuse as per-pack code
+    ranges. Every fusable mode vs the numpy oracle, incl. values absent
+    from some packs' dictionaries (miss -> empty code range)."""
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import AggSpec, SegmentScanner
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.query.filter import Filter, and_, leaf
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, FilterMode
+
+    n = 8192
+    sch = (Builder("t").pk("id")
+           .add("s", FieldType.STRING)
+           .add("k", FieldType.UINT32)
+           .add("v", FieldType.UINT64)
+           .finish())
+    # uniform dictionaries (every pack sees the full pool) -> ONE
+    # device group, the fused-kernel contract; a nowhere-present value
+    # ("qq") covers the empty-code-range miss path
+    svals = np.array(["aa", "bb", "cc", "dd", "zz"], object)
+    sidx = rng.integers(0, 5, n)
+    kpool = np.array([10, 20, 30, 40, 500_000], np.uint64)
+    kidx = rng.integers(0, 5, n)
+    data = {
+        "id": np.arange(1, n + 1, dtype=np.uint64),
+        "s": svals[sidx],
+        "k": kpool[kidx].astype(np.uint64),
+        "v": rng.integers(0, 1 << 30, n, dtype=np.uint64),
+    }
+    seg = build_segment(sch, data, pack_size=1024)
+    sc = SegmentScanner(DeviceSegment(seg))
+    from knoxdb_tpu.encode.schemes import Scheme
+    assert sc.d.column("s").groups[0].scheme == Scheme.DICT
+    assert sc.d.column("k").groups[0].scheme == Scheme.DICT
+
+    cases = [
+        (Filter(sch.field("s"), FilterMode.EQ, "zz"),
+         data["s"] == "zz"),
+        (Filter(sch.field("s"), FilterMode.EQ, "qq"),   # miss everywhere
+         np.zeros(n, bool)),
+        (Filter(sch.field("s"), FilterMode.RANGE, ("bb", "dd")),
+         (data["s"] >= "bb") & (data["s"] <= "dd")),
+        (Filter(sch.field("s"), FilterMode.GT, "cc"),
+         data["s"] > "cc"),
+        (Filter(sch.field("k"), FilterMode.EQ, 500_000),
+         data["k"] == 500_000),
+        (Filter(sch.field("k"), FilterMode.LE, 20),
+         data["k"] <= 20),
+        (Filter(sch.field("k"), FilterMode.RANGE, (20, 40)),
+         (data["k"] >= 20) & (data["k"] <= 40)),
+    ]
+    for f, m_leaf in cases:
+        tree = and_(leaf(f),
+                    leaf(Filter(sch.field("v"), FilterMode.GT, 1000))
+                    ).optimize()
+        m = m_leaf & (data["v"] > 1000)
+        res = sc.scan(tree, [AggSpec("count"), AggSpec("sum", "v")])
+        assert res.count == int(m.sum()), f"{f.mode} count"
+        assert res.aggs[("sum", "v")] == \
+            int(data["v"][m].astype(object).sum()), f"{f.mode} sum"
+    # the dict leaves must actually be IN the fused fields
+    multi_sigs = [x for s in sc._fns if isinstance(s, tuple)
+                  for x in s if isinstance(x, tuple) and len(x) == 4
+                  and x[0] == "multi"]
+    assert any("s" in x[2] or "k" in x[2] for x in multi_sigs), \
+        "dict leaf never fused"
