@@ -78,7 +78,9 @@ class SegmentScanner:
         self.d = dseg
         self._fns: dict = {}
         self._acache: dict = {}    # (tdesc, leaf values) -> uploaded args
-        self._fused_ops: dict = {}  # (field, w, lo, hi) -> kernel operands
+        self._fused_ops: dict = {}  # kernel operand cache; keys:
+        # bitpack (field, w, lo, hi) / dict (field, w, "dict",
+        # mode, value)
 
     # ------------------------------------------------------------ public --
 
@@ -178,9 +180,9 @@ class SegmentScanner:
                 if g.scheme == Scheme.DICT:
                     # dict leaf: per-pack CODE ranges (r4 phase 2 —
                     # bytes/int dictionaries are sorted, so value
-                    # predicates are code ranges; misses get an
-                    # above-domain sentinel the range flags turn into
-                    # match-nothing)
+                    # predicates are code ranges; misses/empties are
+                    # the inverted (1, 0) interval, which the kernel
+                    # ladders satisfy for no row)
                     vrep = fl.value_bytes if g.dict_bytes is not None \
                         else (int(fl.key),
                               int(getattr(fl, "key_hi", 0) or 0))
@@ -195,7 +197,7 @@ class SegmentScanner:
                             fw)
                         ops = (jnp.asarray(lo_b), jnp.asarray(hi_b),
                                jnp.asarray(flags))
-                        if len(self._fused_ops) < 256:
+                        if len(self._fused_ops) < 1024:
                             self._fused_ops[okey] = ops
                     return ops
                 lo_v, hi_v = _mode_to_range_host(
@@ -210,7 +212,7 @@ class SegmentScanner:
                         mk, np.uint64(lo_v), np.uint64(hi_v), fw)
                     ops = (jnp.asarray(lo_b), jnp.asarray(hi_b),
                            jnp.asarray(flags))
-                    if len(self._fused_ops) < 256:
+                    if len(self._fused_ops) < 1024:
                         self._fused_ops[okey] = ops
                 return ops
             if fuse[0] == "multi":
@@ -1125,9 +1127,14 @@ class SegmentScanner:
 def _dict_code_range_host(leaf, g):
     """Per-pack inclusive CODE ranges for a DICT-group leaf (host twin
     of exec/rewrite._dict_consts/_dict_consts_bytes for the fused tree
-    kernel): dictionaries are sorted, so EQ/LT/LE/GT/GE/RANGE map to
-    half-open code intervals via bisect; empty intervals encode as the
-    universally-empty (1, 0) and EQ misses as an above-domain sentinel.
+    kernel — the three MUST agree predicate-by-predicate; the fused-vs-
+    unfused equivalence test in tests/test_pallas_scan.py guards the
+    pair): dictionaries are sorted, so EQ/LT/LE/GT/GE/RANGE map to
+    half-open code intervals via bisect. Empty intervals (incl. EQ
+    misses) encode as the universally-empty inverted pair (1, 0): the
+    kernel's bit ladders then require code >= 1 AND code <= 0, which no
+    row satisfies — there is NO separate sentinel path here (unlike
+    rewrite.py's _MISS, which rides the XLA matcher's in_dom flag).
     Returns (lo u64[P], hi u64[P])."""
     import bisect
     P = g.npacks
@@ -1140,33 +1147,28 @@ def _dict_code_range_host(leaf, g):
             dk = g.dict_bytes[j]
             v = leaf.value_bytes
             v0, v1 = (v[0], v[1]) if m == FilterMode.RANGE else (v, v)
+            lb = lambda x: bisect.bisect_left(dk, x)      # noqa: E731
+            ub = lambda x: bisect.bisect_right(dk, x)     # noqa: E731
         else:
             dk = g.dict_keys[j]
             v0 = np.uint64(int(leaf.key))
             v1 = np.uint64(int(getattr(leaf, "key_hi", 0) or 0)) \
                 if m == FilterMode.RANGE else v0
+            lb = lambda x: int(np.searchsorted(dk, x, "left"))   # noqa: E731
+            ub = lambda x: int(np.searchsorted(dk, x, "right"))  # noqa: E731
         card = len(dk)
-        if is_bytes:
-            lb0 = bisect.bisect_left(dk, v0)
-            ub0 = bisect.bisect_right(dk, v0)
-            ub1 = bisect.bisect_right(dk, v1)
-            lb1 = lb0
-        else:
-            lb0 = int(np.searchsorted(dk, v0, side="left"))
-            ub0 = int(np.searchsorted(dk, v0, side="right"))
-            ub1 = int(np.searchsorted(dk, v1, side="right"))
         if m == FilterMode.EQ:
-            l, h = lb0, ub0                    # [pos, pos+1) or empty
+            l, h = lb(v0), ub(v0)              # [pos, pos+1) or empty
         elif m == FilterMode.LT:
-            l, h = 0, lb0
+            l, h = 0, lb(v0)
         elif m == FilterMode.LE:
-            l, h = 0, ub0
+            l, h = 0, ub(v0)
         elif m == FilterMode.GT:
-            l, h = ub0, card
+            l, h = ub(v0), card
         elif m == FilterMode.GE:
-            l, h = lb0, card
+            l, h = lb(v0), card
         elif m == FilterMode.RANGE:
-            l, h = lb0, ub1
+            l, h = lb(v0), ub(v1)
         else:
             raise ValueError(f"_dict_code_range_host: {m}")
         if h <= l:

@@ -181,3 +181,50 @@ def test_dict_leaf_fusion_vs_oracle(rng):
                   and x[0] == "multi"]
     assert any("s" in x[2] or "k" in x[2] for x in multi_sigs), \
         "dict leaf never fused"
+
+
+def test_fused_vs_unfused_equivalence(rng, monkeypatch):
+    """The whole-tree kernel and the XLA matcher path MUST agree
+    predicate-by-predicate (the dict code-interval mapping lives in two
+    host twins — scan._dict_code_range_host vs rewrite._dict_consts* —
+    and this is the guard): run the same randomized query set with the
+    tree kernel on and off and compare counts + sums exactly."""
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import AggSpec, SegmentScanner
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.query.filter import Filter, and_, leaf
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, FilterMode
+
+    n = 8192
+    sch = (Builder("t").pk("id")
+           .add("s", FieldType.STRING)
+           .add("a", FieldType.UINT64)
+           .add("v", FieldType.INT64)
+           .finish())
+    svals = np.array(["aa", "bb", "cc", "dd", "zz"], object)
+    data = {
+        "id": np.arange(1, n + 1, dtype=np.uint64),
+        "s": svals[rng.integers(0, 5, n)],
+        "a": rng.integers(0, 60_000, n, dtype=np.uint64),
+        "v": rng.integers(-1 << 30, 1 << 30, n, dtype=np.int64),
+    }
+    seg = build_segment(sch, data, pack_size=1024)
+    queries = []
+    for mode, val in [(FilterMode.EQ, "bb"), (FilterMode.GT, "cc"),
+                      (FilterMode.LE, "aa"), (FilterMode.EQ, "qq"),
+                      (FilterMode.RANGE, ("bb", "dd"))]:
+        queries.append(and_(
+            leaf(Filter(sch.field("s"), mode, val)),
+            leaf(Filter(sch.field("a"), FilterMode.RANGE, (5, 55_000))),
+            leaf(Filter(sch.field("v"), FilterMode.GT, -1000)),
+        ).optimize())
+    aggs = [AggSpec("count"), AggSpec("sum", "v")]
+
+    results = {}
+    for tag, env in (("fused", "0"), ("unfused", "1")):
+        monkeypatch.setenv("KNOX_NO_PALLAS_TREE", env)
+        sc = SegmentScanner(DeviceSegment(seg))
+        results[tag] = [(r.count, r.aggs[("sum", "v")])
+                        for r in (sc.scan(q, aggs) for q in queries)]
+    assert results["fused"] == results["unfused"]
