@@ -658,7 +658,15 @@ class SegmentScanner:
                     and self._fusable_col(a.field) is not None:
                 agg_f = a.field
                 break
-        if agg_f is None:
+        if agg_f is None and os.environ.get(
+                "KNOX_PALLAS_MASKONLY") != "1":
+            # MASK-ONLY tree fusion (no aggregate column: count /
+            # group-by / top-k / stream / join-side plans) is wired but
+            # OPT-IN: it would put a Mosaic call inside MANY more
+            # program shapes (series/group programs already carry the
+            # group kernel) and the r2/r3 wedge history says stability
+            # is program-specific — flip only after a dedicated
+            # repeat-execution probe on the target libtpu.
             return None
 
         def width_of(fname):
@@ -680,9 +688,10 @@ class SegmentScanner:
         if os.environ.get("KNOX_NO_PALLAS_TREE") == "1":
             return single
 
-        # greedy: agg column is mandatory; add leaves widest-first while
-        # the total plane working set fits scoped VMEM
-        fields = [agg_f]
+        # greedy: agg column is mandatory (when present); add leaves
+        # widest-first while the total plane working set fits scoped
+        # VMEM
+        fields = [agg_f] if agg_f is not None else []
         entries = []
         for i, fname in sorted(fusable,
                                key=lambda e: -width_of(e[1])):
@@ -698,7 +707,7 @@ class SegmentScanner:
             return entries[0]          # proven single-leaf kernel
         entries.sort()
         return ("multi", tuple(entries), tuple(fields),
-                fields.index(agg_f))
+                fields.index(agg_f) if agg_f is not None else -1)
 
     @staticmethod
     def _drop_leaf(desc, i):
@@ -777,7 +786,8 @@ class SegmentScanner:
             interp = not is_tpu()
             if fuse[0] == "multi":
                 _tag, f_entries, f_fields, f_agg_slot = fuse
-                fuse_f = f_fields[f_agg_slot]
+                fuse_f = f_fields[f_agg_slot] if f_agg_slot >= 0 \
+                    else None
                 f_slots = tuple(f_fields.index(f) for _i, f in f_entries)
                 f_widths = tuple(d.column(f).groups[0].sig()[1]
                                  for f in f_fields)

@@ -303,6 +303,10 @@ def _kernel_tree(*refs, nleaf: int, nfield: int, fwidths: tuple,
     cnt_ref[:, 0] = jnp.sum(
         jax.lax.population_count(m).astype(jnp.int32), axis=-1,
         dtype=jnp.int32)
+    if agg_slot < 0:                   # mask-only plan (count/group/
+        pcnt_ref[:, :] = jnp.zeros(    # top-k/stream queries, r4)
+            pcnt_ref.shape, jnp.int32)
+        return
     apr = planes[agg_slot]
     if blockwise and agg_width:
         y = jax.lax.population_count(apr[:agg_width] & m[None])
@@ -324,7 +328,9 @@ def fused_tree_sum(planes_list, leaf_ops, leaf_field, mask_in,
     several leaves may compare the same column); leaf_ops: per-LEAF
     (lo_bits, hi_bits, flags) from range_consts; leaf_field: per-leaf
     field slot; fwidths: per-field widths (static); agg_slot: field
-    slot whose planes feed the masked popcounts. Returns
+    slot whose planes feed the masked popcounts, or -1 for MASK-ONLY
+    plans (count/group-by/top-k/stream queries — no aggregate column;
+    pcnt output is a zeroed [P, 1] placeholder). Returns
     (mask u32[P, W], plane_counts i32[P, max(w_agg, 1)], counts i32[P]).
     """
     nleaf = len(leaf_ops)
@@ -333,7 +339,7 @@ def fused_tree_sum(planes_list, leaf_ops, leaf_field, mask_in,
     W = mask_in.shape[1]
     total_w = sum(fwidths)
     T = _pick_tile(total_w, P, W)
-    agg_width = fwidths[agg_slot]
+    agg_width = fwidths[agg_slot] if agg_slot >= 0 else 0
     w1 = max(agg_width, 1)
     blockwise = T == 8 and agg_width > 28
 

@@ -297,6 +297,25 @@ def _check_rich(t, model: dict, rng) -> None:
     g0 = int(rng.integers(0, 8))
     cnt = t.query().where(grp=g0).count()
     A.always(cnt == want.get(g0, 0), "index.point", (g0, cnt))
+    # series buckets over the SIGNED val domain (r4: bucket32s
+    # static-shift gids + the fused moments kernel) vs the model —
+    # exact count and integer sum per non-empty bucket
+    from ..series import SeriesRequest, run_series
+    START, IV = -(1 << 20), 1 << 15
+    sout = run_series(SeriesRequest(table=t, time_field="val",
+                                    start=START, end=1 << 20,
+                                    interval=IV, aggs=[("sum", "val")]))
+    wsc: dict[int, list] = {}
+    for _g, _nm, v, _b, _pr in model.values():
+        b = (int(v) - START) // IV
+        e = wsc.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += int(v)
+    gsc = {int((int(tv) - START) // IV): (int(c), int(s))
+           for tv, c, s in zip(sout["time"], sout["count"],
+                               sout[("sum", "val")]) if int(c)}
+    A.always(gsc == {b: (c, s) for b, (c, s) in wsc.items()},
+             "series.buckets", (len(gsc), len(wsc)))
     # top-k by val (bit-descent path) matches model ordering
     k = min(5, len(model))
     rows = t.query().order_by("val", desc=True).limit(k).select(

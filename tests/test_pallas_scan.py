@@ -228,3 +228,45 @@ def test_fused_vs_unfused_equivalence(rng, monkeypatch):
         results[tag] = [(r.count, r.aggs[("sum", "v")])
                         for r in (sc.scan(q, aggs) for q in queries)]
     assert results["fused"] == results["unfused"]
+
+
+def test_mask_only_tree_fusion(rng, monkeypatch):
+    """Opt-in mask-only whole-tree fusion (KNOX_PALLAS_MASKONLY=1):
+    count-only and min-agg queries plan the kernel with agg_slot=-1 and
+    stay oracle-exact (incl. projection via the kernel's mask)."""
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import AggSpec, SegmentScanner
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.query.filter import Filter, and_, leaf
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, FilterMode
+
+    monkeypatch.setenv("KNOX_PALLAS_MASKONLY", "1")
+    n = 8192
+    sch = (Builder("t").pk("id")
+           .add("a", FieldType.UINT64)
+           .add("b", FieldType.INT64)
+           .finish())
+    data = {
+        "id": np.arange(1, n + 1, dtype=np.uint64),
+        "a": rng.integers(0, 50_000, n, dtype=np.uint64),
+        "b": rng.integers(-1 << 30, 1 << 30, n, dtype=np.int64),
+    }
+    seg = build_segment(sch, data, pack_size=1024)
+    sc = SegmentScanner(DeviceSegment(seg))
+    tree = and_(
+        leaf(Filter(sch.field("a"), FilterMode.RANGE, (100, 30_000))),
+        leaf(Filter(sch.field("b"), FilterMode.LE, 12345)),
+    ).optimize()
+    m = (data["a"] >= 100) & (data["a"] <= 30_000) & (data["b"] <= 12345)
+    res = sc.scan(tree, [AggSpec("count")])
+    assert res.count == int(m.sum())
+    res2 = sc.scan(tree, [AggSpec("count"), AggSpec("min", "b")])
+    assert res2.count == int(m.sum())
+    assert res2.aggs[("min", "b")] == int(data["b"][m].min())
+    res3 = sc.scan(tree, [AggSpec("count")], project=["a"], limit=50)
+    assert len(res3.rows["a"]) == min(50, int(m.sum()))
+    sigs = [x for s in sc._fns if isinstance(s, tuple)
+            for x in s if isinstance(x, tuple) and len(x) == 4
+            and x[0] == "multi"]
+    assert any(x[3] == -1 for x in sigs), "mask-only plan not selected"
