@@ -116,6 +116,12 @@ def main():
         pct = 100.0 * eff_bps / stream_bps
         bw_note = (f" stream={stream_bps/1e9:.0f}GB/s "
                    f"eff={eff_bps/1e9:.0f}GB/s pct_of_measured_bw={pct:.0f}")
+        if pct > 100:
+            # the POOL is shared: the stream denominator and the query
+            # marginal sample different instantaneous loads, so >100%
+            # means the stream ran during a loaded window — the
+            # marginal (stable across pools) is the quotable number
+            bw_note += " (>100: stream sampled a loaded window)"
     except Exception as e:                    # pragma: no cover
         bw_note = f" stream_failed={type(e).__name__}"
 
