@@ -662,11 +662,13 @@ class SegmentScanner:
                 "KNOX_PALLAS_MASKONLY") != "1":
             # MASK-ONLY tree fusion (no aggregate column: count /
             # group-by / top-k / stream / join-side plans) is wired but
-            # OPT-IN: it would put a Mosaic call inside MANY more
-            # program shapes (series/group programs already carry the
-            # group kernel) and the r2/r3 wedge history says stability
-            # is program-specific — flip only after a dedicated
-            # repeat-execution probe on the target libtpu.
+            # OPT-IN. r4 probe (probes/maskonly_probe.py, real chip,
+            # TWO process runs x 4 repeats): count/group/series/top-k
+            # all bit-identical to the XLA path — including the
+            # triple-Mosaic series program. Kept off by default for one
+            # round of soak (the r2/r3 wedge history says stability is
+            # program-specific and the probe can't cover every plan
+            # shape); flip candidate for r5.
             return None
 
         def width_of(fname):
