@@ -684,6 +684,21 @@ def _group_mxu_factored(gids, mask_words, value_keys, G: int,
     return counts, chunks, mn, mx
 
 
+def _pallas_group_geometry(G: int):
+    """(H, L) decomposition for the VMEM one-hot kernels: H=128 fills
+    one MXU output tile; L doubles until H*L >= G; past L=32 the m2
+    tile would blow the VMEM budget, so the hi axis doubles to 256
+    instead (covers G <= 8192, TPU-validated r2-cont)."""
+    from ..ops import pallas_group as PG
+    H = PG.H_BINS
+    L = 1
+    while H * L < G:
+        L <<= 1
+    if L > 32:
+        H, L = 256, L >> 1
+    return H, L
+
+
 def _group_pallas(gids, mask_words, value_keys, G: int,
                   n_chunks: int = 8, bias=None):
     """Pallas fused factored group kernel (ops/pallas_group.py): one-hot
@@ -698,15 +713,7 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
         return _group_mxu_factored(gids, mask_words, value_keys, G,
                                    n_chunks, bias)
     C = n_chunks
-    H = PG.H_BINS
-    L = 1
-    while H * L < G:
-        L <<= 1
-    if L > 32:
-        # m2 [S, L*(C+1), 1024] bf16 (S from pick_sublanes) would blow
-        # the VMEM budget at L>32; doubling the hi axis halves L instead
-        # (H=256 covers G<=8192, TPU-validated r2-cont)
-        H, L = 256, L >> 1
+    H, L = _pallas_group_geometry(G)
     if L > 32:
         # beyond G=8192 the XLA factored kernel streams from HBM
         return _group_mxu_factored(gids, mask_words, value_keys, G,
@@ -743,12 +750,7 @@ def group_moments_mxu(gids, mask_words, rpair, qpair, G: int,
     from ..ops import pallas_group as PG
     rlo, rhi = rpair
     qlo, qhi = qpair
-    H = PG.H_BINS
-    L = 1
-    while H * L < G:
-        L <<= 1
-    if L > 32:
-        H, L = 256, L >> 1
+    H, L = _pallas_group_geometry(G)
     under_shard_map = getattr(getattr(gids, "aval", None), "vma", None)
     eligible = (allow_pallas and use_pallas_group() and L <= 32
                 and _MXU_FACTORED_MIN_G <= G

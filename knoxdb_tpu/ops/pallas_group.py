@@ -57,6 +57,18 @@ _T8 = 1024            # lanes per sublane row; tile rows = 8 * _T8
 _Z = np.int32(0)      # index-map zero (python 0 traces i64 under x64)
 
 
+def _chunk_cols(vlo, vhi, C):
+    """bf16 byte-chunk columns from u32 value halves (shared by the
+    plain and the moments kernels). Route through i32: Mosaic has no
+    u32 -> bf16 cast lowering (TPU-measured)."""
+    cols = []
+    for c in range(C):
+        w = vlo if c < 4 else vhi
+        cols.append(((w >> np.uint32(8 * (c % 4))) & np.uint32(0xFF))
+                    .astype(jnp.int32).astype(jnp.bfloat16))
+    return cols
+
+
 def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, H: int, L: int,
             shift: int, C: int, S: int):
     g = gid_ref[0]                     # [S, T8] i32
@@ -68,12 +80,7 @@ def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, H: int, L: int,
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (S, H, _T8), 1)
     hi_oh = (hi[:, None, :] == iota_h).astype(jnp.bfloat16)
 
-    cols = []
-    for c in range(C):
-        w = vlo if c < 4 else vhi
-        # via i32: Mosaic has no u32 -> bf16 cast lowering (TPU-measured)
-        cols.append(((w >> np.uint32(8 * (c % 4))) & np.uint32(0xFF))
-                    .astype(jnp.int32).astype(jnp.bfloat16))
+    cols = _chunk_cols(vlo, vhi, C)
     cols.append(jnp.ones(g.shape, jnp.bfloat16))        # count column
     rows = []
     for l in range(L):
@@ -107,15 +114,7 @@ def _kernel_moments(gid_ref, rlo_ref, rhi_ref, qlo_ref, qhi_ref,
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (S, H, _T8), 1)
     hi_oh = (hi[:, None, :] == iota_h).astype(jnp.bfloat16)
 
-    cols = []
-    for c in range(C1):
-        w = rlo if c < 4 else rhi
-        cols.append(((w >> np.uint32(8 * (c % 4))) & np.uint32(0xFF))
-                    .astype(jnp.int32).astype(jnp.bfloat16))
-    for c in range(C2):
-        w = qlo if c < 4 else qhi
-        cols.append(((w >> np.uint32(8 * (c % 4))) & np.uint32(0xFF))
-                    .astype(jnp.int32).astype(jnp.bfloat16))
+    cols = _chunk_cols(rlo, rhi, C1) + _chunk_cols(qlo, qhi, C2)
     cols.append(jnp.ones(g.shape, jnp.bfloat16))        # count column
     NC = C1 + C2 + 1
     rows = []

@@ -88,10 +88,11 @@ _Z = np.int32(0)   # index-map zero: a python literal 0 traces as i64 under
                    # jax_enable_x64 and Mosaic fails to legalize the map
 
 
-def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
-            mask_ref, pcnt_ref, cnt_ref, *, width: int,
-            blockwise: bool = False):
-    _, T, W = planes_ref.shape
+def _range_ladder(planes_ref, lo_bits_ref, hi_bits_ref, flags_ref,
+                  T: int, W: int, width: int):
+    """MSB-down compare ladder over one column's plane block -> packed
+    in-range word mask [T, W] (shared by the single-column and the
+    whole-tree kernels)."""
     lt_lo = jnp.zeros((T, W), jnp.uint32)
     eq_lo = jnp.full((T, W), _FULL_NP, jnp.uint32)
     lt_hi = jnp.zeros((T, W), jnp.uint32)
@@ -104,21 +105,17 @@ def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
         eq_lo = eq_lo & ~(x ^ cl)
         lt_hi = lt_hi | (eq_hi & ~x & ch)
         eq_hi = eq_hi & ~(x ^ ch)
+    lt_lo = lt_lo | flags_ref[:, _F_LO_LT_ALL][:, None]
+    ge_lo = ~(lt_lo & ~flags_ref[:, _F_LO_GE_NONE][:, None])
+    le_hi = lt_hi | (eq_hi & flags_ref[:, _F_HI_IN][:, None])
+    le_hi = le_hi | flags_ref[:, _F_HI_LT_ALL][:, None]
+    le_hi = le_hi & ~flags_ref[:, _F_HI_GE_NONE][:, None]
+    return ge_lo & le_hi
 
-    lo_lt_all = flags_ref[:, _F_LO_LT_ALL][:, None]
-    lo_ge_none = flags_ref[:, _F_LO_GE_NONE][:, None]
-    hi_in = flags_ref[:, _F_HI_IN][:, None]
-    hi_ge_none = flags_ref[:, _F_HI_GE_NONE][:, None]
-    hi_lt_all = flags_ref[:, _F_HI_LT_ALL][:, None]
 
-    lt_lo = lt_lo | lo_lt_all
-    ge_lo = ~(lt_lo & ~lo_ge_none)
-    le_hi = lt_hi | (eq_hi & hi_in)
-    le_hi = le_hi | hi_lt_all
-    le_hi = le_hi & ~hi_ge_none
-    mask = ge_lo & le_hi & valid_ref[:, :]
-    mask_ref[:, :] = mask
-
+def _emit_counts(mask, planes_ref, pcnt_ref, cnt_ref, width: int,
+                 blockwise: bool):
+    """Packed-mask popcount + masked per-plane popcounts (shared)."""
     cnt_ref[:, 0] = jnp.sum(
         jax.lax.population_count(mask).astype(jnp.int32), axis=-1,
         dtype=jnp.int32)
@@ -131,62 +128,23 @@ def _kernel(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref, valid_ref,
                                  dtype=jnp.int32).T
     else:
         for p in range(width):
-            x = planes_ref[p]
             pcnt_ref[:, p] = jnp.sum(
-                jax.lax.population_count(x & mask).astype(jnp.int32),
-                axis=-1, dtype=jnp.int32)
+                jax.lax.population_count(planes_ref[p] & mask)
+                .astype(jnp.int32), axis=-1, dtype=jnp.int32)
 
 
 def _kernel_masked(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref,
-                   mask_in_ref, mask_ref, pcnt_ref, cnt_ref, *, width: int,
-                   blockwise: bool = False):
-    """fused cmp+sum with an INCOMING mask: mask_out = range-match &
-    mask_in; pcnt = per-plane popcounts under mask_out. One HBM pass
-    over the column serves both the predicate and the aggregate."""
+                   mask_in_ref, mask_ref, pcnt_ref, cnt_ref, *,
+                   width: int, blockwise: bool = False):
+    """fused cmp+sum with an INCOMING mask (validity or the XLA rest
+    mask): mask_out = range-match & mask_in; pcnt = per-plane popcounts
+    under mask_out. One HBM pass over the column serves both the
+    predicate and the aggregate."""
     _, T, W = planes_ref.shape
-    lt_lo = jnp.zeros((T, W), jnp.uint32)
-    eq_lo = jnp.full((T, W), _FULL_NP, jnp.uint32)
-    lt_hi = jnp.zeros((T, W), jnp.uint32)
-    eq_hi = jnp.full((T, W), _FULL_NP, jnp.uint32)
-    for p in range(width - 1, -1, -1):
-        x = planes_ref[p]
-        cl = lo_bits_ref[:, p][:, None]
-        ch = hi_bits_ref[:, p][:, None]
-        lt_lo = lt_lo | (eq_lo & ~x & cl)
-        eq_lo = eq_lo & ~(x ^ cl)
-        lt_hi = lt_hi | (eq_hi & ~x & ch)
-        eq_hi = eq_hi & ~(x ^ ch)
-
-    lo_lt_all = flags_ref[:, _F_LO_LT_ALL][:, None]
-    lo_ge_none = flags_ref[:, _F_LO_GE_NONE][:, None]
-    hi_in = flags_ref[:, _F_HI_IN][:, None]
-    hi_ge_none = flags_ref[:, _F_HI_GE_NONE][:, None]
-    hi_lt_all = flags_ref[:, _F_HI_LT_ALL][:, None]
-
-    lt_lo = lt_lo | lo_lt_all
-    ge_lo = ~(lt_lo & ~lo_ge_none)
-    le_hi = lt_hi | (eq_hi & hi_in)
-    le_hi = le_hi | hi_lt_all
-    le_hi = le_hi & ~hi_ge_none
-    mask = ge_lo & le_hi & mask_in_ref[:, :]
+    mask = _range_ladder(planes_ref, lo_bits_ref, hi_bits_ref,
+                         flags_ref, T, W, width) & mask_in_ref[:, :]
     mask_ref[:, :] = mask
-
-    cnt_ref[:, 0] = jnp.sum(
-        jax.lax.population_count(mask).astype(jnp.int32), axis=-1,
-        dtype=jnp.int32)
-    if blockwise and width:
-        # wide columns (T=8 tiles): ONE [w, T, W] elementwise op + lane
-        # reduce + a tiny [w, T] -> [T, w] relayout — 2.5-2.7x over the
-        # per-plane second pass at w=41 (probes/ps_variants.py v7)
-        y = jax.lax.population_count(planes_ref[:width] & mask[None])
-        pcnt_ref[:, :] = jnp.sum(y.astype(jnp.int32), axis=-1,
-                                 dtype=jnp.int32).T
-    else:
-        for p in range(width):
-            x = planes_ref[p]
-            pcnt_ref[:, p] = jnp.sum(
-                jax.lax.population_count(x & mask).astype(jnp.int32),
-                axis=-1, dtype=jnp.int32)
+    _emit_counts(mask, planes_ref, pcnt_ref, cnt_ref, width, blockwise)
 
 
 def fused_range_sum_masked(planes, lo_bits, hi_bits, flags, mask_in,
@@ -227,37 +185,12 @@ def fused_range_sum_masked(planes, lo_bits, hi_bits, flags, mask_in,
 
 def fused_range_sum(planes, lo_bits, hi_bits, flags, valid, width: int,
                     interpret: bool = False):
-    """planes u32[w, P, W] PLANE-MAJOR (P a multiple of _TILE); consts
-    from range_consts; valid u32[P, W]. Returns (mask u32[P, W],
-    plane_counts i32[P, w], counts i32[P])."""
-    w, P, W = planes.shape
-    T = _pick_tile(w, P, W)
-    assert P % T == 0, f"P must be a multiple of {T}"
-    w1 = max(w, 1)
-    out = pl.pallas_call(
-        partial(_kernel, width=width, blockwise=T == 8 and w > 28),
-        grid=(P // T,),
-        in_specs=[
-            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((T, _NFLAGS), lambda i: (i, _Z)),
-            pl.BlockSpec((w, T, W), lambda i: (_Z, i, _Z)),
-            pl.BlockSpec((T, W), lambda i: (i, _Z)),
-        ],
-        out_specs=[
-            pl.BlockSpec((T, W), lambda i: (i, _Z)),
-            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((T, 1), lambda i: (i, _Z)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((P, W), jnp.uint32),
-            jax.ShapeDtypeStruct((P, w1), jnp.int32),
-            jax.ShapeDtypeStruct((P, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(lo_bits, hi_bits, flags, planes, valid)
-    mask, pcnt, cnt = out
-    return mask, pcnt, cnt[:, 0]
+    """planes u32[w, P, W] PLANE-MAJOR; consts from range_consts; valid
+    u32[P, W]. Returns (mask u32[P, W], plane_counts i32[P, w1], counts
+    i32[P]). Validity plays exactly the incoming-mask role, so this IS
+    fused_range_sum_masked (one kernel, not two near-copies)."""
+    return fused_range_sum_masked(planes, lo_bits, hi_bits, flags,
+                                  valid, width, interpret=interpret)
 
 
 def _kernel_tree(*refs, nleaf: int, nfield: int, fwidths: tuple,
@@ -278,45 +211,18 @@ def _kernel_tree(*refs, nleaf: int, nfield: int, fwidths: tuple,
     m = mask_in[:, :]
     for j in range(nleaf):
         lo_b, hi_b, fl = consts[3 * j:3 * j + 3]
-        pw = fwidths[leaf_field[j]]
-        pr = planes[leaf_field[j]]
-        lt_lo = jnp.zeros((T, W), jnp.uint32)
-        eq_lo = jnp.full((T, W), _FULL_NP, jnp.uint32)
-        lt_hi = jnp.zeros((T, W), jnp.uint32)
-        eq_hi = jnp.full((T, W), _FULL_NP, jnp.uint32)
-        for p in range(pw - 1, -1, -1):
-            x = pr[p]
-            cl = lo_b[:, p][:, None]
-            ch = hi_b[:, p][:, None]
-            lt_lo = lt_lo | (eq_lo & ~x & cl)
-            eq_lo = eq_lo & ~(x ^ cl)
-            lt_hi = lt_hi | (eq_hi & ~x & ch)
-            eq_hi = eq_hi & ~(x ^ ch)
-        lt_lo = lt_lo | fl[:, _F_LO_LT_ALL][:, None]
-        ge_lo = ~(lt_lo & ~fl[:, _F_LO_GE_NONE][:, None])
-        le_hi = lt_hi | (eq_hi & fl[:, _F_HI_IN][:, None])
-        le_hi = le_hi | fl[:, _F_HI_LT_ALL][:, None]
-        le_hi = le_hi & ~fl[:, _F_HI_GE_NONE][:, None]
-        m = m & ge_lo & le_hi
+        m = m & _range_ladder(planes[leaf_field[j]], lo_b, hi_b, fl,
+                              T, W, fwidths[leaf_field[j]])
     mask_ref[:, :] = m
 
-    cnt_ref[:, 0] = jnp.sum(
-        jax.lax.population_count(m).astype(jnp.int32), axis=-1,
-        dtype=jnp.int32)
     if agg_slot < 0:                   # mask-only plan (count/group/
-        pcnt_ref[:, :] = jnp.zeros(    # top-k/stream queries, r4)
-            pcnt_ref.shape, jnp.int32)
+        cnt_ref[:, 0] = jnp.sum(       # top-k/stream queries, r4)
+            jax.lax.population_count(m).astype(jnp.int32), axis=-1,
+            dtype=jnp.int32)
+        pcnt_ref[:, :] = jnp.zeros(pcnt_ref.shape, jnp.int32)
         return
-    apr = planes[agg_slot]
-    if blockwise and agg_width:
-        y = jax.lax.population_count(apr[:agg_width] & m[None])
-        pcnt_ref[:, :] = jnp.sum(y.astype(jnp.int32), axis=-1,
-                                 dtype=jnp.int32).T
-    else:
-        for p in range(agg_width):
-            pcnt_ref[:, p] = jnp.sum(
-                jax.lax.population_count(apr[p] & m).astype(jnp.int32),
-                axis=-1, dtype=jnp.int32)
+    _emit_counts(m, planes[agg_slot], pcnt_ref, cnt_ref, agg_width,
+                 blockwise)
 
 
 def fused_tree_sum(planes_list, leaf_ops, leaf_field, mask_in,
