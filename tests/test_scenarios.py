@@ -15,7 +15,7 @@ def test_workload_model_equivalence(seed, tmp_path):
     assert all(v > 0 for v in rep.values()), rep
 
 
-@pytest.mark.parametrize("seed", [3, 11, 23, 57, 101, 257, 999])
+@pytest.mark.parametrize("seed", [3, 11, 57, 101, 257, 999])
 def test_workload_deep(seed, tmp_path):
     """Deeper DST sweep (VERDICT r1 #8): more seeds x more steps, with
     the tear op injecting torn WAL tails before reopen."""
