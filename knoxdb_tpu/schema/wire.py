@@ -24,7 +24,7 @@ from .schema import Schema
 from ..types import FieldType
 from ..utils import limbs as lb
 
-__all__ = ["encode_batch", "decode_batch"]
+__all__ = ["encode_batch", "decode_batch", "BatchView"]
 
 _MAGIC = 0x4B583_001 & 0xFFFFFFFF
 _HDR = struct.Struct("<IHI")
@@ -97,3 +97,89 @@ def decode_batch(schema: Schema, buf: bytes) -> tuple[dict, int]:
         else:
             data[f.name] = np.frombuffer(body, lb.numpy_dtype(ft)).copy()
     return data, nrows
+
+
+class BatchView:
+    """ZERO-COPY accessor over an encode_batch buffer — the columnar
+    analog of the reference's opcode-programmed wire View
+    (/root/reference/pkg/schema/view.go): the header parses ONCE into
+    per-field (kind, offset, length) slots; every access after that
+    reads straight out of the original buffer.
+
+    - column(name): native fixed-width fields return a READ-ONLY numpy
+      view INTO the buffer (no copy; .base is the buffer). Bytes fields
+      return per-row memoryview slices (zero-copy; call bytes() to
+      detach). Wide (128/256-bit) fields must materialize python ints
+      (documented exception — there is no int128 dtype to view).
+    - field(row, name): ONE value without touching the rest of the
+      column (the View's point-access trick); strings decode lazily.
+    """
+
+    def __init__(self, schema: Schema, buf):
+        self.schema = schema
+        self.buf = buf
+        magic, _ver, nrows = _HDR.unpack_from(buf, 0)
+        if magic != _MAGIC:
+            raise ValueError("bad wire magic")
+        self.nrows = nrows
+        self._slots: dict = {}
+        off = _HDR.size
+        for f in schema.fields:
+            kind, blen = _FLD.unpack_from(buf, off)
+            off += _FLD.size
+            self._slots[f.name] = (kind, off, blen, f.type)
+            off += blen
+        self._str_offs: dict = {}      # lazy per-bytes-field offsets
+
+    def _offsets(self, name: str):
+        out = self._str_offs.get(name)
+        if out is None:
+            _k, off, _ln, _ft = self._slots[name]
+            lens = np.frombuffer(self.buf, np.uint32, self.nrows, off)
+            offs = np.zeros(self.nrows + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            out = self._str_offs[name] = offs
+        return out
+
+    def column(self, name: str):
+        kind, off, blen, ft = self._slots[name]
+        if kind == _K_NATIVE:
+            return np.frombuffer(self.buf, lb.numpy_dtype(ft),
+                                 self.nrows, off)
+        if kind == _K_BYTES:
+            offs = self._offsets(name)
+            mv = memoryview(self.buf)
+            base = off + 4 * self.nrows
+            return [mv[base + int(offs[i]):base + int(offs[i + 1])]
+                    for i in range(self.nrows)]
+        nbytes = ft.bits // 8              # _K_WIDE: must materialize
+        bias = 1 << (ft.bits - 1) if ft.is_signed else 0
+        return np.array([
+            int.from_bytes(self.buf[off + i * nbytes:
+                                    off + (i + 1) * nbytes], "big") - bias
+            for i in range(self.nrows)], object)
+
+    def field(self, row: int, name: str):
+        if not 0 <= row < self.nrows:
+            raise IndexError(row)
+        kind, off, _blen, ft = self._slots[name]
+        if kind == _K_NATIVE:
+            dt = lb.numpy_dtype(ft)
+            v = np.frombuffer(self.buf, dt, 1,
+                              off + row * np.dtype(dt).itemsize)[0]
+            return v.item() if ft != FieldType.BOOLEAN else bool(v)
+        if kind == _K_BYTES:
+            offs = self._offsets(name)
+            base = off + 4 * self.nrows
+            raw = bytes(self.buf[base + int(offs[row]):
+                                 base + int(offs[row + 1])])
+            return raw.decode() if ft == FieldType.STRING else raw
+        nbytes = ft.bits // 8
+        bias = 1 << (ft.bits - 1) if ft.is_signed else 0
+        return int.from_bytes(
+            self.buf[off + row * nbytes:off + (row + 1) * nbytes],
+            "big") - bias
+
+    def row(self, i: int) -> dict:
+        return {f.name: self.field(i, f.name)
+                for f in self.schema.fields}

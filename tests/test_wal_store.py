@@ -285,3 +285,50 @@ def test_lz4_block_codec(rng):
     import pytest
     with pytest.raises(ValueError):
         NT.lz4_decompress(b"\xf0\xff\xff", 10)   # truncated ext literals
+
+
+def test_batch_view_zero_copy(rng):
+    """r4 BatchView (reference view.go analog): zero-copy column views
+    into the wire buffer, point field access, row dicts — all equal to
+    the copying decode_batch."""
+    from knoxdb_tpu.schema.wire import BatchView
+
+    sch = (Builder("w").pk("id")
+           .add("v", FieldType.INT64)
+           .add("f", FieldType.FLOAT64)
+           .add("s", FieldType.STRING)
+           .add("b", FieldType.BYTES)
+           .add("big", FieldType.INT256)
+           .finish())
+    n = 9
+    data = {
+        "id": np.arange(n, dtype=np.uint64),
+        "v": rng.integers(-2**60, 2**60, n),
+        "f": rng.normal(size=n) * 1e6,
+        "s": ["", "a", "héllo", "x" * 99, "q", "w", "e", "r", "t"],
+        "b": [bytes([i]) * i for i in range(n)],
+        "big": [(-1) ** i * (10 ** 70 + i) for i in range(n)],
+    }
+    buf = encode_batch(sch, data, n)
+    want, n2 = decode_batch(sch, buf)
+    view = BatchView(sch, buf)
+    assert view.nrows == n == n2
+
+    # zero-copy: native columns view INTO the buffer, no ownership
+    vcol = view.column("v")
+    assert not vcol.flags["OWNDATA"] and not vcol.flags["WRITEABLE"]
+    np.testing.assert_array_equal(vcol, want["v"])
+    np.testing.assert_array_equal(view.column("f"), want["f"])
+    assert [bytes(m) for m in view.column("b")] == list(want["b"])
+    assert [int(x) for x in view.column("big")] == \
+        [int(x) for x in want["big"]]
+    # point access without column materialization + full row dicts
+    for i in (0, 3, n - 1):
+        assert view.field(i, "v") == int(want["v"][i])
+        assert view.field(i, "s") == want["s"][i]
+        assert view.field(i, "big") == int(want["big"][i])
+        r = view.row(i)
+        assert r["f"] == want["f"][i] and bytes(r["b"]) == want["b"][i]
+    import pytest
+    with pytest.raises(IndexError):
+        view.field(n, "v")
