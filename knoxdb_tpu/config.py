@@ -61,6 +61,17 @@ def use_pallas() -> bool:
     return env == "1" or is_tpu()
 
 
+# MASK-ONLY whole-tree fusion (count / group-by / top-k / stream /
+# join-side plans — no aggregate column in the kernel): DEFAULT ON
+# since round 5. Wired + probed clean in r4 (probes/maskonly_probe.py:
+# two real-chip process runs x 4 repeats, count/group/series/top-k all
+# bit-identical to the XLA path incl. the triple-Mosaic series
+# program), soaked one round opt-in per the wedge-history discipline.
+# KNOX_PALLAS_MASKONLY=0 reverts those plans to the two-pass XLA sweep.
+def use_pallas_maskonly() -> bool:
+    return os.environ.get("KNOX_PALLAS_MASKONLY", "") != "0"
+
+
 # Pallas fused GROUP-BY kernel (ops/pallas_group.py): DEFAULT ON.
 # Round-2-late probe on this harness: Mosaic compiles in seconds,
 # repeat executions are stable (4/4 bit-exact vs the XLA factored

@@ -630,17 +630,21 @@ class SegmentScanner:
         compressed-container idea, container.go:72-76, taken further).
 
         r4 WHOLE-TREE form: every top-level AND leaf whose column is a
-        single-group narrow BITPACK (+ the sum-agg column) fuses into
+        single-group narrow BITPACK (+ the agg columns) fuses into
         ONE kernel — each column's planes stream HBM->VMEM exactly once
         for compare AND aggregate, no intermediate XLA mask
-        materializations. Greedy width-descending selection under the
-        scoped-VMEM budget; non-fusable leaves stay in the XLA rest
-        mask. Returns None | (leaf_i, field)  [legacy single-leaf
-        kernel] | ("multi", ((leaf_i, field), ...), (fields...),
-        agg_slot)."""
+        materializations. r5: EVERY fusable aggregate rides the one
+        pass — sum/avg as per-plane popcounts, min/max as in-kernel
+        MSB-down tournaments — so the driver entry() shape
+        (count+sum+min+max) runs a single kernel. Greedy
+        width-descending leaf selection under the scoped-VMEM budget;
+        non-fusable leaves stay in the XLA rest mask. Returns
+        None | (leaf_i, field)  [legacy single-leaf kernel] |
+        ("multi", ((leaf_i, field), ...), (fields...),
+        ((field, want_sum, want_mm), ...))."""
         import os
 
-        from ..config import use_pallas
+        from ..config import use_pallas, use_pallas_maskonly
         from ..ops import pallas_scan as PSC
         d = self.d
         if self.spmd or not use_pallas() or d.P % 8:
@@ -652,23 +656,20 @@ class SegmentScanner:
             top_leaves = [c for c in tdesc[1] if c[0] == "leaf"]
         if not top_leaves:
             return None
-        agg_f = None
+        # fusable aggregate wants, in agg order: field -> [sum, minmax]
+        agg_want: dict[str, list] = {}
         for a in aggs:
-            if a.op in ("sum", "avg") and a.field \
-                    and self._fusable_col(a.field) is not None:
-                agg_f = a.field
-                break
-        if agg_f is None and os.environ.get(
-                "KNOX_PALLAS_MASKONLY") != "1":
-            # MASK-ONLY tree fusion (no aggregate column: count /
-            # group-by / top-k / stream / join-side plans) is wired but
-            # OPT-IN. r4 probe (probes/maskonly_probe.py, real chip,
-            # TWO process runs x 4 repeats): count/group/series/top-k
-            # all bit-identical to the XLA path — including the
-            # triple-Mosaic series program. Kept off by default for one
-            # round of soak (the r2/r3 wedge history says stability is
-            # program-specific and the probe can't cover every plan
-            # shape); flip candidate for r5.
+            if not a.field or self._fusable_col(a.field) is None:
+                continue
+            if a.op in ("sum", "avg"):
+                agg_want.setdefault(a.field, [False, False])[0] = True
+            elif a.op in ("min", "max"):
+                agg_want.setdefault(a.field, [False, False])[1] = True
+        agg_f = next((f for f, e in agg_want.items() if e[0]), None)
+        if not agg_want and not use_pallas_maskonly():
+            # MASK-ONLY tree fusion (no fusable aggregate: count /
+            # group-by / top-k / stream / join-side plans). Default ON
+            # since r5 (r4 probe + soak round clean; config gate).
             return None
 
         def width_of(fname):
@@ -690,10 +691,18 @@ class SegmentScanner:
         if os.environ.get("KNOX_NO_PALLAS_TREE") == "1":
             return single
 
-        # greedy: agg column is mandatory (when present); add leaves
-        # widest-first while the total plane working set fits scoped
-        # VMEM
-        fields = [agg_f] if agg_f is not None else []
+        # greedy under scoped VMEM: agg columns first (each saves a
+        # whole second XLA pass over its planes), then leaves
+        # widest-first; whatever doesn't fit falls back to XLA.
+        fields: list[str] = []
+        aspec = []
+        for f, (ws, wm) in agg_want.items():
+            nf = fields + [f]
+            if not PSC.tree_fits_vmem([width_of(x) for x in nf],
+                                      d.P, d.W):
+                continue
+            fields = nf
+            aspec.append((f, ws, wm))
         entries = []
         for i, fname in sorted(fusable,
                                key=lambda e: -width_of(e[1])):
@@ -705,11 +714,12 @@ class SegmentScanner:
             entries.append((i, fname))
         if not entries:
             return single
-        if len(entries) == 1 and entries[0][1] == agg_f:
-            return entries[0]          # proven single-leaf kernel
+        if len(entries) == 1 and aspec == [(entries[0][1], True, False)]:
+            # sum-only single-column plan (cfg #1's shape): the
+            # r3-proven single-leaf kernel — identical traffic
+            return entries[0]
         entries.sort()
-        return ("multi", tuple(entries), tuple(fields),
-                fields.index(agg_f) if agg_f is not None else -1)
+        return ("multi", tuple(entries), tuple(fields), tuple(aspec))
 
     @staticmethod
     def _drop_leaf(desc, i):
@@ -787,12 +797,13 @@ class SegmentScanner:
             from ..config import is_tpu
             interp = not is_tpu()
             if fuse[0] == "multi":
-                _tag, f_entries, f_fields, f_agg_slot = fuse
-                fuse_f = f_fields[f_agg_slot] if f_agg_slot >= 0 \
-                    else None
+                _tag, f_entries, f_fields, f_aspec = fuse
+                fuse_f = None
                 f_slots = tuple(f_fields.index(f) for _i, f in f_entries)
                 f_widths = tuple(d.column(f).groups[0].sig()[1]
                                  for f in f_fields)
+                f_specs = tuple((f_fields.index(f), ws, wm)
+                                for f, ws, wm in f_aspec)
                 tdesc_rest = self._drop_leaves(
                     tdesc, frozenset(i for i, _f in f_entries))
             else:
@@ -817,27 +828,39 @@ class SegmentScanner:
                     rest = rest & ~excl[0]
                 if has_incl:
                     rest = rest & excl[1 if has_excl else 0]
+                fused_sum = {}
+                fused_mm = {}
                 if fuse[0] == "multi":
-                    # r4 whole-tree kernel: ALL fused AND leaves + the
-                    # agg column in one pass (per-field planes deduped)
+                    # r4 whole-tree kernel, r5 multi-agg: ALL fused AND
+                    # leaves + EVERY fusable aggregate in one pass
+                    # (per-field planes deduped; sum popcounts + min/max
+                    # tournaments share each column's VMEM residency)
                     planes_list = [arrays[f][0]["planes"]
                                    for f in f_fields]
-                    mask, pcnt, cnt = PSC.fused_tree_sum(
+                    mask, cnt, fparts = PSC.fused_tree_agg(
                         planes_list, consts[-1], f_slots, rest,
-                        f_widths, f_agg_slot, interpret=interp)
+                        f_widths, f_specs, interpret=interp)
+                    for (fn_, _ws, _wm), part in zip(f_aspec, fparts):
+                        if "pcnt" in part:
+                            fused_sum[fn_] = {"pcnt": part["pcnt"],
+                                              "cnt": cnt}
+                        if "mnmx" in part:
+                            fused_mm[fn_] = {"mnmx": part["mnmx"],
+                                             "cnt": cnt}
                 else:
                     garr = arrays[fuse_f][0]
                     lo_b, hi_b, flags = consts[-1]
                     mask, pcnt, cnt = PSC.fused_range_sum_masked(
                         garr["planes"], lo_b, hi_b, flags, rest,
                         fuse_width, interpret=interp)
+                    # per-plane popcounts go to the HOST for exact
+                    # python-int recombination (_combine_sum): the
+                    # x64-emulated u64 shift/multiply lowering on this
+                    # TPU stack is wrong in some fusion contexts
+                    # (measured round 2), while the i32 pcnt matrix
+                    # itself is verified bit-exact on chip
+                    fused_sum[fuse_f] = {"pcnt": pcnt, "cnt": cnt}
                 pack_counts = cnt
-                # per-plane popcounts go to the HOST for exact python-int
-                # recombination (_combine_sum): the x64-emulated u64
-                # shift/multiply lowering on this TPU stack is wrong in
-                # some fusion contexts (measured round 2), while the i32
-                # pcnt matrix itself is verified bit-exact on chip
-                fused_part = {"pcnt": pcnt, "cnt": cnt}
             else:
                 mask = eval_node(tdesc, arrays, consts, overrides,
                                  valid) & valid
@@ -847,15 +870,17 @@ class SegmentScanner:
                     mask = mask & excl[1 if has_excl else 0]
                 pack_counts = B.popcount_words(mask)
             parts = []
-            fused_used = False
             for op, fname in agg_specs:
                 if op == "count" or not fname:
                     parts.append(None)
                     continue
-                if fuse is not None and fname == fuse_f \
-                        and op in ("sum", "avg") and not fused_used:
-                    parts.append([fused_part])
-                    fused_used = True
+                if fuse is not None and op in ("sum", "avg") \
+                        and fname in fused_sum:
+                    parts.append([fused_sum[fname]])
+                    continue
+                if fuse is not None and op in ("min", "max") \
+                        and fname in fused_mm:
+                    parts.append([fused_mm[fname]])
                     continue
                 col_parts = []
                 full_cov = (len(agg_groups[fname]) == 1
@@ -975,7 +1000,24 @@ class SegmentScanner:
         decode exactly to floats; keyform packs convert at the end)."""
         from ..encode.schemes import Scheme as Sch
         best = None
-        for (mn, mx, c), g in zip(parts, groups):
+        for part, g in zip(parts, groups):
+            if isinstance(part, dict):
+                # fused Pallas tournament form: pack-RELATIVE u32 halves
+                # (mn_lo, mn_hi, mx_lo, mx_hi); host adds min_key
+                mm = np.asarray(part["mnmx"])
+                c = np.asarray(part["cnt"], dtype=np.int64)
+                mk = np.asarray(g.arrays["min_keys"]).astype(object)
+                col = (0, 1) if want_min else (2, 3)
+                for j in range(len(c)):
+                    if int(c[j]) == 0:
+                        continue
+                    rel = int(mm[j, col[0]]) | (int(mm[j, col[1]]) << 32)
+                    v = _key_to_value(rel + int(mk[j]), ft)
+                    if best is None or (v < best if want_min
+                                        else v > best):
+                        best = v
+                continue
+            mn, mx, c = part
             mn = np.asarray(mn)
             mx = np.asarray(mx)
             c = np.asarray(c)

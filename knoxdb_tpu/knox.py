@@ -574,13 +574,26 @@ def union(*queries: "Query", batch_packs: int = 64):
 
 
 def join(left: "Query", right: "Query", on: tuple[str, str],
-         how: "JoinType | str" = None, select: tuple | None = None) -> dict:
+         how: "JoinType | str" = None, select: tuple | None = None,
+         where=None, limit: int = 0) -> dict:
     """Equi-join two filtered queries (reference pkg/knox/join.go:28-47).
 
     on=(left_field, right_field); how: JoinType or
     'inner'|'left'|'right'|'full'|'cross'. Returns column dict with
     right-side columns prefixed 'r_' on name collisions. Outer-side
     misses yield None.
+
+    where/limit (reference join.go:490-503 post-join filter + output
+    limit): `where` is a condition over OUTPUT column names — a
+    ("cond", name, mode, value) tuple (as built by F()/cond()), a
+    list of them (ANDed), or nested ("and"/"or"/"not", ...) combos —
+    applied AFTER the join; outer-miss None values fail every
+    predicate (SQL NULL semantics). `limit` caps output rows (join
+    pair order is UNSPECIFIED — the limit takes a deterministic but
+    arbitrary subset, like the reference's block-iteration order).
+    On the device path predicate columns are fetched FIRST and
+    non-predicate projections only for surviving rows — the post-
+    filter prunes the expensive relay fetch, not just the output.
 
     Execution: integer-keyed INNER/LEFT joins run DEVICE-SIDE — both
     sides' keys are compacted on device from the filter masks, joined
@@ -607,7 +620,8 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
         # join domain (e.g. -1 == 2^64-1); keep exact via host ints
         and lft.is_signed == rft.is_signed)
     if not device_ok:
-        return _join_host(left, right, (lf, rf), how, select)
+        return _join_host(left, right, (lf, rf), how, select, where,
+                          limit)
 
     from .exec import join as J
     lt, rt = left._table._t, right._table._t
@@ -664,23 +678,59 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
         rp[rvalid] = np.asarray(
             jnp.take(rpos, jnp.asarray(ridx[rvalid], jnp.int32)))
 
-    lrows = lt.rows_at_positions(lview, lp, lsel)
-    rrows = rt.rows_at_positions(rview, rp, rsel)
+    def rname(name):
+        return f"r_{name}" if name in orig_l else name
+
+    pre = {}                     # output name -> values (pred prefetch)
+    if where is not None:
+        # post-filter BEFORE the projection fetch: only the predicate
+        # columns cross the relay at full match size
+        lflds = {f.name for f in lt.full_schema.fields}
+        rflds = {f.name for f in rt.full_schema.fields}
+        lpred, rpred = [], []
+        for name in _post_where_names(where):
+            if name in lflds:
+                lpred.append(name)
+            elif name.startswith("r_") and name[2:] in rflds:
+                rpred.append(name[2:])
+            elif name in rflds:
+                rpred.append(name)
+            else:
+                raise KeyError(f"join where: unknown column {name}")
+        lpr = lt.rows_at_positions(lview, lp, sorted(set(lpred)))
+        rpr = rt.rows_at_positions(rview, rp, sorted(set(rpred)))
+        for name in lpred:
+            pre[name] = lpr[name]
+        for name in rpred:
+            pre[rname(name)] = rpr[name]
+        keep = np.flatnonzero(_post_where_eval(where, pre, len(lidx)))
+        if limit:
+            keep = keep[:limit]
+        lp, rp = lp[keep], rp[keep]
+        pre = {k: v[keep] for k, v in pre.items()}
+    elif limit:
+        lp, rp = lp[:limit], rp[:limit]
+
+    lrows = lt.rows_at_positions(
+        lview, lp, [n for n in lsel if n not in pre])
+    rrows = rt.rows_at_positions(
+        rview, rp, [n for n in rsel if rname(n) not in pre])
 
     out: dict = {}
     for name in lsel:
-        out[name] = lrows[name]
+        out[name] = pre[name] if name in pre else lrows[name]
     for name in rsel:
-        key = f"r_{name}" if name in orig_l else name
-        out[key] = rrows[name]
-    out["__n"] = len(lidx)
+        key = rname(name)
+        out[key] = pre[key] if key in pre else rrows[name]
+    out["__n"] = len(lp)
     return _join_select(out, select)
 
 
 def _join_host(left: "Query", right: "Query", on: tuple[str, str],
-               how, select) -> dict:
+               how, select, where=None, limit: int = 0) -> dict:
     """Host join path (bytes/float/wide keys, RIGHT/FULL/CROSS): value-
-    domain python-int join, exact for any key type mix."""
+    domain python-int join, exact for any key type mix. where/limit
+    apply post-join (same semantics as the device path)."""
     from .exec import join as J
 
     lf, rf = on
@@ -689,8 +739,23 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
     orig_l = set(lsel)
     if select:
         lsel, rsel = _join_pushdown(lsel, rsel, orig_l, select)
-    lrows = left.select(*dict.fromkeys(lsel + [lf])).rows()
-    rrows = right.select(*dict.fromkeys(rsel + [rf])).rows()
+    # post-filter columns join the fetch set (pruned from the output
+    # below unless selected)
+    wl, wr = [], []
+    if where is not None:
+        lflds = {f.name for f in left._table._t.full_schema.fields}
+        rflds = {f.name for f in right._table._t.full_schema.fields}
+        for name in _post_where_names(where):
+            if name in lflds:
+                wl.append(name)
+            elif name.startswith("r_") and name[2:] in rflds:
+                wr.append(name[2:])
+            elif name in rflds:
+                wr.append(name)
+            else:
+                raise KeyError(f"join where: unknown column {name}")
+    lrows = left.select(*dict.fromkeys(lsel + wl + [lf])).rows()
+    rrows = right.select(*dict.fromkeys(rsel + wr + [rf])).rows()
 
     def keyed(col, ft):
         if ft.is_bytes_like:
@@ -705,17 +770,98 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
     res = J.join_keys_np(lkeys, rkeys, how)
 
     out: dict = {}
-    for name in lsel:
+    for name in dict.fromkeys(lsel + wl):
         col = lrows[name]
         out[name] = np.array(
             [col[i] if i >= 0 else None for i in res.lidx], object)
-    for name in rsel:
+    for name in dict.fromkeys(rsel + wr):
         col = rrows[name]
         key = f"r_{name}" if name in orig_l else name
         out[key] = np.array(
             [col[j] if j >= 0 else None for j in res.ridx], object)
     out["__n"] = res.n
+    if where is not None:
+        keep = np.flatnonzero(_post_where_eval(where, out, res.n))
+        if limit:
+            keep = keep[:limit]
+        out = {k: (v[keep] if isinstance(v, np.ndarray) else v)
+               for k, v in out.items()}
+        out["__n"] = len(keep)
+    elif limit and res.n > limit:
+        out = {k: (v[:limit] if isinstance(v, np.ndarray) else v)
+               for k, v in out.items()}
+        out["__n"] = limit
+    # drop predicate-only columns from the output
+    keep_names = set(lsel) | {f"r_{n}" if n in orig_l else n
+                              for n in rsel}
+    out = {k: v for k, v in out.items()
+           if k == "__n" or k in keep_names}
     return _join_select(out, select)
+
+
+def _post_where_names(where) -> list:
+    """Column names referenced by a post-join condition tree."""
+    if isinstance(where, (list,)) or (isinstance(where, tuple)
+                                      and where and where[0] in
+                                      ("and", "or", "not")):
+        kids = where[1:] if isinstance(where, tuple) else where
+        out = []
+        for k in kids:
+            out += _post_where_names(k)
+        return out
+    if isinstance(where, tuple) and where and where[0] == "cond":
+        return [where[1]]
+    raise TypeError(f"join where: bad condition {where!r}")
+
+
+def _post_where_eval(where, cols: dict, n: int) -> np.ndarray:
+    """Evaluate a post-join condition over output columns -> bool[n].
+    None (outer-miss) fails every predicate, including NE/NOT_IN
+    (SQL NULL semantics; reference join.go post-filter applies the
+    matcher to materialized values the same way)."""
+    from .types import FilterMode as FM
+    if isinstance(where, list):
+        where = tuple(["and"] + where)
+    if isinstance(where, tuple) and where and where[0] in ("and", "or",
+                                                           "not"):
+        kids = [_post_where_eval(k, cols, n) for k in where[1:]]
+        if where[0] == "not":
+            if len(kids) != 1:
+                raise TypeError("join where: not() takes one condition")
+            return ~kids[0]
+        out = kids[0]
+        for k in kids[1:]:
+            out = (out & k) if where[0] == "and" else (out | k)
+        return out
+    _, name, mode, value = where
+    col = np.asarray(cols[name], object)
+    notnull = np.array([x is not None for x in col], bool)
+    sub = col[notnull]
+    r = np.zeros(n, bool)
+    if mode == FM.EQ:
+        r[notnull] = sub == value
+    elif mode == FM.NE:
+        r[notnull] = sub != value
+    elif mode == FM.GT:
+        r[notnull] = sub > value
+    elif mode == FM.GE:
+        r[notnull] = sub >= value
+    elif mode == FM.LT:
+        r[notnull] = sub < value
+    elif mode == FM.LE:
+        r[notnull] = sub <= value
+    elif mode == FM.RANGE:
+        lo, hi = value
+        r[notnull] = (sub >= lo) & (sub <= hi)
+    elif mode == FM.IN:
+        vs = set(value)
+        r[notnull] = np.array([x in vs for x in sub], bool)
+    elif mode == FM.NOT_IN:
+        vs = set(value)
+        r[notnull] = np.array([x not in vs for x in sub], bool)
+    else:
+        raise ValueError(f"join where: unsupported mode {mode}")
+    return r
 
 
 def _join_pushdown(lsel: list, rsel: list, orig_l: set,

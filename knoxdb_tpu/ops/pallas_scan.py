@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["range_consts", "fused_range_sum", "fused_range_sum_ref"]
+__all__ = ["range_consts", "fused_range_sum", "fused_range_sum_ref",
+           "fused_tree_sum", "fused_tree_agg", "tree_fits_vmem"]
 
 _FULL = jnp.uint32(0xFFFFFFFF)
 _FULL_NP = np.uint32(0xFFFFFFFF)     # kernel-safe constant (not traced)
@@ -193,18 +194,81 @@ def fused_range_sum(planes, lo_bits, hi_bits, flags, valid, width: int,
                                   valid, width, interpret=interpret)
 
 
+_MM_COLS = 8   # mnmx output columns (mn_lo, mn_hi, mx_lo, mx_hi, pad)
+
+
+def _emit_minmax(mask, planes_ref, mm_ref, width: int):
+    """Masked per-pack (min, max) over one column's plane block via
+    MSB-down candidate narrowing — the in-kernel twin of
+    ops/bitslice._tournament_planes, run on the SAME planes already in
+    VMEM (zero extra HBM traffic vs the XLA second pass). Emits
+    PACK-RELATIVE winners split into u32 halves (no 64-bit dtypes in
+    Mosaic): mm_ref[:, 0..3] = mn_lo, mn_hi, mx_lo, mx_hi. Empty packs
+    read (all-ones, 0) — callers gate on count==0."""
+    T = mask.shape[0]
+    cand_mn = mask
+    cand_mx = mask
+    mn_lo = jnp.zeros((T,), jnp.uint32)
+    mn_hi = jnp.zeros((T,), jnp.uint32)
+    mx_lo = jnp.zeros((T,), jnp.uint32)
+    mx_hi = jnp.zeros((T,), jnp.uint32)
+    one = jnp.uint32(1)
+    zero = jnp.uint32(0)
+    for p in range(width - 1, -1, -1):
+        x = planes_ref[p]
+        t = cand_mn & ~x
+        has = jnp.sum(jax.lax.population_count(t).astype(jnp.int32),
+                      axis=-1, dtype=jnp.int32) > 0
+        cand_mn = jnp.where(has[:, None], t, cand_mn)
+        bit = jnp.where(has, zero, one)      # min bit 1 iff no 0 cand
+        if p < 32:
+            mn_lo = mn_lo | (bit << p)
+        else:
+            mn_hi = mn_hi | (bit << (p - 32))
+        tx = cand_mx & x
+        hasx = jnp.sum(jax.lax.population_count(tx).astype(jnp.int32),
+                       axis=-1, dtype=jnp.int32) > 0
+        cand_mx = jnp.where(hasx[:, None], tx, cand_mx)
+        bitx = jnp.where(hasx, one, zero)
+        if p < 32:
+            mx_lo = mx_lo | (bitx << p)
+        else:
+            mx_hi = mx_hi | (bitx << (p - 32))
+    mm_ref[:, 0] = mn_lo
+    mm_ref[:, 1] = mn_hi
+    mm_ref[:, 2] = mx_lo
+    mm_ref[:, 3] = mx_hi
+    for c in range(4, _MM_COLS):
+        mm_ref[:, c] = jnp.zeros((T,), jnp.uint32)
+
+
+def _emit_pcnt(mask, planes_ref, pcnt_ref, width: int, blockwise: bool):
+    """Masked per-plane popcounts only (the sum partial)."""
+    if blockwise and width:
+        y = jax.lax.population_count(planes_ref[:width] & mask[None])
+        pcnt_ref[:, :] = jnp.sum(y.astype(jnp.int32), axis=-1,
+                                 dtype=jnp.int32).T
+    else:
+        for p in range(width):
+            pcnt_ref[:, p] = jnp.sum(
+                jax.lax.population_count(planes_ref[p] & mask)
+                .astype(jnp.int32), axis=-1, dtype=jnp.int32)
+
+
 def _kernel_tree(*refs, nleaf: int, nfield: int, fwidths: tuple,
-                 leaf_field: tuple, agg_slot: int, agg_width: int,
-                 blockwise: bool):
-    """WHOLE-TREE fused scan (r4): every AND-leaf's compare ladder runs
-    in ONE kernel sharing each column's single HBM pass, the combined
-    mask feeds the agg column's masked per-plane popcounts. refs layout:
-    [lo_b, hi_b, flags] x nleaf, planes x nfield, mask_in,
-    then outputs mask, pcnt, cnt."""
+                 leaf_field: tuple, agg_specs: tuple, blockwise: tuple):
+    """WHOLE-TREE fused scan (r4; multi-agg r5): every AND-leaf's compare
+    ladder runs in ONE kernel sharing each column's single HBM pass; the
+    combined mask feeds EVERY fused aggregate — per-plane popcounts (sum)
+    and/or min/max tournaments per agg_specs entry — over planes already
+    resident in VMEM. refs layout: [lo_b, hi_b, flags] x nleaf,
+    planes x nfield, mask_in, then outputs mask, cnt, and per agg spec
+    (slot, want_sum, want_mm): pcnt if want_sum, mnmx if want_mm."""
     consts = refs[:3 * nleaf]
     planes = refs[3 * nleaf:3 * nleaf + nfield]
     mask_in = refs[3 * nleaf + nfield]
-    mask_ref, pcnt_ref, cnt_ref = refs[3 * nleaf + nfield + 1:]
+    outs = refs[3 * nleaf + nfield + 1:]
+    mask_ref, cnt_ref = outs[0], outs[1]
     T = mask_in.shape[0]
     W = mask_in.shape[1]
 
@@ -214,40 +278,48 @@ def _kernel_tree(*refs, nleaf: int, nfield: int, fwidths: tuple,
         m = m & _range_ladder(planes[leaf_field[j]], lo_b, hi_b, fl,
                               T, W, fwidths[leaf_field[j]])
     mask_ref[:, :] = m
+    cnt_ref[:, 0] = jnp.sum(
+        jax.lax.population_count(m).astype(jnp.int32), axis=-1,
+        dtype=jnp.int32)
 
-    if agg_slot < 0:                   # mask-only plan (count/group/
-        cnt_ref[:, 0] = jnp.sum(       # top-k/stream queries, r4)
-            jax.lax.population_count(m).astype(jnp.int32), axis=-1,
-            dtype=jnp.int32)
-        pcnt_ref[:, :] = jnp.zeros(pcnt_ref.shape, jnp.int32)
-        return
-    _emit_counts(m, planes[agg_slot], pcnt_ref, cnt_ref, agg_width,
-                 blockwise)
+    k = 2
+    for si, (slot, want_sum, want_mm) in enumerate(agg_specs):
+        if want_sum:
+            _emit_pcnt(m, planes[slot], outs[k], fwidths[slot],
+                       blockwise[si])
+            k += 1
+        if want_mm:
+            _emit_minmax(m, planes[slot], outs[k], fwidths[slot])
+            k += 1
 
 
-def fused_tree_sum(planes_list, leaf_ops, leaf_field, mask_in,
-                   fwidths: tuple, agg_slot: int,
+def fused_tree_agg(planes_list, leaf_ops, leaf_field, mask_in,
+                   fwidths: tuple, agg_specs: tuple,
                    interpret: bool = False):
-    """Whole-AND-tree fused scan + masked agg popcounts (r4).
+    """Whole-AND-tree fused scan + ALL fused aggregate partials in one
+    HBM pass (r5 — the single-pass-HBM completion of the reference's
+    matcher-on-compressed-container design, container.go:72-76).
 
-    planes_list: per-FIELD plane arrays u32[w_f, P, W] (deduped —
-    several leaves may compare the same column); leaf_ops: per-LEAF
-    (lo_bits, hi_bits, flags) from range_consts; leaf_field: per-leaf
-    field slot; fwidths: per-field widths (static); agg_slot: field
-    slot whose planes feed the masked popcounts, or -1 for MASK-ONLY
-    plans (count/group-by/top-k/stream queries — no aggregate column;
-    pcnt output is a zeroed [P, 1] placeholder). Returns
-    (mask u32[P, W], plane_counts i32[P, max(w_agg, 1)], counts i32[P]).
-    """
+    planes_list: per-FIELD plane arrays u32[w_f, P, W] (deduped);
+    leaf_ops: per-LEAF (lo_bits, hi_bits, flags) from range_consts;
+    leaf_field: per-leaf field slot; fwidths: per-field widths (static);
+    agg_specs: tuple of (field_slot, want_sum, want_mm) — want_sum emits
+    the masked per-plane popcounts (exact-sum partial), want_mm the
+    min/max tournament words. Empty agg_specs = MASK-ONLY plan
+    (count/group-by/top-k/stream queries).
+
+    Returns (mask u32[P, W], counts i32[P], parts) where parts is one
+    dict per agg spec: {"pcnt": i32[P, w_f]} and/or
+    {"mnmx": u32[P, 8]} (cols mn_lo, mn_hi, mx_lo, mx_hi — PACK-RELATIVE
+    values; host adds min_key)."""
     nleaf = len(leaf_ops)
     nfield = len(planes_list)
     P = mask_in.shape[0]
     W = mask_in.shape[1]
     total_w = sum(fwidths)
     T = _pick_tile(total_w, P, W)
-    agg_width = fwidths[agg_slot] if agg_slot >= 0 else 0
-    w1 = max(agg_width, 1)
-    blockwise = T == 8 and agg_width > 28
+    blockwise = tuple(T == 8 and fwidths[s] > 28
+                      for s, _ws, _wm in agg_specs)
 
     in_specs = []
     args = []
@@ -265,27 +337,61 @@ def fused_tree_sum(planes_list, leaf_ops, leaf_field, mask_in,
     in_specs.append(pl.BlockSpec((T, W), lambda i: (i, _Z)))
     args.append(mask_in)
 
+    out_specs = [pl.BlockSpec((T, W), lambda i: (i, _Z)),
+                 pl.BlockSpec((T, 1), lambda i: (i, _Z))]
+    out_shape = [jax.ShapeDtypeStruct((P, W), jnp.uint32),
+                 jax.ShapeDtypeStruct((P, 1), jnp.int32)]
+    for slot, want_sum, want_mm in agg_specs:
+        if want_sum:
+            w1 = max(fwidths[slot], 1)
+            out_specs.append(pl.BlockSpec((T, w1), lambda i: (i, _Z)))
+            out_shape.append(jax.ShapeDtypeStruct((P, w1), jnp.int32))
+        if want_mm:
+            out_specs.append(
+                pl.BlockSpec((T, _MM_COLS), lambda i: (i, _Z)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((P, _MM_COLS), jnp.uint32))
+
     out = pl.pallas_call(
         partial(_kernel_tree, nleaf=nleaf, nfield=nfield,
                 fwidths=tuple(fwidths), leaf_field=tuple(leaf_field),
-                agg_slot=agg_slot, agg_width=agg_width,
-                blockwise=blockwise),
+                agg_specs=tuple(agg_specs), blockwise=blockwise),
         grid=(P // T,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((T, W), lambda i: (i, _Z)),
-            pl.BlockSpec((T, w1), lambda i: (i, _Z)),
-            pl.BlockSpec((T, 1), lambda i: (i, _Z)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((P, W), jnp.uint32),
-            jax.ShapeDtypeStruct((P, w1), jnp.int32),
-            jax.ShapeDtypeStruct((P, 1), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    mask, pcnt, cnt = out
-    return mask, pcnt, cnt[:, 0]
+    mask, cnt = out[0], out[1][:, 0]
+    parts = []
+    k = 2
+    for slot, want_sum, want_mm in agg_specs:
+        d = {}
+        if want_sum:
+            d["pcnt"] = out[k]
+            k += 1
+        if want_mm:
+            d["mnmx"] = out[k]
+            k += 1
+        parts.append(d)
+    return mask, cnt, parts
+
+
+def fused_tree_sum(planes_list, leaf_ops, leaf_field, mask_in,
+                   fwidths: tuple, agg_slot: int,
+                   interpret: bool = False):
+    """r4 sum-only / mask-only wrapper over fused_tree_agg (kept for
+    the probe/test surface). agg_slot -1 = mask-only. Returns
+    (mask u32[P, W], plane_counts i32[P, max(w_agg, 1)], counts i32[P])."""
+    specs = ((agg_slot, True, False),) if agg_slot >= 0 else ()
+    mask, cnt, parts = fused_tree_agg(
+        planes_list, leaf_ops, leaf_field, mask_in, fwidths, specs,
+        interpret=interpret)
+    if specs:
+        pcnt = parts[0]["pcnt"]
+    else:
+        pcnt = jnp.zeros((mask_in.shape[0], 1), jnp.int32)
+    return mask, pcnt, cnt
 
 
 def tree_fits_vmem(fwidths, P: int, W: int) -> bool:

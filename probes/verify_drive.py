@@ -141,6 +141,38 @@ def main():
     check("join.n", len(j["id"]), want_n)
     print(f"# join {(time.perf_counter()-t0):.1f}s", flush=True)
 
+    # r5: MULTI-AGG single scan — count+sum+min+max (the driver entry()
+    # shape) must run the ONE fused kernel and stay oracle-exact
+    t0 = time.perf_counter()
+    from knoxdb_tpu.exec.scan import AggSpec
+    with db.begin(read_only=True) as tx:
+        res = t._t.query(tx.snapshot, q._tree(), [
+            AggSpec("count"), AggSpec("sum", "bal"),
+            AggSpec("min", "bal"), AggSpec("max", "bal"),
+            AggSpec("min", "val"), AggSpec("max", "val")])
+    check("multiagg.count", res.count, int(m.sum()))
+    check("multiagg.sum", res.aggs[("sum", "bal")],
+          int(bal[m].astype(object).sum()))
+    check("multiagg.minb", res.aggs[("min", "bal")], int(bal[m].min()))
+    check("multiagg.maxb", res.aggs[("max", "bal")], int(bal[m].max()))
+    check("multiagg.minv", res.aggs[("min", "val")], int(val[m].min()))
+    check("multiagg.maxv", res.aggs[("max", "val")], int(val[m].max()))
+    print(f"# multi-agg {(time.perf_counter()-t0):.1f}s", flush=True)
+
+    # r5: post-join predicate + limit (join.go:490-503 analog)
+    t0 = time.perf_counter()
+    j3 = knox.join(t.query().where(knox.F("val") < 1000), u.query(),
+                   on=("id", "id"), where=knox.F("uval") > 2100,
+                   limit=40)
+    lm3 = val < 1000
+    mt = np.isin(tid[lm3], ids)
+    matched_ids = tid[lm3][mt]
+    want3 = int((matched_ids * 7 > 2100).sum())
+    check("join.where", len(j3["id"]), min(40, want3))
+    check("join.where.pred",
+          all(int(v) > 2100 for v in j3["uval"]), True)
+    print(f"# join-where {(time.perf_counter()-t0):.1f}s", flush=True)
+
     db.close()
     if FAILED:
         print(f"FAILED: {FAILED}", flush=True)

@@ -141,6 +141,73 @@ def test_join_select_projection(db, rng):
                   select=("nope",))
 
 
+def test_post_join_where_and_limit(db, rng):
+    """r5 post-join predicate + output limit (reference
+    join.go:490-503): device path, predicates spanning both sides,
+    LEFT-join None semantics (misses fail every predicate), limit with
+    and without where, and select= interplay."""
+    accts, txns, aid, amt = _mk_tables(db, rng, na=10, nt=400)
+    accts.merge()
+    txns.merge()
+    # inner join + both-side predicate
+    out = knox.join(txns.query(), accts.query(), on=("acct", "id"),
+                    where=[knox.F("amount") > 0, knox.F("code") >= 33])
+    m = (amt > 0) & ((aid - 1) * 11 >= 33)
+    assert out["__n"] == int(m.sum())
+    got = sorted((int(a), int(c)) for a, c in zip(out["amount"],
+                                                  out["code"]))
+    want = sorted((int(a), int(k - 1) * 11) for a, k in
+                  zip(amt[m], aid[m]))
+    assert got == want
+    # OR combo + limit caps output
+    out2 = knox.join(txns.query(), accts.query(), on=("acct", "id"),
+                     where=("or", knox.F("amount") > 900,
+                            knox.F("amount") < -900), limit=5)
+    n_all = int(((amt > 900) | (amt < -900)).sum())
+    assert out2["__n"] == min(5, n_all)
+    assert all(int(v) > 900 or int(v) < -900 for v in out2["amount"])
+    # limit without where
+    out3 = knox.join(txns.query(), accts.query(), on=("acct", "id"),
+                     limit=7)
+    assert out3["__n"] == 7 and len(out3["amount"]) == 7
+    # LEFT join: predicate on the RIGHT side drops miss rows (NULL
+    # fails every predicate, incl. NE)
+    out4 = knox.join(accts.query(),
+                     txns.query().where(knox.F("amount") > 900),
+                     on=("id", "acct"), how="left",
+                     where=knox.F("amount") != 12345)
+    assert all(v is not None for v in out4["amount"])
+    m9 = amt > 900
+    assert out4["__n"] == int(m9.sum())
+    # predicate column NOT in select= still filters; output pruned
+    out5 = knox.join(txns.query(), accts.query(), on=("acct", "id"),
+                     select=("code",), where=knox.F("amount") > 0)
+    assert set(out5) == {"code", "__n"}
+    assert out5["__n"] == int((amt > 0).sum())
+    # unknown predicate column raises
+    with pytest.raises(KeyError):
+        knox.join(txns.query(), accts.query(), on=("acct", "id"),
+                  where=knox.F("nope") == 1)
+
+
+def test_post_join_where_host_path(db, rng):
+    """Host join path (FULL join) honors where + limit with the same
+    NULL semantics."""
+    accts, txns, aid, amt = _mk_tables(db, rng, na=10, nt=200)
+    accts.merge()
+    txns.merge()
+    out = knox.join(accts.query(),
+                    txns.query().where(knox.F("amount") > 800),
+                    on=("id", "acct"), how="full",
+                    where=knox.F("amount") > 900)
+    m = amt > 900
+    assert out["__n"] == int(m.sum())
+    assert all(int(v) > 900 for v in out["amount"])
+    out2 = knox.join(accts.query(), txns.query(), on=("id", "acct"),
+                     how="full", limit=3)
+    assert out2["__n"] == 3
+
+
 def test_device_join_journal_overlay(db, rng):
     accts, txns, aid, amt = _mk_tables(db, rng, na=20, nt=400)
     accts.merge()      # accounts sealed; txns stay in the JOURNAL

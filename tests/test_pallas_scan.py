@@ -231,9 +231,10 @@ def test_fused_vs_unfused_equivalence(rng, monkeypatch):
 
 
 def test_mask_only_tree_fusion(rng, monkeypatch):
-    """Opt-in mask-only whole-tree fusion (KNOX_PALLAS_MASKONLY=1):
-    count-only and min-agg queries plan the kernel with agg_slot=-1 and
-    stay oracle-exact (incl. projection via the kernel's mask)."""
+    """Mask-only whole-tree fusion (DEFAULT ON since r5): count-only
+    queries plan the kernel with NO agg specs and stay oracle-exact
+    (incl. projection via the kernel's mask); KNOX_PALLAS_MASKONLY=0
+    reverts those plans to the XLA sweep with identical results."""
     from knoxdb_tpu.exec.device import DeviceSegment
     from knoxdb_tpu.exec.scan import AggSpec, SegmentScanner
     from knoxdb_tpu.pack.segment import build_segment
@@ -241,7 +242,6 @@ def test_mask_only_tree_fusion(rng, monkeypatch):
     from knoxdb_tpu.schema.schema import Builder
     from knoxdb_tpu.types import FieldType, FilterMode
 
-    monkeypatch.setenv("KNOX_PALLAS_MASKONLY", "1")
     n = 8192
     sch = (Builder("t").pk("id")
            .add("a", FieldType.UINT64)
@@ -261,12 +261,72 @@ def test_mask_only_tree_fusion(rng, monkeypatch):
     m = (data["a"] >= 100) & (data["a"] <= 30_000) & (data["b"] <= 12345)
     res = sc.scan(tree, [AggSpec("count")])
     assert res.count == int(m.sum())
-    res2 = sc.scan(tree, [AggSpec("count"), AggSpec("min", "b")])
-    assert res2.count == int(m.sum())
-    assert res2.aggs[("min", "b")] == int(data["b"][m].min())
     res3 = sc.scan(tree, [AggSpec("count")], project=["a"], limit=50)
     assert len(res3.rows["a"]) == min(50, int(m.sum()))
     sigs = [x for s in sc._fns if isinstance(s, tuple)
             for x in s if isinstance(x, tuple) and len(x) == 4
             and x[0] == "multi"]
-    assert any(x[3] == -1 for x in sigs), "mask-only plan not selected"
+    assert any(x[3] == () for x in sigs), "mask-only plan not selected"
+    # kill switch: same results, no fused plan
+    monkeypatch.setenv("KNOX_PALLAS_MASKONLY", "0")
+    sc2 = SegmentScanner(DeviceSegment(seg))
+    assert sc2.scan(tree, [AggSpec("count")]).count == res.count
+    sigs2 = [x for s in sc2._fns if isinstance(s, tuple)
+             for x in s if isinstance(x, tuple) and len(x) == 4
+             and x[0] == "multi"]
+    assert not sigs2, "kill switch ignored"
+
+
+def test_multi_agg_fused_kernel(rng):
+    """r5: count+sum+min+max (the driver entry() shape) runs ONE fused
+    kernel — sum popcounts AND min/max tournaments from a single HBM
+    pass — and matches the numpy oracle exactly, incl. a signed leaf
+    column, a >32-bit-wide agg column (hi-half tournament bits), and an
+    empty-result query."""
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import AggSpec, SegmentScanner
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.query.filter import Filter, and_, leaf
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, FilterMode
+
+    n = 16384
+    sch = (Builder("t").pk("id")
+           .add("a", FieldType.UINT64)
+           .add("b", FieldType.INT64)
+           .add("v", FieldType.UINT64)
+           .finish())
+    data = {
+        "id": np.arange(1, n + 1, dtype=np.uint64),
+        "a": rng.integers(0, 50_000, n, dtype=np.uint64),
+        "b": rng.integers(-1 << 30, 1 << 30, n, dtype=np.int64),
+        "v": rng.integers(0, 1 << 40, n, dtype=np.uint64),
+    }
+    seg = build_segment(sch, data, pack_size=2048)
+    sc = SegmentScanner(DeviceSegment(seg))
+    tree = and_(
+        leaf(Filter(sch.field("a"), FilterMode.RANGE, (1000, 40_000))),
+        leaf(Filter(sch.field("b"), FilterMode.GT, -1 << 29)),
+    ).optimize()
+    aggs = [AggSpec("count"), AggSpec("sum", "v"), AggSpec("min", "v"),
+            AggSpec("max", "v"), AggSpec("min", "b"), AggSpec("max", "b")]
+    res = sc.scan(tree, aggs)
+    m = ((data["a"] >= 1000) & (data["a"] <= 40_000)
+         & (data["b"] > -(1 << 29)))
+    assert res.count == int(m.sum())
+    assert res.aggs[("sum", "v")] == int(data["v"][m].astype(object).sum())
+    assert res.aggs[("min", "v")] == int(data["v"][m].min())
+    assert res.aggs[("max", "v")] == int(data["v"][m].max())
+    assert res.aggs[("min", "b")] == int(data["b"][m].min())
+    assert res.aggs[("max", "b")] == int(data["b"][m].max())
+    # the plan must fuse BOTH agg columns (v: sum+mm; b: mm only)
+    sigs = [x for s in sc._fns if isinstance(s, tuple)
+            for x in s if isinstance(x, tuple) and len(x) == 4
+            and x[0] == "multi"]
+    assert any(("v", True, True) in x[3] and ("b", False, True) in x[3]
+               for x in sigs), "multi-agg fusion not selected"
+    # empty result: min/max are None, sum 0
+    t0 = leaf(Filter(sch.field("a"), FilterMode.GT, 10 ** 9)).optimize()
+    r0 = sc.scan(t0, aggs)
+    assert r0.count == 0 and r0.aggs[("min", "v")] is None
+    assert r0.aggs[("max", "b")] is None and r0.aggs[("sum", "v")] == 0
