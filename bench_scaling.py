@@ -113,7 +113,9 @@ def main():
             ts.append(st["seconds"])
         jt[ndev] = sorted(ts)[1]
         print(f"# join ndev={ndev}: {jt[ndev]*1e3:.0f}ms "
-              f"core={st['core']} work_eff={st['work_eff']:.2f}",
+              f"core={st['core']} work_eff={st['work_eff']:.2f} "
+              f"measured={st.get('work_eff_measured', -1):.2f} "
+              f"rows/dev={st.get('rows_per_dev')}",
               file=sys.stderr)
     jeff = {d: jt[1] / (min(d, max(ncores, 1)) * t) if d > 1 else 1.0
             for d, t in jt.items()}
@@ -136,6 +138,15 @@ def main():
         "unit": "ratio",
         "vs_baseline": st["work_eff"] / 0.80,
     }))
+    # r5: MEASURED occupancy efficiency from the fused rungs' own
+    # per-device valid-row counters (ideal rows/dev / busiest dev)
+    if "work_eff_measured" in st:
+        print(json.dumps({
+            "metric": f"join_strong_scaling_work_eff_measured_{topj}dev",
+            "value": st["work_eff_measured"],
+            "unit": "ratio",
+            "vs_baseline": st["work_eff_measured"] / 0.80,
+        }))
 
 
 if __name__ == "__main__":

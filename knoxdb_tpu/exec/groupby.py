@@ -531,8 +531,12 @@ def group_ts_runs(gids, mask_words, ts_keys, val_keys, G: int, bias):
             i_min, i_max, i_n, i_sum, i_sumsq)
 
 
-MXU_MAX_G = 16384    # one-hot matmul path: beyond this the sort path
-#                      wins (one-hot traffic is G bytes/row)
+MXU_MAX_G = 65536    # one-hot path ceiling == MAX_GROUPS since r5: the
+#                      multi-pass Pallas kernel (_group_pallas, 8192
+#                      groups/pass) beats the sort path at every legal G
+#                      (TPU-measured probes/pg_bigG.py: G=65536 mp-vec
+#                      ~90 M vs sort 4 M rows/s; the sort's [P, G+1]
+#                      boundary gathers scale with G)
 _MXU_TILE = 8192     # rows per matmul step (15 * tile < 2^31: i32-exact;
 #                      bigger tiles amortize the scan-step overhead)
 _MXU_FACTORED_MIN_G = 192   # below this the flat one-hot moves less data
@@ -703,7 +707,15 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
                   n_chunks: int = 8, bias=None):
     """Pallas fused factored group kernel (ops/pallas_group.py): one-hot
     operands built IN VMEM, f32 tile partials out; u64-add accumulation
-    here. Same (counts, chunks, mn, mx) contract as the MXU paths."""
+    here. Same (counts, chunks, mn, mx) contract as the MXU paths.
+
+    r5 MULTI-PASS for G > 8192 (the G-cliff, VERDICT r4 next-#3): pass
+    p re-runs the SAME (H=256, L=32) kernel on gid - p*8192 — rows
+    outside the pass's sub-range shift to a negative (or >= H) hi and
+    match no iota column, so they self-exclude with no extra masking.
+    TPU-measured (probes/pg_bigG.py): 708 M rows/s at G=8192 (vs the
+    229 M XLA factored / 30 M sort), ~8-pass G=65536 far above the
+    17 M XLA / 4 M sort alternatives."""
     from ..config import is_tpu
     from ..ops import pallas_group as PG
     if not is_tpu() and getattr(getattr(gids, "aval", None), "vma", None):
@@ -713,13 +725,11 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
         return _group_mxu_factored(gids, mask_words, value_keys, G,
                                    n_chunks, bias)
     C = n_chunks
-    H, L = _pallas_group_geometry(G)
-    if L > 32:
-        # beyond G=8192 the XLA factored kernel streams from HBM
-        return _group_mxu_factored(gids, mask_words, value_keys, G,
-                                   n_chunks, bias)
+    H, L = _pallas_group_geometry(min(G, 8192))
+    GP = H * L if G > 8192 else max(H * L, 1)
+    NP = -(-G // GP) if G > GP else 1
     shift = L.bit_length() - 1
-    SENT = H * L
+    SENT = NP * GP
 
     mask = bs.unpack_mask(mask_words)
     ok = mask & (gids >= 0) & (gids < G)
@@ -727,13 +737,17 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
     vlo, vhi = _value_halves(value_keys, bias)
     vlo = jnp.where(ok, vlo, jnp.uint32(0)).reshape(-1)
     vhi = jnp.where(ok, vhi, jnp.uint32(0)).reshape(-1)
-    parts = PG.fused_group_partials(gid, vlo, vhi, G,
-                                    L, shift, n_chunks=C,
-                                    interpret=not is_tpu(), H=H)
-    acc = parts.astype(jnp.uint32).astype(jnp.uint64).sum(axis=0)
-    acc3 = acc.reshape(H, L, C + 1)
-    counts = acc3[:, :, C].reshape(-1)[:G].astype(jnp.int64)
-    chunks = tuple(acc3[:, :, c].reshape(-1)[:G] for c in range(C))
+    accs = []
+    for p in range(NP):
+        gp = gid - jnp.int32(p * GP) if p else gid
+        parts = PG.fused_group_partials(gp, vlo, vhi, min(G, GP),
+                                        L, shift, n_chunks=C,
+                                        interpret=not is_tpu(), H=H)
+        acc = parts.astype(jnp.uint32).astype(jnp.uint64).sum(axis=0)
+        accs.append(acc.reshape(H * L, C + 1))
+    acc2 = jnp.concatenate(accs, axis=0) if NP > 1 else accs[0]
+    counts = acc2[:G, C].astype(jnp.int64)
+    chunks = tuple(acc2[:G, c] for c in range(C))
     mn = jnp.full(G, 0xFFFFFFFFFFFFFFFF, jnp.uint64)
     mx = jnp.zeros(G, jnp.uint64)
     return counts, chunks, mn, mx

@@ -69,6 +69,27 @@ def _chunk_cols(vlo, vhi, C):
     return cols
 
 
+def _m2_vec(lo, cols, S: int, L: int):
+    """m2 [S, L*NC, T8] via ONE broadcast multiply: lo one-hot from an
+    iota compare (built once) x the stacked chunk columns. r5 — the
+    r1-r4 python loop + jnp.stack of L*NC rows was a Mosaic
+    materialization trap at L=32 (224-288 stacked relayouts): the
+    broadcast build measured 708 vs 479 M rows/s at G=8192 and is the
+    whole-G production form (probes/pg_bigG.py vec-vs-loop)."""
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (S, L, _T8), 1)
+    lo_oh = (lo[:, None, :] == iota_l).astype(jnp.bfloat16)
+    if len(cols) == 1:
+        # count-only histogram (r5 top-k radix descent): the 4-D
+        # broadcast with a singleton NC axis crashes the real Mosaic
+        # backend's vector_extract layout pass (r5 on-chip find:
+        # "Check failed: limits[i] <= dim(i) (4 vs 1)"); the 3-D
+        # multiply is the same program without the degenerate axis
+        return lo_oh * cols[0][:, None, :]
+    colstack = jnp.stack(cols, axis=1)                  # [S, NC, T8]
+    return (lo_oh[:, :, None, :] * colstack[:, None, :, :]) \
+        .reshape(S, L * len(cols), _T8)
+
+
 def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, H: int, L: int,
             shift: int, C: int, S: int):
     g = gid_ref[0]                     # [S, T8] i32
@@ -82,12 +103,7 @@ def _kernel(gid_ref, vlo_ref, vhi_ref, out_ref, *, H: int, L: int,
 
     cols = _chunk_cols(vlo, vhi, C)
     cols.append(jnp.ones(g.shape, jnp.bfloat16))        # count column
-    rows = []
-    for l in range(L):
-        lm = (lo == l).astype(jnp.bfloat16)
-        for c in range(C + 1):
-            rows.append(lm * cols[c])
-    m2 = jnp.stack(rows, axis=1)       # [S, L*(C+1), T8]
+    m2 = _m2_vec(lo, cols, S, L)       # [S, L*(C+1), T8]
 
     part = jax.lax.dot_general(
         hi_oh, m2, (((2,), (2,)), ((0,), (0,))),
@@ -116,13 +132,7 @@ def _kernel_moments(gid_ref, rlo_ref, rhi_ref, qlo_ref, qhi_ref,
 
     cols = _chunk_cols(rlo, rhi, C1) + _chunk_cols(qlo, qhi, C2)
     cols.append(jnp.ones(g.shape, jnp.bfloat16))        # count column
-    NC = C1 + C2 + 1
-    rows = []
-    for l in range(L):
-        lm = (lo == l).astype(jnp.bfloat16)
-        for c in range(NC):
-            rows.append(lm * cols[c])
-    m2 = jnp.stack(rows, axis=1)       # [S, L*NC, T8]
+    m2 = _m2_vec(lo, cols, S, L)       # [S, L*NC, T8]
 
     part = jax.lax.dot_general(
         hi_oh, m2, (((2,), (2,)), ((0,), (0,))),

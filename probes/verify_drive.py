@@ -54,6 +54,7 @@ def main():
            .add("val", FieldType.UINT64)
            .add("bal", FieldType.INT64)
            .add("grp", FieldType.UINT32)
+           .add("gg", FieldType.UINT32)
            .add("f", FieldType.FLOAT64)
            .finish())
     t = db.create_table(sch)
@@ -62,12 +63,13 @@ def main():
     val = rng.integers(0, 1 << 16, n, dtype=np.uint64)
     bal = rng.integers(-(1 << 40), 1 << 40, n, dtype=np.int64)
     grp = rng.integers(0, 1000, n).astype(np.uint32)
+    gg = rng.integers(0, 20000, n).astype(np.uint32)
     f = rng.normal(0, 1e6, n)
     f[::97] = -0.0
     f[1] = np.inf
     f[2] = -np.inf
     t.insert({"id": np.zeros(n, np.uint64), "ts": ts, "val": val,
-              "bal": bal, "grp": grp, "f": f})
+              "bal": bal, "grp": grp, "gg": gg, "f": f})
     t.merge()
 
     t0 = time.perf_counter()
@@ -114,6 +116,26 @@ def main():
           [int(x) for x in sums[want_cnt > 0]])
     print(f"# group-by {(time.perf_counter()-t0):.1f}s", flush=True)
 
+    # r5: BIG-G group-by (G=20000 > the old 16384 ceiling) rides the
+    # multi-pass Pallas kernel — counts + exact sums vs numpy
+    t0 = time.perf_counter()
+    gb = t.query().group_by("gg").aggregate(("sum", "val"),
+                                            ("count", ""))
+    gkeys = np.asarray(gb["keys"], np.int64)
+    wc = np.bincount(gg.astype(np.int64), minlength=20000)
+    gorder = np.argsort(gkeys)
+    check("biggroup.n", len(gkeys), int((wc > 0).sum()))
+    check("biggroup.counts",
+          np.asarray(gb["count"])[gorder].tolist(),
+          wc[wc > 0].tolist())
+    gsums = np.zeros(20000, dtype=object)
+    np.add.at(gsums, gg.astype(np.int64), val.astype(object))
+    check("biggroup.sums",
+          [int(x) for x in np.asarray(gb[("sum", "val")])[gorder]],
+          [int(x) for x in gsums[wc > 0]])
+    print(f"# big-G group-by {(time.perf_counter()-t0):.1f}s",
+          flush=True)
+
     # series buckets
     t0 = time.perf_counter()
     req = SeriesRequest(table=t, time_field="ts", start=0,
@@ -140,6 +162,18 @@ def main():
     want_n = int(np.isin(tid[lm], ids).sum())
     check("join.n", len(j["id"]), want_n)
     print(f"# join {(time.perf_counter()-t0):.1f}s", flush=True)
+
+    # r5: ORDER BY + limit through the radix-8192 top-k descent
+    t0 = time.perf_counter()
+    tk = t.query().where(knox.F("bal") > 0).order_by("val", desc=True) \
+        .limit(25).select("val").rows()
+    wv = np.sort(val[bal > 0])[::-1][:25]
+    check("topk.vals", [int(x) for x in tk["val"]],
+          [int(x) for x in wv])
+    tk2 = t.query().order_by("bal").limit(10).select("bal").rows()
+    check("topk.min", [int(x) for x in tk2["bal"]],
+          [int(x) for x in np.sort(bal)[:10]])
+    print(f"# topk {(time.perf_counter()-t0):.1f}s", flush=True)
 
     # r5: MULTI-AGG single scan — count+sum+min+max (the driver entry()
     # shape) must run the ONE fused kernel and stay oracle-exact

@@ -100,3 +100,72 @@ def test_fused_partials_forced_sublanes(rng):
         want[g, 0] += v & 0xFF
         want[g, 1] += (v >> 8) & 0xFF
     np.testing.assert_array_equal(outs[0].reshape(128, C + 1), want)
+
+
+def test_multipass_bigG_oracle(rng):
+    """r5 multi-pass group path (G > 8192): pass p re-runs the kernel on
+    gid - p*8192 (out-of-pass rows self-exclude). Oracle-exact counts +
+    chunk sums at G=20000 through _group_pallas, incl. out-of-domain and
+    masked rows."""
+    import jax.numpy as jnp
+
+    from knoxdb_tpu.exec.groupby import _group_pallas
+
+    G = 20000
+    n = 65536
+    gid = rng.integers(-5, G + 7, n).astype(np.int32)   # incl. invalid
+    vlo = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    vhi = rng.integers(0, 1 << 8, n, dtype=np.uint64).astype(np.uint32)
+    from knoxdb_tpu.ops import bitset as bs
+    maskbits = rng.random(n) < 0.9
+    mw = bs.np_pack_mask(maskbits).reshape(1, -1)
+    keys = (vhi.astype(np.uint64) << np.uint64(32)) | vlo.astype(np.uint64)
+    c_, ch, _mn, _mx = _group_pallas(
+        jnp.asarray(gid).reshape(1, -1), jnp.asarray(mw),
+        jnp.asarray(keys).reshape(1, -1), G, n_chunks=6)
+    ok = maskbits & (gid >= 0) & (gid < G)
+    want_c = np.bincount(gid[ok], minlength=G)
+    np.testing.assert_array_equal(np.asarray(c_), want_c)
+    want = np.zeros((G, 6), object)
+    for c in range(6):
+        np.add.at(want[:, c], gid[ok],
+                  (keys[ok].astype(object) >> (8 * c)) & 0xFF)
+    for c in range(6):
+        np.testing.assert_array_equal(
+            np.asarray(ch[c]).astype(object), want[:, c])
+
+
+def test_group_query_bigG_engine(rng):
+    """Engine-level group query above the old 16384 MXU ceiling rides
+    the multi-pass kernel and stays oracle-exact."""
+    import knoxdb_tpu.knox as knox
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+
+    n = 1 << 15
+    G = 20000
+    db = knox.create_database("bigg", driver="mem", pack_size=4096,
+                              background_merge=False)
+    sch = (Builder("t").pk("id")
+           .add("g", FieldType.UINT32)
+           .add("v", FieldType.INT64)
+           .finish())
+    t = db.create_table(sch)
+    g = rng.integers(0, G, n).astype(np.uint32)
+    g[:G:7] = np.arange(0, G, 7)       # ensure domain spread
+    v = rng.integers(-1 << 40, 1 << 40, n)
+    t.insert({"id": np.zeros(n, np.uint64), "g": g, "v": v})
+    t.merge()
+    out = t.query().group_by("g").aggregate(("count", ""), ("sum", "v"))
+    keys = np.asarray(out["keys"], np.int64)
+    want_c = np.bincount(g.astype(np.int64), minlength=G)
+    present = np.flatnonzero(want_c)
+    order = np.argsort(keys)
+    np.testing.assert_array_equal(keys[order], present)
+    np.testing.assert_array_equal(
+        np.asarray(out["count"])[order], want_c[present])
+    wsum = np.zeros(G, object)
+    np.add.at(wsum, g.astype(np.int64), v.astype(object))
+    got = np.asarray(out[("sum", "v")])[order]
+    assert [int(x) for x in got] == [int(wsum[i]) for i in present]
+    db.close()
