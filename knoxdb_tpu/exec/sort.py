@@ -194,19 +194,21 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
     width popcount passes + K-scale gathers, bandwidth-bound (the
     lax.top_k path sorts all P*N keys, ~20x slower at 16M rows;
     VERDICT r1 weak #3)."""
-    from ..config import is_tpu, use_pallas_group
     from ..ops import bitslice as BS
     from ..ops import compact as C
     d = scanner.d
     wo, cb_np, gmin = fast
     kcap = max(1, 1 << (k - 1).bit_length())
     used = sorted(set([order_field] + project))
-    # r5: narrow columns ride the RADIX-8192 descent (2-5 dependent
-    # steps vs bit-pair's width/2 — the op is latency-class, so the
-    # chain length IS the cost); wide keyform and SPMD keep bit-pair
-    radix = wo <= 64 and not scanner.spmd and use_pallas_group()
+    # r5 MEASURED DECISION (probes/topk_marginal.py): the bit-pair
+    # descent's device marginal is ~1 ms/call at 16.7M rows w=64 —
+    # bandwidth-cheap mask ops, NOT the latency bottleneck the e2e
+    # number suggested. A radix-8192 Pallas-histogram descent was
+    # built, oracle-tested and bench'd: 32 ms/call on device (each
+    # 13-bit histogram costs R MACs/row) — deleted, s8b-style, rather
+    # than left as a slower reachable path.
     sig = ("topk-bd", d.sig(used), order_field, kcap, desc,
-           tuple(project), has_excl, radix)
+           tuple(project), has_excl)
     fn = scanner._fns.get(sig)
     nw = -(-wo // 32)
     proj_cols = list(project)
@@ -229,13 +231,8 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
                     part = BS.add_const_planes(
                         arrays[order_field][gi]["planes"], cb[:, idx], wo)
                     absp = absp.at[:, idx].set(part)
-            if radix:
-                _tw, better, tie, nb = BS.topk_select_radix(
-                    absp, mask, kk, wo, want_max=desc,
-                    interpret=not is_tpu())
-            else:
-                _tw, better, tie, nb = BS.topk_select(
-                    absp, mask, kk, wo, want_max=desc)
+            _tw, better, tie, nb = BS.topk_select(
+                absp, mask, kk, wo, want_max=desc)
             bi, _bc = C.first_k_indexes(better, kcap)
             ti, tc = C.first_k_indexes(tie, kcap)
             idx = jnp.concatenate([bi, ti])

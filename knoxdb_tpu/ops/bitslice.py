@@ -298,119 +298,6 @@ def add_const_planes(planes, const_bits, width_out: int):
     return jnp.stack(outs, axis=0)
 
 
-def topk_select_radix(planes, mask_words, k, width: int, want_max: bool,
-                      interpret: bool = False):
-    """Top-k threshold via RADIX-8192 descent (r5, VERDICT r4 next-#7):
-    ceil(width/13) dependent steps instead of bit-pair's ceil(width/2).
-    The op is LATENCY-class (each step is a sub-ms dependent kernel
-    chain), so cutting 21 steps to 2-4 at w<=41 attacks the dominant
-    term directly. Narrow columns only (width <= 64).
-
-    Mechanics: decode the comparable planes ONCE to (lo, hi) u32 halves
-    (32x32 bit-matrix transpose — the per-plane expand chain is the
-    banned slow path), complement for min so descent is always
-    "toward max", then per step histogram the candidates' next 13 bits
-    with the Pallas VMEM one-hot count kernel (ops/pallas_group,
-    n_chunks=0) and keep the bucket containing the k-th row. Same
-    return contract as topk_select: (t_words LSW-first, better u32[P,W],
-    tie u32[P,W], n_better i32)."""
-    from ..encode.schemes import decode_bitplanes_pair
-    from ..exec.groupby import _pallas_group_geometry
-    from . import bitset as _bs
-    from . import pallas_group as PG
-    _, P, W = planes.shape
-    lo, hi = decode_bitplanes_pair(planes, width)       # [P, N]
-    if not want_max:
-        lo, hi = ~lo, ~hi              # preferred space: always max
-        # clear the complement's garbage above `width` so buckets (and
-        # the k>population descent into bucket 0) stay in-domain
-        if width < 32:
-            lo = lo & jnp.uint32((1 << width) - 1)
-            hi = hi & jnp.uint32(0)
-        elif width < 64:
-            hi = hi & jnp.uint32((1 << (width - 32)) - 1)
-    pm = _bs.unpack_mask(mask_words)   # bool [P, N]
-    better = jnp.zeros(pm.shape, bool)
-    t_lo = jnp.uint32(0)
-    t_hi = jnp.uint32(0)
-    k_rem = k.astype(jnp.int32)
-
-    B = 13                             # bits per step (R = 8192)
-    R = 1 << B
-    # every window is a FULL 13-bit slice so the histogram geometry is
-    # always the proven (H=256, L=32) kernel shape — a narrower last
-    # window means a small-R geometry with singleton axes, which
-    # crashes the real Mosaic backend (r5 on-chip find, the same
-    # vector_extract layout check as the NC=1 case). Overlapping bits
-    # are already FIXED (identical across candidates), so the
-    # histogram simply concentrates in the undecided sub-range and the
-    # threshold OR below re-sets them to the same values.
-    shifts = []
-    top = max(width - B, 0)
-    while True:
-        shifts.append(top)
-        if top == 0:
-            break
-        top = max(top - B, 0)
-
-    lo_f = lo.reshape(-1)
-    hi_f = hi.reshape(-1)
-    for shift in shifts:
-        bs_ = B
-        if shift >= 32:
-            bucket = hi_f >> jnp.uint32(shift - 32)
-        elif shift + bs_ <= 32:
-            bucket = lo_f >> jnp.uint32(shift)
-        else:                          # spans the 32-bit boundary
-            bucket = (lo_f >> jnp.uint32(shift)) \
-                | (hi_f << jnp.uint32(32 - shift))
-        bucket = (bucket & jnp.uint32(R - 1)).astype(jnp.int32)
-
-        Hg, Lg = _pallas_group_geometry(R)
-        SENT = Hg * Lg
-        gid = jnp.where(pm.reshape(-1), bucket, jnp.int32(SENT))
-        z = jnp.zeros(gid.shape, jnp.uint32)
-        parts = PG.fused_group_partials(gid, z, z, R, Lg,
-                                        Lg.bit_length() - 1,
-                                        n_chunks=0, interpret=interpret,
-                                        H=Hg)
-        hist = parts.astype(jnp.int32).sum(axis=0).reshape(-1)[:R]
-        # suffix counts: rows in buckets >= b; pick the largest b* with
-        # suffix[b*] >= k_rem (k larger than the population descends
-        # into bucket 0 and the caller's tie quota bounds the output)
-        suf = jnp.cumsum(hist[::-1])[::-1]
-        nb_ge = jnp.sum((suf >= k_rem).astype(jnp.int32))
-        bstar = jnp.maximum(nb_ge - 1, 0)
-        above = jnp.where(bstar + 1 <= R - 1,
-                          suf[jnp.minimum(bstar + 1, R - 1)],
-                          jnp.int32(0))
-        bu = bstar.astype(jnp.uint32)
-        is_above = pm & (bucket > bstar).reshape(P, -1)
-        better = better | is_above
-        pm = pm & (bucket == bstar).reshape(P, -1)
-        k_rem = k_rem - above
-        if shift >= 32:
-            t_hi = t_hi | (bu << jnp.uint32(shift - 32))
-        elif shift + bs_ > 32:
-            t_lo = t_lo | (bu << jnp.uint32(shift))
-            t_hi = t_hi | (bu >> jnp.uint32(32 - shift))
-        else:
-            t_lo = t_lo | (bu << jnp.uint32(shift))
-    if not want_max:                   # back to the actual key domain
-        t_lo, t_hi = ~t_lo, ~t_hi
-    if width < 32:
-        t_lo = t_lo & jnp.uint32((1 << width) - 1)
-        t_hi = jnp.uint32(0)
-    elif width < 64:
-        t_hi = t_hi & jnp.uint32((1 << (width - 32)) - 1)
-    better_w = _bs.pack_mask(better)
-    tie_w = _bs.pack_mask(pm)
-    n_better = jnp.sum(jax.lax.population_count(better_w)
-                       .astype(jnp.int32), dtype=jnp.int32)
-    t_words = (t_lo,) if width <= 32 else (t_lo, t_hi)
-    return t_words, better_w, tie_w, n_better
-
-
 def topk_select(planes, mask_words, k, width: int, want_max: bool):
     """Exact top-k THRESHOLD + candidate masks via MSB-first RADIX-4 bit
     descent: ceil(width/2) dependent steps of 4-bucket popcounts over

@@ -79,49 +79,6 @@ def test_topk_select(rng, want_max, k):
 
 
 
-@pytest.mark.parametrize("want_max", [True, False])
-@pytest.mark.parametrize("w", [8, 20, 27, 41, 64])
-def test_topk_select_radix(rng, want_max, w):
-    """r5 radix-8192 descent vs the same oracle as topk_select, at
-    widths covering sub-step (8), exact-step (27 = 13+13+1... spans),
-    the 32-bit boundary-spanning shifts (41), and full u64 (64);
-    k beyond the masked population descends into bucket 0."""
-    P, N = 4, 256
-    for k in (1, 7, 100, 10_000):
-        vals = rng.integers(0, 1 << min(w, 63), (P, N), dtype=np.uint64)
-        if w == 64:
-            vals = vals | (rng.integers(0, 2, (P, N), dtype=np.uint64)
-                           << np.uint64(63))
-        vals[0, :50] = vals[0, 0]       # tie block
-        mask = rng.random((P, N)) < 0.8
-        planes = _mk_planes(vals, w)
-        mw = np.stack([bs.np_pack_mask(mask[p]) for p in range(P)])
-        tw, better, tie, nb = BS.topk_select_radix(
-            jnp.asarray(planes), jnp.asarray(mw), jnp.int32(k), w,
-            want_max, interpret=True)
-        T = sum(int(x) << (32 * j) for j, x in enumerate(tw))
-        sel = np.sort(vals[mask])
-        sel = sel[::-1] if want_max else sel
-        kk = min(k, len(sel))
-        if k <= len(sel):
-            assert T == int(sel[:kk][-1]), (w, k, want_max)
-        bet = np.concatenate([bs.np_unpack_mask(np.asarray(better)[p], N)
-                              for p in range(P)])
-        tiem = np.concatenate([bs.np_unpack_mask(np.asarray(tie)[p], N)
-                               for p in range(P)])
-        flat_v = vals.reshape(-1)
-        flat_m = mask.reshape(-1)
-        if want_max:
-            np.testing.assert_array_equal(bet, flat_m & (flat_v > T))
-        else:
-            np.testing.assert_array_equal(bet, flat_m & (flat_v < T))
-        np.testing.assert_array_equal(tiem, flat_m & (flat_v == T))
-        assert int(nb) == int(bet.sum())
-        assert int(nb) + int(tiem.sum()) >= kk
-        if k > len(sel):               # whole population selected
-            assert int(nb) + int(tiem.sum()) == len(sel)
-
-
 @pytest.mark.slow
 def test_wide_int128_bit_descent(rng):
     """End-to-end wide top-k through the bit-descent fast path
