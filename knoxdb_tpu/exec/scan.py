@@ -77,6 +77,7 @@ class SegmentScanner:
     def __init__(self, dseg: D.DeviceSegment):
         self.d = dseg
         self._fns: dict = {}
+        self._plan_sigs: dict = {}   # id(raw) -> full plan signature
         self._acache: dict = {}    # (tdesc, leaf values) -> uploaded args
         self._fused_ops: dict = {}  # kernel operand cache; keys:
         # bitpack (field, w, lo, hi) / dict (field, w, "dict",
@@ -164,6 +165,11 @@ class SegmentScanner:
             pair = (jax.jit(raw), raw)
             self._fns[sig] = pair
         fn, raw = pair
+        # plan identity for DEPENDENT caches (group/series/top-k close
+        # over this raw fn): two queries with the same (field, G) but
+        # different TREES must not share a compiled closure — the old
+        # sigs omitted the mask plan and collided (r5 probe find)
+        self._plan_sigs[id(raw)] = sig
 
         # fused Pallas plan: bind the kernel's per-plane select-mask
         # operands on the HOST (tiny numpy over P packs) and append them
@@ -318,7 +324,8 @@ class SegmentScanner:
 
         sig = ("group", d.sig(used), group_field, tuple(agg_fields),
                mode_tags, gplan.G, exclude_words is not None, use_mxu,
-               tuple(cplan[f][0] for f in agg_fields))
+               tuple(cplan[f][0] for f in agg_fields),
+               self._plan_sigs[id(mask_raw)])
         gfn = self._fns.get(sig)
         if gfn is None:
             def gf(margs, garrays, gconsts, biases):
@@ -454,7 +461,8 @@ class SegmentScanner:
 
         sig = ("series", d.sig(used), time_field, kspec, mode_tags,
                gplan.G, exclude_words is not None, alp_keys,
-               tuple(sorted((f, v[0], v[2]) for f, v in mplan.items())))
+               tuple(sorted((f, v[0], v[2]) for f, v in mplan.items())),
+               self._plan_sigs[id(mask_raw)])
         sfn = self._fns.get(sig)
         if sfn is None:
             def decode(f, garrays):
@@ -647,8 +655,24 @@ class SegmentScanner:
         from ..config import use_pallas, use_pallas_maskonly
         from ..ops import pallas_scan as PSC
         d = self.d
-        if self.spmd or not use_pallas() or d.P % 8:
+        if not use_pallas():
             return None
+        if self.spmd:
+            # r5: Mosaic scan fusion UNDER shard_map — same flag family
+            # as the group kernel (probed r4); TPU only (interpret-mode
+            # pallas under shard_map trips the JAX hlo_interpreter vma
+            # bug, so CPU/virtual meshes keep the XLA two-pass sweep).
+            # Tile math runs on the DEVICE-LOCAL pack count.
+            from ..config import is_tpu, use_spmd_pallas
+            ndev = self.mesh.shape[self.axis]
+            if not (is_tpu() and use_spmd_pallas()) \
+                    or (d.P // ndev) % 8:
+                return None
+            P_tile = d.P // ndev       # per-shard pack count
+        elif d.P % 8:
+            return None
+        if not self.spmd:
+            P_tile = d.P
         top_leaves = []
         if tdesc[0] == "leaf":
             top_leaves = [tdesc]
@@ -699,7 +723,7 @@ class SegmentScanner:
         for f, (ws, wm) in agg_want.items():
             nf = fields + [f]
             if not PSC.tree_fits_vmem([width_of(x) for x in nf],
-                                      d.P, d.W):
+                                      P_tile, d.W):
                 continue
             fields = nf
             aspec.append((f, ws, wm))
@@ -708,7 +732,7 @@ class SegmentScanner:
                                key=lambda e: -width_of(e[1])):
             nf = fields if fname in fields else fields + [fname]
             if not PSC.tree_fits_vmem([width_of(x) for x in nf],
-                                      d.P, d.W):
+                                      P_tile, d.W):
                 continue
             fields = nf
             entries.append((i, fname))

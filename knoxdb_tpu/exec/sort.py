@@ -83,7 +83,8 @@ def segment_topk(scanner, tree, order_field: str, k: int,
                                  exclude_words is not None)
 
     sig = ("topk", d.sig(used), order_field, k, desc, wide,
-           tuple(project), exclude_words is not None)
+           tuple(project), exclude_words is not None,
+           scanner._plan_sigs[id(mask_raw)])
     fn = scanner._fns.get(sig)
     if fn is None:
         proj_cols = list(project)
@@ -208,7 +209,8 @@ def _topk_bit_descent(scanner, margs, mask_raw, arrays, fast,
     # 13-bit histogram costs R MACs/row) — deleted, s8b-style, rather
     # than left as a slower reachable path.
     sig = ("topk-bd", d.sig(used), order_field, kcap, desc,
-           tuple(project), has_excl)
+           tuple(project), has_excl,
+           scanner._plan_sigs[id(mask_raw)])
     fn = scanner._fns.get(sig)
     nw = -(-wo // 32)
     proj_cols = list(project)

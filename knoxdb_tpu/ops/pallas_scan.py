@@ -158,6 +158,15 @@ def fused_range_sum_masked(planes, lo_bits, hi_bits, flags, mask_in,
     T = _pick_tile(w, P, W)
     assert P % T == 0, f"P must be a multiple of {T}"
     w1 = max(w, 1)
+    # under shard_map pallas_call's out_shape must state how outputs
+    # vary over mesh axes: inherit the input's vma (per-shard packs in
+    # -> per-shard outputs out) — same rule as ops/pallas_group (r4)
+    vma = getattr(getattr(mask_in, "aval", None), "vma", None)
+    if vma:
+        def sds(s, d):
+            return jax.ShapeDtypeStruct(s, d, vma=vma)
+    else:
+        sds = jax.ShapeDtypeStruct
     out = pl.pallas_call(
         partial(_kernel_masked, width=width, blockwise=T == 8 and w > 28),
         grid=(P // T,),
@@ -174,9 +183,9 @@ def fused_range_sum_masked(planes, lo_bits, hi_bits, flags, mask_in,
             pl.BlockSpec((T, 1), lambda i: (i, _Z)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((P, W), jnp.uint32),
-            jax.ShapeDtypeStruct((P, w1), jnp.int32),
-            jax.ShapeDtypeStruct((P, 1), jnp.int32),
+            sds((P, W), jnp.uint32),
+            sds((P, w1), jnp.int32),
+            sds((P, 1), jnp.int32),
         ],
         interpret=interpret,
     )(lo_bits, hi_bits, flags, planes, mask_in)
@@ -337,20 +346,25 @@ def fused_tree_agg(planes_list, leaf_ops, leaf_field, mask_in,
     in_specs.append(pl.BlockSpec((T, W), lambda i: (i, _Z)))
     args.append(mask_in)
 
+    vma = getattr(getattr(mask_in, "aval", None), "vma", None)
+    if vma:
+        def sds(s, d):
+            return jax.ShapeDtypeStruct(s, d, vma=vma)
+    else:
+        sds = jax.ShapeDtypeStruct
     out_specs = [pl.BlockSpec((T, W), lambda i: (i, _Z)),
                  pl.BlockSpec((T, 1), lambda i: (i, _Z))]
-    out_shape = [jax.ShapeDtypeStruct((P, W), jnp.uint32),
-                 jax.ShapeDtypeStruct((P, 1), jnp.int32)]
+    out_shape = [sds((P, W), jnp.uint32),
+                 sds((P, 1), jnp.int32)]
     for slot, want_sum, want_mm in agg_specs:
         if want_sum:
             w1 = max(fwidths[slot], 1)
             out_specs.append(pl.BlockSpec((T, w1), lambda i: (i, _Z)))
-            out_shape.append(jax.ShapeDtypeStruct((P, w1), jnp.int32))
+            out_shape.append(sds((P, w1), jnp.int32))
         if want_mm:
             out_specs.append(
                 pl.BlockSpec((T, _MM_COLS), lambda i: (i, _Z)))
-            out_shape.append(
-                jax.ShapeDtypeStruct((P, _MM_COLS), jnp.uint32))
+            out_shape.append(sds((P, _MM_COLS), jnp.uint32))
 
     out = pl.pallas_call(
         partial(_kernel_tree, nleaf=nleaf, nfield=nfield,

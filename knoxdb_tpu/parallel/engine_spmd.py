@@ -83,8 +83,19 @@ def _arg_specs(args, axis: str):
 
     arrays_s = {n: [{k: arr_spec(k, a) for k, a in g.items()} for g in gs]
                 for n, gs in arrays.items()}
-    consts_s = [[_const_entry_specs(g, axis) for g in leaf]
-                for leaf in consts]
+
+    def leaf_spec(leaf):
+        if isinstance(leaf, list):
+            return [_const_entry_specs(g, axis) for g in leaf]
+        # r5: trailing FUSED-kernel operand entry (exec/scan
+        # _prepare_tail): (lo_bits, hi_bits, flags) per fused leaf —
+        # all [P, w]-shaped per-pack arrays, pack axis 0
+        if isinstance(leaf, tuple) and leaf \
+                and isinstance(leaf[0], tuple):
+            return tuple(tuple(P(axis, None) for _ in t) for t in leaf)
+        return tuple(P(axis, None) for _ in leaf)
+
+    consts_s = [leaf_spec(leaf) for leaf in consts]
     overrides_s = [(P(axis), P(axis)) for _ in overrides]
     return (arrays_s, consts_s, overrides_s, P(axis, None),
             tuple(P(axis, None) for _ in excl))
@@ -92,11 +103,18 @@ def _arg_specs(args, axis: str):
 
 def _out_specs_parts(out_shapes, axis: str):
     """(mask, pack_counts, parts) -> matching spec pytree. Per-pack part
-    arrays: 1-d [Pg] shard axis 0; 2-d limb forms [L, Pg] shard axis 1."""
-    def part_spec(s):
+    arrays: 1-d [Pg] shard axis 0; 2-d LIMB forms [L, Pg] shard axis 1;
+    r5 fused-kernel dict forms ({"pcnt": [Pg, w]}, {"mnmx": [Pg, 8]},
+    {"cnt": [Pg]}) lead with the pack axis."""
+    from jax.tree_util import DictKey
+
+    def part_spec(path, s):
+        if any(isinstance(k, DictKey) and k.key in ("pcnt", "mnmx")
+               for k in path):
+            return P(axis, None)
         return P(axis) if s.ndim == 1 else P(None, axis)
     _mask, _cnt, parts = out_shapes
-    parts_s = jax.tree_util.tree_map(part_spec, parts)
+    parts_s = jax.tree_util.tree_map_with_path(part_spec, parts)
     return (P(axis, None), P(axis), parts_s)
 
 
@@ -191,7 +209,8 @@ class ShardedScanner(SegmentScanner):
         biases = {f: jnp.uint64(cplan[f][1]) for f in agg_fields}
         sig = ("group-spmd", d.sig(used), group_field, tuple(agg_fields),
                mode_tags, gplan.G, exclude_words is not None, use_mxu,
-               tuple(cplan[f][0] for f in agg_fields))
+               tuple(cplan[f][0] for f in agg_fields),
+               self._plan_sigs[id(mask_raw)])
         gfn = self._fns.get(sig)
         if gfn is None:
             W = d.W

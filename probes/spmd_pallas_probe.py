@@ -85,6 +85,37 @@ def main():
             == [int(x) for x in want[("sum", "val")]], f"rep{rep} sums"
         print(f"# rep{rep}: bit-identical ({dt:.1f}s)", flush=True)
 
+    # r5: Mosaic SCAN fusion under shard_map (exec/scan._plan_fusion
+    # now engages for ShardedScanner on TPU): count rides the MASK-ONLY
+    # tree kernel, min/max the multi-agg tournament kernel, and the
+    # filtered group query runs tree kernel + group kernel in ONE
+    # program. All vs single-device truth, 4 repeats (wedge discipline).
+    from knoxdb_tpu.knox import F
+
+    def qw(t):
+        return t.query().where(F("val") > -(1 << 39), F("grp") < 900)
+
+    m = (val > -(1 << 39)) & (grp < 900)
+    want_c = qw(t_s).count()
+    assert want_c == int(m.sum())
+    want_sum = qw(t_s).sum("val")
+    want_min = qw(t_s).min("val")
+    want_max = qw(t_s).max("val")
+    wg = qw(t_s).group_by("grp").aggregate(("count", ""), ("sum", "val"))
+    for rep in range(4):
+        t0 = time.perf_counter()
+        assert qw(t_m).count() == want_c, f"rep{rep} count"
+        assert qw(t_m).sum("val") == want_sum, f"rep{rep} sum"
+        assert qw(t_m).min("val") == want_min, f"rep{rep} min"
+        assert qw(t_m).max("val") == want_max, f"rep{rep} max"
+        gg = qw(t_m).group_by("grp").aggregate(("count", ""),
+                                               ("sum", "val"))
+        assert (np.asarray(gg["keys"]) == np.asarray(wg["keys"])).all()
+        assert [int(x) for x in gg[("sum", "val")]] \
+            == [int(x) for x in wg[("sum", "val")]], f"rep{rep} gsums"
+        print(f"# scan-fusion rep{rep}: bit-identical "
+              f"({time.perf_counter()-t0:.1f}s)", flush=True)
+
     db_s.close()
     db_m.close()
     print("SPMD PALLAS PROBE PASS", flush=True)

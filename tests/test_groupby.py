@@ -413,3 +413,47 @@ def test_bucket32_gid_paths(rng):
         assert (got[ts < t0] == -1).all()
         over = (ts >= t0 + span)
         assert (got[over] >= G).all()
+
+
+def test_group_plan_cache_no_tree_collision(rng):
+    """r5 regression: two group queries with DIFFERENT filter trees but
+    the same (group field, agg fields, G) must not share a compiled
+    closure — the pre-r5 cache signature omitted the mask plan, so the
+    second query ran the first query's mask function (probe find)."""
+    from knoxdb_tpu.exec.device import DeviceSegment
+    from knoxdb_tpu.exec.scan import SegmentScanner
+    from knoxdb_tpu.pack.segment import build_segment
+    from knoxdb_tpu.query.filter import Filter, and_, leaf
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType, FilterMode
+
+    n = 8192
+    sch = (Builder("t").pk("id")
+           .add("g", FieldType.UINT32)
+           .add("v", FieldType.INT64)
+           .finish())
+    g = rng.integers(0, 16, n).astype(np.uint32)
+    v = rng.integers(-1 << 30, 1 << 30, n)
+    seg = build_segment(sch, {"id": np.arange(1, n + 1, dtype=np.uint64),
+                              "g": g, "v": v}, pack_size=1024)
+    sc = SegmentScanner(DeviceSegment(seg))
+
+    def check(tree, m):
+        gplan, counts, res = sc.group_scan(tree, "g", ["v"],
+                                           minmax=False)
+        want = np.bincount(g[m].astype(np.int64), minlength=16)
+        np.testing.assert_array_equal(counts, want)
+        wsum = np.zeros(16, object)
+        np.add.at(wsum, g[m].astype(np.int64), v[m].astype(object))
+        bias = 1 << 63
+        sums = res["v"][0]
+        assert [int(s) - int(c) * bias
+                for s, c in zip(sums, counts)] == [int(x) for x in wsum]
+
+    # no tree, then a 1-leaf tree, then a 2-leaf tree — same group sig
+    check(None, np.ones(n, bool))
+    t1 = leaf(Filter(sch.field("v"), FilterMode.GT, 0)).optimize()
+    check(t1, v > 0)
+    t2 = and_(leaf(Filter(sch.field("v"), FilterMode.GT, 0)),
+              leaf(Filter(sch.field("g"), FilterMode.LT, 9))).optimize()
+    check(t2, (v > 0) & (g < 9))
