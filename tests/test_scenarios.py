@@ -23,7 +23,7 @@ def test_workload_deep(seed, tmp_path):
     # Seed DIVERSITY beats per-seed depth for DST coverage: the op
     # mix, tear injection and checks all fire per step, while late
     # steps only grow merge volume (superlinear cost, no new paths).
-    rep = run_scenario(seed, str(tmp_path / f"d{seed}"), steps=100)
+    rep = run_scenario(seed, str(tmp_path / f"d{seed}"), steps=88)
     assert all(v > 0 for v in rep.values()), rep
 
 
@@ -32,7 +32,7 @@ def test_workload_rich(seed, tmp_path):
     """Wide-surface DST: strings + int128 + hash index + tx aborts with
     group-by/top-k/point/index checks every few steps."""
     from knoxdb_tpu.testing.scenario import run_scenario_rich
-    rep = run_scenario_rich(seed, str(tmp_path / f"r{seed}"), steps=48)
+    rep = run_scenario_rich(seed, str(tmp_path / f"r{seed}"), steps=44)
     assert all(v > 0 for v in rep.values()), rep
 
 

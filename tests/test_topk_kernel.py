@@ -93,8 +93,11 @@ def test_wide_int128_bit_descent(rng):
     n = 4096
     sch = Builder("w").pk("id").add("big", FieldType.INT128).finish()
     block = np.arange(n) // 512
-    big = np.array([int(b) * (1 << 70) + (int(x) << 9) for b, x in
-                    zip(block, rng.integers(-1 << 50, 1 << 50, n))],
+    # wo ~ 68: exercises the >64-bit wide descent while keeping the
+    # interpret-mode dependent chain (and its compile) at half the
+    # r4 width — the 127-bit version cost 76 s of the slow tier
+    big = np.array([int(b) * (1 << 66) + (int(x) << 9) for b, x in
+                    zip(block, rng.integers(-1 << 45, 1 << 45, n))],
                    object)
     seg = build_segment(sch, {"id": np.arange(1, n + 1, dtype=np.uint64),
                               "big": big}, pack_size=512)
