@@ -630,6 +630,7 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
     # r_-rename base: collisions judged against the FULL left selection
     # so output keys stay stable when select= prunes columns
     orig_l = set(lsel)
+    orig_r = set(rsel)
     if select:
         # projection PUSHDOWN: drop unselected columns BEFORE the
         # materialization fetch (the relay moves ~45 MB/s — decoding
@@ -681,28 +682,21 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
     def rname(name):
         return f"r_{name}" if name in orig_l else name
 
-    pre = {}                     # output name -> values (pred prefetch)
+    pre = {}                     # predicate name -> values (prefetch)
+    pre_side = {}                # predicate name -> (side, field)
     if where is not None:
         # post-filter BEFORE the projection fetch: only the predicate
         # columns cross the relay at full match size
         lflds = {f.name for f in lt.full_schema.fields}
         rflds = {f.name for f in rt.full_schema.fields}
-        lpred, rpred = [], []
-        for name in _post_where_names(where):
-            if name in lflds:
-                lpred.append(name)
-            elif name.startswith("r_") and name[2:] in rflds:
-                rpred.append(name[2:])
-            elif name in rflds:
-                rpred.append(name)
-            else:
-                raise KeyError(f"join where: unknown column {name}")
-        lpr = lt.rows_at_positions(lview, lp, sorted(set(lpred)))
-        rpr = rt.rows_at_positions(rview, rp, sorted(set(rpred)))
-        for name in lpred:
-            pre[name] = lpr[name]
-        for name in rpred:
-            pre[rname(name)] = rpr[name]
+        pre_side = _post_where_resolve(
+            _post_where_names(where), lflds, rflds, orig_l, orig_r)
+        lpred = sorted({f for s, f in pre_side.values() if s == "l"})
+        rpred = sorted({f for s, f in pre_side.values() if s == "r"})
+        lpr = lt.rows_at_positions(lview, lp, lpred)
+        rpr = rt.rows_at_positions(rview, rp, rpred)
+        for name, (s, f) in pre_side.items():
+            pre[name] = lpr[f] if s == "l" else rpr[f]
         keep = np.flatnonzero(_post_where_eval(where, pre, len(lidx)))
         if limit:
             keep = keep[:limit]
@@ -711,17 +705,28 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
     elif limit:
         lp, rp = lp[:limit], rp[:limit]
 
+    # reuse a prefetched predicate column for the output ONLY when it
+    # resolved to the same column the output name denotes (a predicate
+    # on an unselected left column must not shadow a right-side output)
+    def pre_of(name, side, field):
+        if name in pre and pre_side.get(name) == (side, field):
+            return pre[name]
+        return None
+
     lrows = lt.rows_at_positions(
-        lview, lp, [n for n in lsel if n not in pre])
+        lview, lp, [n for n in lsel if pre_of(n, "l", n) is None])
     rrows = rt.rows_at_positions(
-        rview, rp, [n for n in rsel if rname(n) not in pre])
+        rview, rp, [n for n in rsel
+                    if pre_of(rname(n), "r", n) is None])
 
     out: dict = {}
     for name in lsel:
-        out[name] = pre[name] if name in pre else lrows[name]
+        v = pre_of(name, "l", name)
+        out[name] = v if v is not None else lrows[name]
     for name in rsel:
         key = rname(name)
-        out[key] = pre[key] if key in pre else rrows[name]
+        v = pre_of(key, "r", name)
+        out[key] = v if v is not None else rrows[name]
     out["__n"] = len(lp)
     return _join_select(out, select)
 
@@ -737,23 +742,21 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
     lsel = left._select or [f.name for f in left._table.schema.fields]
     rsel = right._select or [f.name for f in right._table.schema.fields]
     orig_l = set(lsel)
+    orig_r = set(rsel)
     if select:
         lsel, rsel = _join_pushdown(lsel, rsel, orig_l, select)
     # post-filter columns join the fetch set (pruned from the output
-    # below unless selected)
+    # below unless selected); same output-name resolver as the device
+    # path so both paths agree on shadowed names
     wl, wr = [], []
+    wside = {}
     if where is not None:
         lflds = {f.name for f in left._table._t.full_schema.fields}
         rflds = {f.name for f in right._table._t.full_schema.fields}
-        for name in _post_where_names(where):
-            if name in lflds:
-                wl.append(name)
-            elif name.startswith("r_") and name[2:] in rflds:
-                wr.append(name[2:])
-            elif name in rflds:
-                wr.append(name)
-            else:
-                raise KeyError(f"join where: unknown column {name}")
+        wside = _post_where_resolve(_post_where_names(where), lflds,
+                                    rflds, orig_l, orig_r)
+        wl = sorted({f for s, f in wside.values() if s == "l"})
+        wr = sorted({f for s, f in wside.values() if s == "r"})
     lrows = left.select(*dict.fromkeys(lsel + wl + [lf])).rows()
     rrows = right.select(*dict.fromkeys(rsel + wr + [rf])).rows()
 
@@ -769,19 +772,26 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
     rkeys = keyed(rrows[rf], right._table._t.full_schema.field(rf).type)
     res = J.join_keys_np(lkeys, rkeys, how)
 
+    def expand_l(col):
+        return np.array([col[i] if i >= 0 else None for i in res.lidx],
+                        object)
+
+    def expand_r(col):
+        return np.array([col[j] if j >= 0 else None for j in res.ridx],
+                        object)
+
     out: dict = {}
-    for name in dict.fromkeys(lsel + wl):
-        col = lrows[name]
-        out[name] = np.array(
-            [col[i] if i >= 0 else None for i in res.lidx], object)
-    for name in dict.fromkeys(rsel + wr):
-        col = rrows[name]
+    for name in lsel:
+        out[name] = expand_l(lrows[name])
+    for name in rsel:
         key = f"r_{name}" if name in orig_l else name
-        out[key] = np.array(
-            [col[j] if j >= 0 else None for j in res.ridx], object)
+        out[key] = expand_r(rrows[name])
     out["__n"] = res.n
     if where is not None:
-        keep = np.flatnonzero(_post_where_eval(where, out, res.n))
+        eval_cols = {name: (expand_l(lrows[f]) if s == "l"
+                            else expand_r(rrows[f]))
+                     for name, (s, f) in wside.items()}
+        keep = np.flatnonzero(_post_where_eval(where, eval_cols, res.n))
         if limit:
             keep = keep[:limit]
         out = {k: (v[keep] if isinstance(v, np.ndarray) else v)
@@ -791,11 +801,6 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
         out = {k: (v[:limit] if isinstance(v, np.ndarray) else v)
                for k, v in out.items()}
         out["__n"] = limit
-    # drop predicate-only columns from the output
-    keep_names = set(lsel) | {f"r_{n}" if n in orig_l else n
-                              for n in rsel}
-    out = {k: v for k, v in out.items()
-           if k == "__n" or k in keep_names}
     return _join_select(out, select)
 
 
@@ -814,25 +819,72 @@ def _post_where_names(where) -> list:
     raise TypeError(f"join where: bad condition {where!r}")
 
 
+def _post_where_resolve(names, lflds: set, rflds: set,
+                        orig_l: set, orig_r: set) -> dict:
+    """Predicate name -> (side, field), mirroring the join's OUTPUT
+    naming (r5 review fix: resolution previously consulted the left
+    table's full schema first, so a right-side output column shadowed
+    by an UNSELECTED left-schema column filtered the wrong side):
+      1. a left OUTPUT name (in the left selection) wins,
+      2. 'r_X' exists only when X collides with the left selection,
+      3. a SELECTED right name not colliding is addressed unprefixed,
+      4. otherwise an unselected table column — left first, then right.
+    Unknown names raise KeyError BEFORE any fetch."""
+    out = {}
+    for name in dict.fromkeys(names):
+        if name in orig_l and name in lflds:
+            out[name] = ("l", name)
+        elif name.startswith("r_") and name[2:] in rflds \
+                and name[2:] in orig_l:
+            out[name] = ("r", name[2:])
+        elif name in orig_r and name in rflds and name not in orig_l:
+            out[name] = ("r", name)
+        elif name in lflds:
+            out[name] = ("l", name)
+        elif name in rflds:
+            out[name] = ("r", name)
+        else:
+            raise KeyError(f"join where: unknown column {name}")
+    return out
+
+
 def _post_where_eval(where, cols: dict, n: int) -> np.ndarray:
-    """Evaluate a post-join condition over output columns -> bool[n].
-    None (outer-miss) fails every predicate, including NE/NOT_IN
-    (SQL NULL semantics; reference join.go post-filter applies the
-    matcher to materialized values the same way)."""
+    """Evaluate a post-join condition over output columns -> bool[n]
+    of rows the filter KEEPS, under SQL three-valued logic: an
+    outer-miss None makes a comparison UNKNOWN, unknown propagates
+    through and/or/not, and only TRUE rows survive — so NE and
+    ('not', EQ) agree on NULL rows (r5 review fix)."""
+    t, _u = _post_where_eval3(where, cols, n)
+    return t
+
+
+def _post_where_eval3(where, cols: dict, n: int):
+    """-> (true bool[n], unknown bool[n]); false = ~true & ~unknown."""
     from .types import FilterMode as FM
     if isinstance(where, list):
         where = tuple(["and"] + where)
     if isinstance(where, tuple) and where and where[0] in ("and", "or",
                                                            "not"):
-        kids = [_post_where_eval(k, cols, n) for k in where[1:]]
+        kids = [_post_where_eval3(k, cols, n) for k in where[1:]]
         if where[0] == "not":
             if len(kids) != 1:
                 raise TypeError("join where: not() takes one condition")
-            return ~kids[0]
-        out = kids[0]
-        for k in kids[1:]:
-            out = (out & k) if where[0] == "and" else (out | k)
-        return out
+            t, u = kids[0]
+            return ~t & ~u, u
+        if not kids:                   # AND of nothing = TRUE (empty
+            if where[0] == "or":       # OR = FALSE), not a crash
+                return np.zeros(n, bool), np.zeros(n, bool)
+            return np.ones(n, bool), np.zeros(n, bool)
+        t, u = kids[0]
+        for t2, u2 in kids[1:]:
+            if where[0] == "and":
+                f = (~t & ~u) | (~t2 & ~u2)
+                t = t & t2
+                u = (u | u2) & ~f
+            else:
+                t = t | t2
+                u = (u | u2) & ~t
+        return t, u
     _, name, mode, value = where
     col = np.asarray(cols[name], object)
     notnull = np.array([x is not None for x in col], bool)
@@ -861,7 +913,7 @@ def _post_where_eval(where, cols: dict, n: int) -> np.ndarray:
         r[notnull] = np.array([x not in vs for x in sub], bool)
     else:
         raise ValueError(f"join where: unsupported mode {mode}")
-    return r
+    return r, ~notnull
 
 
 def _join_pushdown(lsel: list, rsel: list, orig_l: set,

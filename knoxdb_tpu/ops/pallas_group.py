@@ -79,11 +79,13 @@ def _m2_vec(lo, cols, S: int, L: int):
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (S, L, _T8), 1)
     lo_oh = (lo[:, None, :] == iota_l).astype(jnp.bfloat16)
     if len(cols) == 1:
-        # count-only histogram (r5 top-k radix descent): the 4-D
-        # broadcast with a singleton NC axis crashes the real Mosaic
-        # backend's vector_extract layout pass (r5 on-chip find:
-        # "Check failed: limits[i] <= dim(i) (4 vs 1)"); the 3-D
-        # multiply is the same program without the degenerate axis
+        # count-only histogram (n_chunks=0 — no production caller since
+        # the radix top-k deletion, kept for the public op surface +
+        # probes/histcrash_probe.py): the 4-D broadcast with a
+        # singleton NC axis crashes the real Mosaic backend's
+        # vector_extract layout pass ("limits 4 vs 1", r5 on-chip
+        # find); the 3-D multiply is the same program without the
+        # degenerate axis
         return lo_oh * cols[0][:, None, :]
     colstack = jnp.stack(cols, axis=1)                  # [S, NC, T8]
     return (lo_oh[:, :, None, :] * colstack[:, None, :, :]) \

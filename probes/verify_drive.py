@@ -163,7 +163,7 @@ def main():
     check("join.n", len(j["id"]), want_n)
     print(f"# join {(time.perf_counter()-t0):.1f}s", flush=True)
 
-    # r5: ORDER BY + limit through the radix-8192 top-k descent
+    # r5: ORDER BY + limit through the bit-descent top-k fast path
     t0 = time.perf_counter()
     tk = t.query().where(knox.F("bal") > 0).order_by("val", desc=True) \
         .limit(25).select("val").rows()

@@ -475,3 +475,56 @@ def test_device_join_uint32_keys32_path(db, rng):
     want = sorted((int(a), (int(k) - 1) * 7) for a, k in
                   zip(amt[m], aid[m]))
     assert got == want
+
+
+def test_post_join_where_review_fixes(db, rng):
+    """r5 review regressions: (1) a right-side output column shadowed
+    by an UNSELECTED left-schema column filters the RIGHT values on
+    both paths; (2) ('not', EQ) agrees with NE on NULL rows (SQL 3VL);
+    (3) 'r_X' without a collision raises cleanly; (4) where=[] keeps
+    every row."""
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+    # both tables carry a 'score' column; left does NOT select it
+    ls = (Builder("wl").pk("id").add("k", FieldType.UINT64)
+          .add("score", FieldType.INT64).finish())
+    rs = (Builder("wr").pk("id").add("score", FieldType.INT64).finish())
+    lt = db.create_table(ls)
+    rt = db.create_table(rs)
+    nl = 64
+    lk = np.arange(1, nl + 1, dtype=np.uint64)
+    lt.insert({"id": np.zeros(nl, np.uint64), "k": lk,
+               "score": np.full(nl, -5, np.int64)})
+    rt.insert({"id": lk, "score": (lk.astype(np.int64) * 10)})
+    lt.merge()
+    rt.merge()
+    # (1) output 'score' is the RIGHT column (no collision with the
+    # left SELECTION): predicate must hit right values on both paths
+    for how in ("inner", "full"):       # device path, host path
+        out = knox.join(lt.query().select("k"), rt.query(),
+                        on=("k", "id"), how=how,
+                        where=knox.F("score") > 500)
+        assert out["__n"] == int((lk * 10 > 500).sum()), how
+        assert all(int(v) > 500 for v in out["score"]), how
+    # unselected LEFT column still addressable when right has no claim
+    out_l = knox.join(lt.query().select("k"), rt.query().select("id"),
+                      on=("k", "id"), where=knox.F("score") < 0)
+    assert out_l["__n"] == nl            # left score all -5
+    # (2) NULL 3VL: LEFT join, not(EQ) == NE on outer-miss rows
+    rt2 = db.create_table(
+        Builder("wr2").pk("id").add("rv", FieldType.INT64).finish())
+    rt2.insert({"id": lk[:8], "rv": np.arange(8, dtype=np.int64)})
+    rt2.merge()
+    a = knox.join(lt.query().select("k"), rt2.query(), on=("k", "id"),
+                  how="left", where=knox.F("rv") != 5)
+    b = knox.join(lt.query().select("k"), rt2.query(), on=("k", "id"),
+                  how="left", where=("not", knox.F("rv") == 5))
+    assert a["__n"] == b["__n"] == 7     # 8 matches minus rv==5; Nones drop
+    # (3) bogus r_ prefix raises BEFORE any fetch
+    with pytest.raises(KeyError):
+        knox.join(lt.query().select("k"), rt2.query(), on=("k", "id"),
+                  where=knox.F("r_rv") > 3)
+    # (4) empty condition list = no filter
+    out_e = knox.join(lt.query().select("k"), rt2.query(),
+                      on=("k", "id"), where=[])
+    assert out_e["__n"] == 8

@@ -115,3 +115,41 @@ def test_series_fill_modes(db, rng):
     assert list(out[("sum", "v")])[2:4] == [20.0, 30.0]
     out = run_series(SeriesRequest(**base, fill=FillMode.NONE))
     assert list(out[("sum", "v")]) == [10, 40]
+
+
+def test_series_moments_bigG(db, rng):
+    """r5: var/mean series above the single-pass group ceiling (G=12288
+    buckets > 8192) ride the multi-pass kernels and stay oracle-exact."""
+    from knoxdb_tpu.schema.schema import Builder
+    from knoxdb_tpu.types import FieldType
+    sch = (Builder("bg").pk("id")
+           .add("ts", FieldType.UINT64)
+           .add("v", FieldType.INT64)
+           .finish())
+    t = db.create_table(sch)
+    n = 1 << 14
+    G, iv = 12288, 64
+    ts = (10 ** 6 + rng.integers(0, G * iv, n)).astype(np.uint64)
+    v = rng.integers(-1 << 20, 1 << 20, n)
+    t.insert({"id": np.zeros(n, np.uint64), "ts": ts, "v": v})
+    t.merge()
+    out = run_series(SeriesRequest(
+        table=t, time_field="ts", start=10 ** 6, end=10 ** 6 + G * iv,
+        interval=iv, aggs=[("count", ""), ("sum", "v"), ("var", "v")],
+        fill=FillMode.NULL))
+    assert len(out["time"]) == G
+    bid = ((ts - 10 ** 6) // iv).astype(np.int64)
+    wc = np.bincount(bid, minlength=G)
+    np.testing.assert_array_equal(np.asarray(out["count"], np.int64), wc)
+    ws = np.zeros(G, object)
+    np.add.at(ws, bid, v.astype(object))
+    got_s = out[("sum", "v")]
+    for g in np.flatnonzero(wc)[:200]:
+        assert int(got_s[g]) == int(ws[g]), g
+    # var spot-check vs numpy (sample variance, n>=2)
+    import math
+    for g in np.flatnonzero(wc >= 2)[:50]:
+        vv = v[bid == g].astype(np.float64)
+        want = float(np.var(vv, ddof=1))
+        gotv = float(out[("var", "v")][g])
+        assert math.isclose(gotv, want, rel_tol=1e-9, abs_tol=1e-6), g
