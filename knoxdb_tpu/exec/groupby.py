@@ -726,8 +726,8 @@ def _group_pallas(gids, mask_words, value_keys, G: int,
                                    n_chunks, bias)
     C = n_chunks
     H, L = _pallas_group_geometry(min(G, 8192))
-    GP = H * L if G > 8192 else max(H * L, 1)
-    NP = -(-G // GP) if G > GP else 1
+    GP = H * L                         # groups per pass (>= G when one
+    NP = max(1, -(-G // GP))           # pass suffices; >=1 guards G=0)
     shift = L.bit_length() - 1
     SENT = NP * GP
 

@@ -669,9 +669,9 @@ class SegmentScanner:
                     or (d.P // ndev) % 8:
                 return None
             P_tile = d.P // ndev       # per-shard pack count
-        elif d.P % 8:
-            return None
-        if not self.spmd:
+        else:
+            if d.P % 8:
+                return None
             P_tile = d.P
         top_leaves = []
         if tdesc[0] == "leaf":

@@ -680,7 +680,7 @@ def join(left: "Query", right: "Query", on: tuple[str, str],
             jnp.take(rpos, jnp.asarray(ridx[rvalid], jnp.int32)))
 
     def rname(name):
-        return f"r_{name}" if name in orig_l else name
+        return _rname(name, orig_l)
 
     pre = {}                     # predicate name -> values (prefetch)
     pre_side = {}                # predicate name -> (side, field)
@@ -784,8 +784,7 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
     for name in lsel:
         out[name] = expand_l(lrows[name])
     for name in rsel:
-        key = f"r_{name}" if name in orig_l else name
-        out[key] = expand_r(rrows[name])
+        out[_rname(name, orig_l)] = expand_r(rrows[name])
     out["__n"] = res.n
     if where is not None:
         eval_cols = {name: (expand_l(lrows[f]) if s == "l"
@@ -804,11 +803,17 @@ def _join_host(left: "Query", right: "Query", on: tuple[str, str],
     return _join_select(out, select)
 
 
+def _rname(name: str, orig_l: set) -> str:
+    """Join OUTPUT key for a right-side column: 'r_'-prefixed only on
+    a collision with the left selection."""
+    return f"r_{name}" if name in orig_l else name
+
+
 def _post_where_names(where) -> list:
     """Column names referenced by a post-join condition tree."""
-    if isinstance(where, (list,)) or (isinstance(where, tuple)
-                                      and where and where[0] in
-                                      ("and", "or", "not")):
+    if isinstance(where, list) or (isinstance(where, tuple)
+                                   and where and where[0] in
+                                   ("and", "or", "not")):
         kids = where[1:] if isinstance(where, tuple) else where
         out = []
         for k in kids:
@@ -921,15 +926,13 @@ def _join_pushdown(lsel: list, rsel: list, orig_l: set,
     """Validate select names against the join's OUTPUT keys and prune
     both sides' projections to the selected subset (unknowns raise
     BEFORE any fetch)."""
-    out_names = set(lsel) | {f"r_{n}" if n in orig_l else n
-                             for n in rsel}
+    out_names = set(lsel) | {_rname(n, orig_l) for n in rsel}
     missing = [s for s in select if s not in out_names]
     if missing:
         raise KeyError(f"join select: unknown columns {missing}")
     want = set(select)
     return ([n for n in lsel if n in want],
-            [n for n in rsel
-             if (f"r_{n}" if n in orig_l else n) in want])
+            [n for n in rsel if _rname(n, orig_l) in want])
 
 
 def _join_select(out: dict, select) -> dict:

@@ -120,18 +120,7 @@ def _emit_counts(mask, planes_ref, pcnt_ref, cnt_ref, width: int,
     cnt_ref[:, 0] = jnp.sum(
         jax.lax.population_count(mask).astype(jnp.int32), axis=-1,
         dtype=jnp.int32)
-    if blockwise and width:
-        # wide columns (T=8 tiles): ONE [w, T, W] elementwise op + lane
-        # reduce + a tiny [w, T] -> [T, w] relayout — 2.5-2.7x over the
-        # per-plane second pass at w=41 (probes/ps_variants.py v7)
-        y = jax.lax.population_count(planes_ref[:width] & mask[None])
-        pcnt_ref[:, :] = jnp.sum(y.astype(jnp.int32), axis=-1,
-                                 dtype=jnp.int32).T
-    else:
-        for p in range(width):
-            pcnt_ref[:, p] = jnp.sum(
-                jax.lax.population_count(planes_ref[p] & mask)
-                .astype(jnp.int32), axis=-1, dtype=jnp.int32)
+    _emit_pcnt(mask, planes_ref, pcnt_ref, width, blockwise)
 
 
 def _kernel_masked(lo_bits_ref, hi_bits_ref, flags_ref, planes_ref,
@@ -252,7 +241,10 @@ def _emit_minmax(mask, planes_ref, mm_ref, width: int):
 
 
 def _emit_pcnt(mask, planes_ref, pcnt_ref, width: int, blockwise: bool):
-    """Masked per-plane popcounts only (the sum partial)."""
+    """Masked per-plane popcounts (the exact-sum partial). blockwise
+    (wide columns, T=8 tiles): ONE [w, T, W] elementwise op + lane
+    reduce + a tiny [w, T] -> [T, w] relayout — 2.5-2.7x over the
+    per-plane second pass at w=41 (probes/ps_variants.py v7)."""
     if blockwise and width:
         y = jax.lax.population_count(planes_ref[:width] & mask[None])
         pcnt_ref[:, :] = jnp.sum(y.astype(jnp.int32), axis=-1,
