@@ -152,9 +152,11 @@ def bench_config2(n_packs: int, rng):
     _emit("multipred_scan_rows_per_s", n / marg, 11e9)
 
 
-def bench_config3(n_packs: int, rng):
-    """Group-by account, sum over decimal64 balances, 1000 groups
-    (BASELINE config #3) — one-hot MXU matmul path."""
+def bench_config3(n_packs: int, rng, G: int = 1000):
+    """Group-by account, sum over decimal64 balances (BASELINE config
+    #3) — one-hot MXU matmul path. G parameterizes the r5 big-G ladder:
+    config '3b' = G=8192 (single-pass H=256 kernel), '3c' = G=65536
+    (multi-pass, 8 x 8192 groups/pass)."""
     import jax
     import jax.numpy as jnp
 
@@ -166,7 +168,6 @@ def bench_config3(n_packs: int, rng):
     from knoxdb_tpu.types import FieldType, FilterMode
 
     n = PACK * n_packs
-    G = 1000
     sch = (Builder("c3").pk("id")
            .add("acct", FieldType.UINT64)
            .add("bal", FieldType.DECIMAL64, scale=4)
@@ -235,7 +236,8 @@ def bench_config3(n_packs: int, rng):
 
     run(1)
     marg = _marginal(run, k_hi=33)
-    _emit("groupby_decimal64_rows_per_s", n / marg, 1e9)
+    tag = "" if G == 1000 else f"_g{G}"
+    _emit(f"groupby_decimal64{tag}_rows_per_s", n / marg, 1e9)
 
 
 def bench_config4(n_packs: int, rng):
@@ -641,7 +643,10 @@ def main():
     which = args.configs.split(",")
     for w in which:
         t0 = time.perf_counter()
+        import functools
         {"2": bench_config2, "3": bench_config3,
+         "3b": functools.partial(bench_config3, G=8192),
+         "3c": functools.partial(bench_config3, G=65536),
          "4": bench_config4, "5": bench_config5,
          "6": bench_config6, "7": bench_config7}[w.strip()](n_packs, rng)
         print(f"# config {w} done in {time.perf_counter() - t0:.1f}s",
