@@ -73,7 +73,7 @@ def main(n=100_000):
 
     # 5. device join tx x accounts, then streamed union + describe
     j = knox.join(tx.query().where(F("amount") > 0), acct.query(),
-                  on=("acct", "acct"), select=(["amount"], ["region"]))
+                  on=("acct", "acct"), select=("amount", "region"))
     print("join rows:", len(j["amount"]))
     total = 0
     for batch in knox.union(tx.query().where(acct=1).select("amount"),
